@@ -1,0 +1,237 @@
+"""Arrow-serializable DOM: a per-document node table.
+
+Replaces the reference's pointer-based object graph
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/nodes/Node.kt:20-22,
+Element.kt:28-37) with structure-of-arrays storage: node ids are ints,
+children are int lists, attributes are dicts. The builder mutates children
+lists (adoption agency / foster parenting need that); ``to_table`` freezes
+the tree into preorder columnar arrays for the Spark node-table operator.
+
+Document order = depth-first preorder (select/NodeTraversor.kt:22-65).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from . import tags as T
+
+DOCUMENT = 0
+ELEMENT = 1
+TEXT = 2
+DATA = 3
+COMMENT = 4
+CDATA = 5
+DOCTYPE = 6
+XMLDECL = 7
+
+KIND_NAMES = {
+    DOCUMENT: "#document",
+    TEXT: "#text",
+    DATA: "#data",
+    COMMENT: "#comment",
+    CDATA: "#cdata",
+    DOCTYPE: "#doctype",
+    XMLDECL: "#xmldecl",
+}
+
+NS_HTML = 0
+NS_SVG = 1
+NS_MATHML = 2
+NS_XML = 3
+
+
+class Doc:
+    """A parsed document as parallel arrays indexed by node id.
+
+    Node 0 is the document node. kind/tag/attrs/text/parent/children/ns are
+    parallel lists. ``quirks``: 0 noQuirks, 1 quirks, 2 limitedQuirks.
+    """
+
+    __slots__ = (
+        "kind", "tag", "attrs", "text", "parent", "children", "ns",
+        "base_uri", "quirks", "errors",
+    )
+
+    def __init__(self) -> None:
+        self.kind: list[int] = [DOCUMENT]
+        self.tag: list[str | None] = [None]
+        self.attrs: list[dict | None] = [None]
+        self.text: list[str | None] = [None]
+        self.parent: list[int] = [-1]
+        self.children: list[list[int]] = [[]]
+        self.ns: list[int] = [NS_HTML]
+        self.base_uri: str = ""
+        self.quirks: int = 0
+        self.errors: int = 0
+
+    # -- construction -------------------------------------------------------
+
+    def new_node(self, kind: int, tag: str | None = None,
+                 attrs: dict | None = None, text: str | None = None,
+                 ns: int = NS_HTML) -> int:
+        nid = len(self.kind)
+        self.kind.append(kind)
+        self.tag.append(tag)
+        self.attrs.append(attrs)
+        self.text.append(text)
+        self.parent.append(-1)
+        self.children.append([])
+        self.ns.append(ns)
+        return nid
+
+    def append_child(self, parent: int, child: int) -> None:
+        self.detach(child)
+        self.children[parent].append(child)
+        self.parent[child] = parent
+
+    def insert_before(self, ref: int, child: int) -> None:
+        p = self.parent[ref]
+        self.detach(child)
+        sibs = self.children[p]
+        sibs.insert(sibs.index(ref), child)
+        self.parent[child] = p
+
+    def detach(self, node: int) -> None:
+        p = self.parent[node]
+        if p != -1:
+            try:
+                self.children[p].remove(node)
+            except ValueError:
+                pass
+            self.parent[node] = -1
+
+    # -- views --------------------------------------------------------------
+
+    def element_children(self, node: int) -> list[int]:
+        k = self.kind
+        return [c for c in self.children[node] if k[c] == ELEMENT]
+
+    def html_el(self) -> int:
+        for c in self.children[0]:
+            if self.kind[c] == ELEMENT:
+                return c
+        return -1
+
+    def find_first(self, name: str, root: int = 0) -> int:
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if self.kind[n] == ELEMENT and self.tag[n] == name:
+                return n
+            stack.extend(reversed(self.children[n]))
+        return -1
+
+    def body(self) -> int:
+        h = self.html_el()
+        if h != -1:
+            for c in self.children[h]:
+                if self.kind[c] == ELEMENT and self.tag[c] in ("body", "frameset"):
+                    return c
+        return self.find_first("body")
+
+    def head(self) -> int:
+        h = self.html_el()
+        if h != -1:
+            for c in self.children[h]:
+                if self.kind[c] == ELEMENT and self.tag[c] == "head":
+                    return c
+        return self.find_first("head")
+
+    def preorder(self, root: int = 0):
+        """Yield (node_id, depth) in document order, root included."""
+        stack = [(root, 0)]
+        children = self.children
+        while stack:
+            n, d = stack.pop()
+            yield n, d
+            d1 = d + 1
+            for c in reversed(children[n]):
+                stack.append((c, d1))
+
+    def get_attr(self, node: int, key: str) -> str | None:
+        a = self.attrs[node]
+        if not a:
+            return None
+        v = a.get(key)
+        if v is None and key in a:
+            return ""  # boolean attribute -> "" like jsoup attr()
+        if v is None:
+            # case-insensitive fallback (Attributes case-insensitive lookup)
+            kl = key.lower()
+            for k, vv in a.items():
+                if k.lower() == kl:
+                    return vv if vv is not None else ""
+            return None
+        return v
+
+    def abs_url(self, node: int, key: str) -> str:
+        v = self.get_attr(node, key)
+        if not v:
+            return ""
+        if self.base_uri:
+            try:
+                return urljoin(self.base_uri, v)
+            except ValueError:
+                return v
+        return v
+
+    def is_block(self, node: int) -> bool:
+        return self.kind[node] == ELEMENT and self.tag[node] in T.BLOCK_TAGS
+
+    # -- freeze to columnar table --------------------------------------------
+
+    def to_table(self) -> dict[str, list]:
+        """Preorder SoA node table (SURVEY.md §1.2 schema)."""
+        order: list[int] = []
+        depth_of: list[int] = []
+        for n, d in self.preorder(0):
+            order.append(n)
+            depth_of.append(d)
+        remap = {old: new for new, old in enumerate(order)}
+        n_nodes = len(order)
+        out = {
+            "node_id": list(range(n_nodes)),
+            "parent_id": [0] * n_nodes,
+            "depth": depth_of,
+            "kind": [0] * n_nodes,
+            "tag": [None] * n_nodes,
+            "ns": [0] * n_nodes,
+            "sibling_index": [0] * n_nodes,
+            "elem_sibling_index": [-1] * n_nodes,
+            "first_child": [-1] * n_nodes,
+            "next_sibling": [-1] * n_nodes,
+            "subtree_end": [0] * n_nodes,
+            "text": [None] * n_nodes,
+            "attrs": [None] * n_nodes,
+        }
+        for new_id, old in enumerate(order):
+            p = self.parent[old]
+            out["parent_id"][new_id] = remap[p] if p != -1 else -1
+            out["kind"][new_id] = self.kind[old]
+            out["tag"][new_id] = self.tag[old]
+            out["ns"][new_id] = self.ns[old]
+            out["text"][new_id] = self.text[old]
+            out["attrs"][new_id] = self.attrs[old]
+            kids = self.children[old]
+            if kids:
+                out["first_child"][new_id] = remap[kids[0]]
+            elem_i = 0
+            for si, c in enumerate(kids):
+                rc = remap[c]
+                out["sibling_index"][rc] = si
+                if si + 1 < len(kids):
+                    out["next_sibling"][rc] = remap[kids[si + 1]]
+                if self.kind[c] == ELEMENT:
+                    out["elem_sibling_index"][rc] = elem_i
+                    elem_i += 1
+        # subtree_end: last preorder id in the subtree (inclusive interval)
+        stack: list[int] = []
+        for new_id in range(n_nodes):
+            d = depth_of[new_id]
+            while len(stack) > d:
+                out["subtree_end"][stack.pop()] = new_id - 1
+            stack.append(new_id)
+        while stack:
+            out["subtree_end"][stack.pop()] = n_nodes - 1
+        return out

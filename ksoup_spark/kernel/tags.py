@@ -1,0 +1,79 @@
+"""Static tag-flag tables (HTML semantics).
+
+Mirrors the semantics of the reference's interned Tag registry
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/parser/Tag.kt:205-250):
+block vs inline, void ("empty") elements, whitespace-preserving tags,
+format-as-block. Unknown tags are non-block "go anywhere" tags
+(Tag.kt:174-177).
+
+Kept as plain frozensets — broadcast to executors implicitly via the
+shipped module; lookups are O(1) set membership inside the Arrow kernel.
+"""
+
+from __future__ import annotations
+
+BLOCK_TAGS = frozenset(
+    """html head body frameset script noscript style meta link title frame
+    noframes section nav aside hgroup header footer p h1 h2 h3 h4 h5 h6
+    ul ol pre div blockquote hr address figure figcaption form fieldset ins
+    del dl dt dd li table caption thead tfoot tbody colgroup col tr th
+    td video audio canvas details menu plaintext template article main
+    svg math center dir applet marquee listing""".split()
+)
+
+INLINE_TAGS = frozenset(
+    """object base font tt i b u big small em strong dfn code samp kbd
+    var cite abbr time acronym mark ruby rt rp rtc a img br wbr map q
+    sub sup bdo iframe embed span input select textarea label optgroup
+    option legend datalist keygen output progress meter area param source track
+    summary command device basefont bgsound menuitem
+    data bdi s strike nobr rb text mi mo msup mn mtext""".split()
+)
+
+# Void elements: no children, self-closing in effect (Tag.kt:231-234).
+VOID_TAGS = frozenset(
+    """meta link base frame img br wbr embed hr input keygen col command
+    device area basefont bgsound menuitem param source track""".split()
+)
+
+# Tags not format-as-block even though block (Tag.kt:237-240).
+FORMAT_AS_INLINE = frozenset(
+    """title a p h1 h2 h3 h4 h5 h6 pre address li th td script style
+    ins del s button""".split()
+)
+
+# Whitespace preserved inside these (Tag.kt:241-244); script/style content
+# is a DataNode so preserves by construction.
+PRESERVE_WS_TAGS = frozenset(["pre", "plaintext", "title", "textarea"])
+
+FORM_LISTED = frozenset(
+    ["button", "fieldset", "input", "keygen", "object", "output", "select", "textarea"]
+)
+FORM_SUBMIT = frozenset(
+    ["input", "keygen", "object", "select", "textarea", "button"]
+)
+
+# Known tags = block ∪ inline; anything else is an unknown inline tag.
+KNOWN_TAGS = BLOCK_TAGS | INLINE_TAGS
+
+
+def is_block(name: str) -> bool:
+    return name in BLOCK_TAGS
+
+
+def is_void(name: str) -> bool:
+    return name in VOID_TAGS
+
+
+def is_inline(name: str) -> bool:
+    return name not in BLOCK_TAGS
+
+
+def preserves_whitespace(name: str) -> bool:
+    return name in PRESERVE_WS_TAGS
+
+
+def format_as_block(name: str) -> bool:
+    # Element.text() tail rule uses tag.formatAsBlock (Element.kt:1339-1349):
+    # block tags that are NOT in the format-as-inline list.
+    return name in BLOCK_TAGS and name not in FORMAT_AS_INLINE

@@ -1,0 +1,2077 @@
+"""HTML5 tree construction (insertion-mode algorithm).
+
+From-scratch Python implementation of the HTML5 tree-construction algorithm
+with the reference engine's semantics
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/parser/HtmlTreeBuilderState.kt,
+HtmlTreeBuilder.kt): implicit html/head/body, per-tag InBody rules, the
+adoption agency algorithm, foster parenting in tables, active-formatting
+reconstruction with the Noah's-Ark cap, implied end tags, scope queries with
+the reference's search-depth caps (semantics-affecting — HtmlTreeBuilder.kt:
+1095-1097, HtmlTreeBuilderState.kt:974), RCDATA/Rawtext/ScriptData/PLAINTEXT
+tokenizer switching, and a simplified foreign-content (SVG/MathML) mode with
+the spec breakout-tag list.
+
+Output is a dom.Doc (int-indexed node table), never Kotlin-style objects.
+"""
+
+from __future__ import annotations
+
+from . import dom
+from .dom import Doc
+from .tags import VOID_TAGS
+from .tokenizer import (
+    DATA as TOK_DATA,
+    PLAINTEXT as TOK_PLAINTEXT,
+    RAWTEXT as TOK_RAWTEXT,
+    RCDATA as TOK_RCDATA,
+    SCRIPT_DATA as TOK_SCRIPT,
+    Tokenizer,
+)
+
+# insertion modes
+(INITIAL, BEFORE_HTML, BEFORE_HEAD, IN_HEAD, IN_HEAD_NOSCRIPT, AFTER_HEAD,
+ IN_BODY, TEXT, IN_TABLE, IN_TABLE_TEXT, IN_CAPTION, IN_COLUMN_GROUP,
+ IN_TABLE_BODY, IN_ROW, IN_CELL, IN_SELECT, IN_SELECT_IN_TABLE, IN_TEMPLATE,
+ AFTER_BODY, IN_FRAMESET, AFTER_FRAMESET, AFTER_AFTER_BODY,
+ AFTER_AFTER_FRAMESET, FOREIGN) = range(24)
+
+_WS = "\t\n\r\f "
+
+FORMATTING_TAGS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+# The spec's "special" element categories (used by anyOtherEndTag & li/dd/dt).
+SPECIAL_TAGS = frozenset(
+    """address applet area article aside base basefont bgsound blockquote body
+    br button caption center col colgroup dd details dir div dl dt embed
+    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
+    head header hgroup hr html iframe img input isindex li link listing main
+    marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script section select source style summary table tbody td
+    template textarea tfoot th thead title tr track ul wbr xmp
+    mi mo mn ms mtext annotation-xml foreignObject desc""".split()
+)
+
+_IN_SCOPE_BASE = frozenset(
+    "applet caption html marquee object table td th template".split()
+)
+_LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
+_BUTTON_SCOPE_EXTRA = frozenset(["button"])
+_TABLE_SCOPE = frozenset(["html", "table", "template"])
+
+IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
+    "caption colgroup tbody td tfoot th thead tr".split()
+)
+
+_P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer header hgroup main menu nav ol p
+    section summary ul xmp listing pre""".split()
+)
+HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+_FOREIGN_BREAKOUT = frozenset(
+    """b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4
+    h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small span
+    strong strike sub sup table tt u ul var""".split()
+)
+
+# spec case adjustments for SVG tag names
+_SVG_TAG_ADJUST = {
+    t.lower(): t
+    for t in (
+        "altGlyph altGlyphDef altGlyphItem animateColor animateMotion "
+        "animateTransform clipPath feBlend feColorMatrix feComponentTransfer "
+        "feComposite feConvolveMatrix feDiffuseLighting feDisplacementMap "
+        "feDistantLight feDropShadow feFlood feFuncA feFuncB feFuncG feFuncR "
+        "feGaussianBlur feImage feMerge feMergeNode feMorphology feOffset "
+        "fePointLight feSpecularLighting feSpotLight feTile feTurbulence "
+        "foreignObject glyphRef linearGradient radialGradient textPath"
+    ).split()
+}
+
+MARKER = -1  # active-formatting-list scope marker
+
+MAX_SCOPE_SEARCH = 100          # HtmlTreeBuilder.kt:1095-1097
+MAX_ADOPTION_STACK_SCAN = 64    # HtmlTreeBuilderState.kt:974
+MAX_QUEUE_DEPTH = 256           # li/dd-dt stack walk cap
+
+
+class HtmlTreeBuilder:
+    def __init__(self) -> None:
+        self.doc = Doc()
+        self.tok: Tokenizer | None = None
+        self.stack: list[int] = []
+        self.formatting: list[int] = []  # node ids, MARKER for scope markers
+        self.mode = INITIAL
+        self.original_mode = INITIAL
+        self.template_modes: list[int] = []
+        self.head_id = -1
+        self.form_id = -1
+        self.frameset_ok = True
+        self.foster_inserts = False
+        self.pending_table_text: list[str] = []
+        self.skip_next_lf = False
+        self.base_latched = False
+        self.fragment_context: str | None = None
+
+    # ------------------------------------------------------------------ util
+
+    def parse(self, html: str, base_uri: str = "") -> Doc:
+        self.doc.base_uri = base_uri
+        if base_uri:
+            self.base_latched = False
+        self.tok = Tokenizer(html)
+        while True:
+            tok = self.tok.next_token()
+            self.process(tok)
+            if tok[0] == "eof":
+                break
+        return self.doc
+
+    def parse_fragment(self, html: str, context: str = "body",
+                       base_uri: str = "") -> list[int]:
+        """Fragment parse (Parser.parseFragment semantics): returns the
+        child node ids of the synthetic context root."""
+        self.fragment_context = context
+        self.doc.base_uri = base_uri
+        self.tok = Tokenizer(html)
+        html_el = self.doc.new_node(dom.ELEMENT, "html", {})
+        self.doc.append_child(0, html_el)
+        root = self.doc.new_node(dom.ELEMENT, context, {})
+        self.doc.append_child(html_el, root)
+        self.stack = [html_el, root]
+        if context in ("title", "textarea"):
+            self.tok.state = TOK_RCDATA
+            self.tok.rawtext_tag = context
+        elif context in ("iframe", "noembed", "noframes", "style", "xmp"):
+            self.tok.state = TOK_RAWTEXT
+            self.tok.rawtext_tag = context
+        elif context == "script":
+            self.tok.state = TOK_SCRIPT
+            self.tok.rawtext_tag = context
+        elif context == "plaintext":
+            self.tok.state = TOK_PLAINTEXT
+        self.mode = IN_BODY
+        self.reset_insertion_mode_for_fragment(context)
+        while True:
+            tok = self.tok.next_token()
+            self.process(tok)
+            if tok[0] == "eof":
+                break
+        return list(self.doc.children[root])
+
+    def reset_insertion_mode_for_fragment(self, context: str) -> None:
+        m = IN_BODY
+        if context in ("td", "th"):
+            m = IN_CELL
+        elif context == "tr":
+            m = IN_ROW
+        elif context in ("tbody", "thead", "tfoot"):
+            m = IN_TABLE_BODY
+        elif context == "caption":
+            m = IN_CAPTION
+        elif context == "colgroup":
+            m = IN_COLUMN_GROUP
+        elif context == "table":
+            m = IN_TABLE
+        elif context == "select":
+            m = IN_SELECT
+        elif context == "head":
+            m = IN_BODY
+        elif context == "frameset":
+            m = IN_FRAMESET
+        self.mode = m
+
+    def current(self) -> int:
+        return self.stack[-1] if self.stack else 0
+
+    def current_tag(self) -> str | None:
+        if not self.stack:
+            return None
+        return self.doc.tag[self.stack[-1]]
+
+    def error(self) -> None:
+        self.doc.errors += 1
+
+    # -- attribute normalization (HtmlTreeBuilder.kt:231-262) ---------------
+
+    @staticmethod
+    def norm_attrs(attrs: list, lower: bool = True) -> dict:
+        out: dict = {}
+        for k, v in attrs:
+            if lower:
+                k = k.lower()
+            if k and k not in out:  # first duplicate kept
+                out[k] = v
+        return out
+
+    # -- insertion ------------------------------------------------------------
+
+    def _insertion_parent(self) -> tuple[int, int]:
+        """Return (parent, before_ref) honoring foster parenting.
+
+        before_ref == -1 means append.
+        """
+        d = self.doc
+        if self.foster_inserts and self.stack and \
+                d.tag[self.current()] in ("table", "tbody", "tfoot", "thead", "tr"):
+            # foster parent: before the last table in the stack
+            for nid in reversed(self.stack):
+                if d.tag[nid] == "table":
+                    p = d.parent[nid]
+                    if p != -1:
+                        return p, nid
+                    idx = self.stack.index(nid)
+                    return self.stack[idx - 1], -1
+            return self.stack[0], -1
+        return self.current() if self.stack else 0, -1
+
+    def _attach(self, nid: int) -> None:
+        parent, before = self._insertion_parent()
+        if before != -1:
+            self.doc.insert_before(before, nid)
+        else:
+            self.doc.append_child(parent, nid)
+
+    def insert_element(self, name: str, attrs: dict, ns: int = dom.NS_HTML,
+                       push: bool = True) -> int:
+        nid = self.doc.new_node(dom.ELEMENT, name, attrs, ns=ns)
+        self._attach(nid)
+        if push:
+            self.stack.append(nid)
+        return nid
+
+    def insert_empty(self, name: str, attrs: dict) -> int:
+        nid = self.doc.new_node(dom.ELEMENT, name, attrs)
+        self._attach(nid)
+        if name == "base" and not self.base_latched:
+            href = attrs.get("href")
+            if href:
+                self.doc.base_uri = href
+                self.base_latched = True
+        return nid
+
+    def insert_char(self, text: str, kind: int | None = None) -> None:
+        if not text:
+            return
+        d = self.doc
+        if kind is None:
+            cur = self.current_tag()
+            kind = dom.DATA if cur in ("script", "style") else dom.TEXT
+        parent, before = self._insertion_parent()
+        sibs = d.children[parent]
+        if before == -1:
+            if sibs and d.kind[sibs[-1]] == kind and kind != dom.CDATA:
+                d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
+                return
+        else:
+            i = sibs.index(before)
+            if i > 0 and d.kind[sibs[i - 1]] == kind and kind != dom.CDATA:
+                d.text[sibs[i - 1]] = (d.text[sibs[i - 1]] or "") + text
+                return
+        nid = d.new_node(kind, text=text)
+        if before != -1:
+            d.insert_before(before, nid)
+        else:
+            d.append_child(parent, nid)
+
+    def insert_comment(self, data: str, parent: int | None = None) -> None:
+        nid = self.doc.new_node(dom.COMMENT, text=data)
+        if parent is not None:
+            self.doc.append_child(parent, nid)
+        else:
+            self._attach(nid)
+
+    # -- stack helpers ----------------------------------------------------------
+
+    def pop(self) -> int:
+        return self.stack.pop()
+
+    def pop_until(self, *names: str) -> None:
+        d = self.doc
+        while self.stack:
+            nid = self.stack.pop()
+            if d.tag[nid] in names:
+                break
+
+    def pop_until_before(self, *names: str) -> None:
+        d = self.doc
+        while self.stack and d.tag[self.stack[-1]] not in names:
+            self.stack.pop()
+
+    def on_stack(self, name: str) -> bool:
+        d = self.doc
+        return any(d.tag[n] == name for n in self.stack)
+
+    def remove_from_stack(self, nid: int) -> None:
+        try:
+            self.stack.remove(nid)
+        except ValueError:
+            pass
+
+    def _in_scope(self, targets, extra=frozenset(), table: bool = False) -> bool:
+        d = self.doc
+        depth = 0
+        if isinstance(targets, str):
+            targets = (targets,)
+        for nid in reversed(self.stack):
+            t = d.tag[nid]
+            if d.ns[nid] == dom.NS_HTML and t in targets:
+                return True
+            if table:
+                if t in _TABLE_SCOPE:
+                    return False
+            elif (d.ns[nid] != dom.NS_HTML) or t in _IN_SCOPE_BASE or t in extra:
+                return False
+            depth += 1
+            if depth > MAX_SCOPE_SEARCH:
+                return False
+        return False
+
+    def in_scope(self, targets) -> bool:
+        return self._in_scope(targets)
+
+    def in_button_scope(self, targets) -> bool:
+        return self._in_scope(targets, _BUTTON_SCOPE_EXTRA)
+
+    def in_list_scope(self, targets) -> bool:
+        return self._in_scope(targets, _LIST_SCOPE_EXTRA)
+
+    def in_table_scope(self, targets) -> bool:
+        return self._in_scope(targets, table=True)
+
+    def in_select_scope(self, target) -> bool:
+        d = self.doc
+        for nid in reversed(self.stack):
+            t = d.tag[nid]
+            if t == target:
+                return True
+            if t not in ("optgroup", "option"):
+                return False
+        return False
+
+    def generate_implied_end(self, exclude: str | None = None,
+                             thorough: bool = False) -> None:
+        d = self.doc
+        search = IMPLIED_END_THOROUGH if thorough else IMPLIED_END
+        while self.stack:
+            t = d.tag[self.stack[-1]]
+            if t in search and t != exclude:
+                self.stack.pop()
+            else:
+                break
+
+    def close_p(self) -> None:
+        self.generate_implied_end("p")
+        if self.current_tag() != "p":
+            self.error()
+        self.pop_until("p")
+
+    # -- active formatting list -------------------------------------------------
+
+    def push_formatting(self, nid: int) -> None:
+        # Noah's Ark: max 3 entries with same tag+attrs since last marker
+        # (HtmlTreeBuilder.kt:824-837)
+        d = self.doc
+        count = 0
+        for fid in reversed(self.formatting):
+            if fid == MARKER:
+                break
+            if d.tag[fid] == d.tag[nid] and d.attrs[fid] == d.attrs[nid]:
+                count += 1
+                if count == 3:
+                    self.formatting.remove(fid)
+                    break
+        self.formatting.append(nid)
+
+    def clear_formatting_to_marker(self) -> None:
+        while self.formatting:
+            if self.formatting.pop() == MARKER:
+                break
+
+    def remove_formatting(self, nid: int) -> None:
+        try:
+            self.formatting.remove(nid)
+        except ValueError:
+            pass
+
+    def last_formatting(self, name: str) -> int:
+        d = self.doc
+        for fid in reversed(self.formatting):
+            if fid == MARKER:
+                break
+            if d.tag[fid] == name:
+                return fid
+        return -1
+
+    def reconstruct_formatting(self) -> None:
+        # HtmlTreeBuilder.kt:839-881
+        if not self.formatting:
+            return
+        last = self.formatting[-1]
+        if last == MARKER or last in self.stack:
+            return
+        i = len(self.formatting) - 1
+        entry = last
+        while True:
+            if i == 0:
+                break
+            i -= 1
+            entry = self.formatting[i]
+            if entry == MARKER or entry in self.stack:
+                i += 1
+                entry = self.formatting[i]
+                break
+        d = self.doc
+        while i < len(self.formatting):
+            entry = self.formatting[i]
+            new_el = self.insert_element(d.tag[entry],
+                                         dict(d.attrs[entry] or {}))
+            self.formatting[i] = new_el
+            i += 1
+
+    # -- main dispatch -------------------------------------------------------
+
+    def process(self, tok) -> None:
+        # foreign-content dispatch (simplified adjusted-current-node rules)
+        if self.stack and self.doc.ns[self.current()] != dom.NS_HTML:
+            if self._process_foreign(tok):
+                return
+        self._dispatch(tok, self.mode)
+
+    def _dispatch(self, tok, mode: int) -> None:
+        handler = _MODE_HANDLERS[mode]
+        handler(self, tok)
+
+    def reprocess(self, tok, mode: int) -> None:
+        self.mode = mode
+        self._dispatch(tok, mode)
+
+    # -- foreign content (SVG / MathML), simplified --------------------------
+
+    def _integration_point(self, nid: int) -> bool:
+        d = self.doc
+        t = d.tag[nid]
+        if d.ns[nid] == dom.NS_SVG and t in ("foreignObject", "desc", "title"):
+            return True
+        if d.ns[nid] == dom.NS_MATHML:
+            if t in ("mi", "mo", "mn", "ms", "mtext"):
+                return True
+            if t == "annotation-xml":
+                enc = (d.get_attr(nid, "encoding") or "").lower()
+                return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _process_foreign(self, tok) -> bool:
+        """Returns True if handled here; False to fall through to HTML modes."""
+        d = self.doc
+        cur = self.current()
+        if self._integration_point(cur):
+            return False
+        kind = tok[0]
+        if kind == "text":
+            self.insert_char(tok[1], kind=dom.TEXT)
+            if tok[1].strip(_WS):
+                self.frameset_ok = False
+            return True
+        if kind == "comment":
+            self.insert_comment(tok[1])
+            return True
+        if kind == "cdata":
+            nid = d.new_node(dom.CDATA, text=tok[1])
+            self._attach(nid)
+            return True
+        if kind == "start":
+            name = tok[1].lower()
+            attrs_l = tok[2]
+            is_font_breakout = name == "font" and any(
+                k.lower() in ("color", "face", "size") for k, _ in attrs_l
+            )
+            if name in _FOREIGN_BREAKOUT or is_font_breakout:
+                self.error()
+                while self.stack and d.ns[self.current()] != dom.NS_HTML \
+                        and not self._integration_point(self.current()):
+                    self.stack.pop()
+                self.process(tok)
+                return True
+            ns = d.ns[cur]
+            if ns == dom.NS_SVG:
+                name = _SVG_TAG_ADJUST.get(name, name)
+            attrs = self.norm_attrs(attrs_l, lower=False)
+            nid = d.new_node(dom.ELEMENT, name, attrs, ns=ns)
+            self._attach(nid)
+            if not tok[3] and name not in VOID_TAGS:
+                self.stack.append(nid)
+            return True
+        if kind == "end":
+            name = tok[1].lower()
+            for i in range(len(self.stack) - 1, -1, -1):
+                nid = self.stack[i]
+                if d.ns[nid] == dom.NS_HTML:
+                    return False  # process via HTML rules
+                if (d.tag[nid] or "").lower() == name:
+                    del self.stack[i:]
+                    return True
+            return True
+        return False  # doctype/eof -> normal handling
+
+    # ======================================================================
+    # mode handlers
+    # ======================================================================
+
+    def _initial(self, tok) -> None:
+        k = tok[0]
+        if k == "text" and not tok[1].strip(_WS):
+            return
+        if k == "comment":
+            self.insert_comment(tok[1], parent=0)
+            return
+        if k == "doctype":
+            name, pub, sysid, force = tok[1], tok[2], tok[3], tok[4]
+            d = self.doc
+            nid = d.new_node(dom.DOCTYPE, text=name or "")
+            d.attrs[nid] = {"name": name or "", "publicid": pub or "",
+                            "systemid": sysid or ""}
+            d.append_child(0, nid)
+            d.quirks = _quirks_mode(name, pub, sysid, force)
+            self.mode = BEFORE_HTML
+            return
+        self.doc.quirks = 1  # no doctype
+        self.reprocess(tok, BEFORE_HTML)
+
+    def _before_html(self, tok) -> None:
+        k = tok[0]
+        if k == "doctype":
+            self.error()
+            return
+        if k == "comment":
+            self.insert_comment(tok[1], parent=0)
+            return
+        if k == "text" and not tok[1].strip(_WS):
+            return
+        if k == "start" and tok[1].lower() == "html":
+            nid = self.doc.new_node(dom.ELEMENT, "html",
+                                    self.norm_attrs(tok[2]))
+            self.doc.append_child(0, nid)
+            self.stack.append(nid)
+            self.mode = BEFORE_HEAD
+            return
+        if k == "end" and tok[1].lower() not in ("head", "body", "html", "br"):
+            self.error()
+            return
+        nid = self.doc.new_node(dom.ELEMENT, "html", {})
+        self.doc.append_child(0, nid)
+        self.stack.append(nid)
+        self.reprocess(tok, BEFORE_HEAD)
+
+    def _before_head(self, tok) -> None:
+        k = tok[0]
+        if k == "text" and not tok[1].strip(_WS):
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "head":
+                self.head_id = self.insert_element("head", self.norm_attrs(tok[2]))
+                self.mode = IN_HEAD
+                return
+        if k == "end" and tok[1].lower() not in ("head", "body", "html", "br"):
+            self.error()
+            return
+        self.head_id = self.insert_element("head", {})
+        self.reprocess(tok, IN_HEAD)
+
+    def _in_head(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            t = tok[1]
+            lead = _leading_ws(t)
+            if lead:
+                self.insert_char(lead)
+            rest = t[len(lead):]
+            if not rest:
+                return
+            tok = ("text", rest)
+            k = "text"
+            # fall through to anything-else with the non-ws remainder
+            self._in_head_anything_else(tok)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "cdata":
+            self.insert_char(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            attrs = self.norm_attrs(tok[2])
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name in ("base", "basefont", "bgsound", "command", "link", "meta"):
+                self.insert_empty(name, attrs)
+                return
+            if name == "title":
+                self._rcdata(name, attrs)
+                return
+            if name in ("noframes", "style"):
+                self._rawtext(name, attrs)
+                return
+            if name == "noscript":
+                self.insert_element(name, attrs)
+                self.mode = IN_HEAD_NOSCRIPT
+                return
+            if name == "script":
+                self.insert_element(name, attrs)
+                self.tok.state = TOK_SCRIPT
+                self.tok.rawtext_tag = "script"
+                self.original_mode = self.mode
+                self.mode = TEXT
+                return
+            if name == "template":
+                self.insert_element(name, attrs)
+                self.formatting.append(MARKER)
+                self.frameset_ok = False
+                self.mode = IN_TEMPLATE
+                self.template_modes.append(IN_TEMPLATE)
+                return
+            if name == "head":
+                self.error()
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "head":
+                self.pop()
+                self.mode = AFTER_HEAD
+                return
+            if name == "template":
+                if not self.on_stack("template"):
+                    self.error()
+                    return
+                self.generate_implied_end(thorough=True)
+                self.pop_until("template")
+                self.clear_formatting_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
+                self.reset_insertion_mode()
+                return
+            if name not in ("body", "html", "br"):
+                self.error()
+                return
+        self._in_head_anything_else(tok)
+
+    def _in_head_anything_else(self, tok) -> None:
+        if self.current_tag() == "head":
+            self.pop()
+        self.reprocess(tok, AFTER_HEAD)
+
+    def _in_head_noscript(self, tok) -> None:
+        # reference deviation (HtmlTreeBuilderState.kt:256-266): content
+        # inside <head><noscript> parses as markup rather than raw text
+        k = tok[0]
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start" and tok[1].lower() == "html":
+            self._in_body(tok)
+            return
+        if k == "end" and tok[1].lower() == "noscript":
+            self.pop()
+            self.mode = IN_HEAD
+            return
+        if (k == "text" and not tok[1].strip(_WS)) or k == "comment" or (
+            k == "start"
+            and tok[1].lower() in ("basefont", "bgsound", "link", "meta",
+                                   "noframes", "style")
+        ):
+            self._in_head(tok)
+            return
+        if k == "start" and tok[1].lower() in ("head", "noscript"):
+            self.error()
+            return
+        if k == "end" and tok[1].lower() != "br":
+            self.error()
+            return
+        # anything else: pop noscript, reprocess in head
+        self.error()
+        if self.current_tag() == "noscript":
+            self.pop()
+        self.mode = IN_HEAD
+        self.process(tok)
+
+    def _after_head(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            lead = _leading_ws(tok[1])
+            if lead:
+                self.insert_char(lead)
+            rest = tok[1][len(lead):]
+            if not rest:
+                return
+            tok = ("text", rest)
+            self.insert_element("body", {})
+            self.frameset_ok = True
+            self.reprocess(tok, IN_BODY)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            attrs = self.norm_attrs(tok[2])
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "body":
+                self.insert_element("body", attrs)
+                self.frameset_ok = False
+                self.mode = IN_BODY
+                return
+            if name == "frameset":
+                self.insert_element("frameset", attrs)
+                self.mode = IN_FRAMESET
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta",
+                        "noframes", "script", "style", "template", "title"):
+                self.error()
+                if self.head_id != -1:
+                    self.stack.append(self.head_id)
+                self._in_head(tok)
+                if self.head_id in self.stack:
+                    self.remove_from_stack(self.head_id)
+                return
+            if name == "head":
+                self.error()
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "template":
+                self._in_head(tok)
+                return
+            if name not in ("body", "html", "br"):
+                self.error()
+                return
+        self.insert_element("body", {})
+        self.frameset_ok = True
+        self.reprocess(tok, IN_BODY)
+
+    # -- IN_BODY ----------------------------------------------------------------
+
+    def _in_body(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            self._in_body_text(tok[1])
+            return
+        if k == "cdata":
+            nid = self.doc.new_node(dom.CDATA, text=tok[1])
+            self._attach(nid)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            self._in_body_start(tok)
+            return
+        if k == "end":
+            self._in_body_end(tok)
+            return
+        if k == "eof":
+            if self.template_modes:
+                self._in_template(tok)
+            return
+
+    def _in_body_text(self, text: str) -> None:
+        if self.skip_next_lf:
+            self.skip_next_lf = False
+            if text.startswith("\n"):
+                text = text[1:]
+            if not text:
+                return
+        self.reconstruct_formatting()
+        self.insert_char(text)
+        if text.strip(_WS):
+            self.frameset_ok = False
+
+    def _in_body_start(self, tok) -> None:
+        name = tok[1].lower()
+        attrs = self.norm_attrs(tok[2])
+        selfclosing = tok[3]
+        d = self.doc
+
+        if name == "a":
+            if self.last_formatting("a") != -1:
+                self.error()
+                self._adoption_agency("a")
+                a_el = self.last_formatting("a")
+                if a_el != -1:
+                    self.remove_formatting(a_el)
+                    self.remove_from_stack(a_el)
+            self.reconstruct_formatting()
+            el = self.insert_element(name, attrs)
+            self.push_formatting(el)
+            return
+        if name in FORMATTING_TAGS:
+            if name == "nobr" and self.in_scope("nobr"):
+                self.error()
+                self._adoption_agency("nobr")
+                self.reconstruct_formatting()
+            else:
+                self.reconstruct_formatting()
+            el = self.insert_element(name, attrs)
+            self.push_formatting(el)
+            return
+        if name in _P_CLOSERS and name not in ("pre", "listing", "xmp"):
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            return
+        if name in HEADINGS:
+            if self.in_button_scope("p"):
+                self.close_p()
+            if self.current_tag() in HEADINGS:
+                self.error()
+                self.pop()
+            self.insert_element(name, attrs)
+            return
+        if name in ("pre", "listing"):
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            self.skip_next_lf = True
+            self.frameset_ok = False
+            return
+        if name == "form":
+            if self.form_id != -1 and not self.on_stack("template"):
+                self.error()
+                return
+            if self.in_button_scope("p"):
+                self.close_p()
+            el = self.insert_element(name, attrs)
+            if not self.on_stack("template"):
+                pass
+            self.form_id = el
+            return
+        if name == "li":
+            self.frameset_ok = False
+            for i in range(len(self.stack) - 1, -1, -1):
+                if len(self.stack) - 1 - i > MAX_QUEUE_DEPTH:
+                    break
+                t = d.tag[self.stack[i]]
+                if t == "li":
+                    self._close_element("li")
+                    break
+                if t in SPECIAL_TAGS and t not in ("address", "div", "p"):
+                    break
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            return
+        if name in ("dd", "dt"):
+            self.frameset_ok = False
+            for i in range(len(self.stack) - 1, -1, -1):
+                if len(self.stack) - 1 - i > 24:  # dd/dt scan cap
+                    break
+                t = d.tag[self.stack[i]]
+                if t in ("dd", "dt"):
+                    self._close_element(t)
+                    break
+                if t in SPECIAL_TAGS and t not in ("address", "div", "p"):
+                    break
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            return
+        if name == "plaintext":
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            self.tok.state = TOK_PLAINTEXT
+            return
+        if name == "button":
+            if self.in_scope("button"):
+                self.error()
+                self._close_element("button")
+                self.process(tok)
+                return
+            self.reconstruct_formatting()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            return
+        if name in ("applet", "marquee", "object"):
+            self.reconstruct_formatting()
+            self.insert_element(name, attrs)
+            self.formatting.append(MARKER)
+            self.frameset_ok = False
+            return
+        if name == "table":
+            if self.doc.quirks != 1 and self.in_button_scope("p"):
+                self.close_p()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            self.mode = IN_TABLE
+            return
+        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+            self.reconstruct_formatting()
+            self.insert_empty(name, attrs)
+            self.frameset_ok = False
+            return
+        if name == "input":
+            self.reconstruct_formatting()
+            self.insert_empty(name, attrs)
+            if (attrs.get("type") or "").lower() != "hidden":
+                self.frameset_ok = False
+            return
+        if name in ("param", "source", "track"):
+            self.insert_empty(name, attrs)
+            return
+        if name == "hr":
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_empty(name, attrs)
+            self.frameset_ok = False
+            return
+        if name == "image":
+            # image -> img rename (HtmlTreeBuilderState.kt:556-561)
+            self.error()
+            self._in_body_start(("start", "img", tok[2], tok[3]))
+            return
+        if name == "textarea":
+            self.insert_element(name, attrs)
+            if not selfclosing:
+                self.tok.state = TOK_RCDATA
+                self.tok.rawtext_tag = "textarea"
+                self.skip_next_lf = True
+                self.original_mode = self.mode
+                self.frameset_ok = False
+                self.mode = TEXT
+            return
+        if name == "xmp":
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.reconstruct_formatting()
+            self.frameset_ok = False
+            self._rawtext(name, attrs)
+            return
+        if name == "iframe":
+            self.frameset_ok = False
+            self._rawtext(name, attrs)
+            return
+        if name in ("noembed", "noframes"):
+            self._rawtext(name, attrs)
+            return
+        if name == "select":
+            self.reconstruct_formatting()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            if not selfclosing:
+                if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW,
+                                 IN_CELL):
+                    self.mode = IN_SELECT_IN_TABLE
+                else:
+                    self.mode = IN_SELECT
+            return
+        if name in ("optgroup", "option"):
+            if self.current_tag() == "option":
+                self.pop()
+            self.reconstruct_formatting()
+            self.insert_element(name, attrs)
+            return
+        if name in ("rp", "rt"):
+            if self.in_scope("ruby"):
+                self.generate_implied_end()
+                if self.current_tag() != "ruby":
+                    self.error()
+            self.insert_element(name, attrs)
+            return
+        if name == "math":
+            self.reconstruct_formatting()
+            nid = d.new_node(dom.ELEMENT, name, self.norm_attrs(tok[2], lower=False),
+                             ns=dom.NS_MATHML)
+            self._attach(nid)
+            if not selfclosing:
+                self.stack.append(nid)
+            return
+        if name == "svg":
+            self.reconstruct_formatting()
+            nid = d.new_node(dom.ELEMENT, name, self.norm_attrs(tok[2], lower=False),
+                             ns=dom.NS_SVG)
+            self._attach(nid)
+            if not selfclosing:
+                self.stack.append(nid)
+            return
+        if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
+                    "td", "tfoot", "th", "thead", "tr"):
+            self.error()
+            return
+        if name == "html":
+            self.error()
+            if self.on_stack("template"):
+                return
+            root = self.doc.html_el()
+            if root != -1:
+                a = d.attrs[root] or {}
+                for kk, vv in attrs.items():
+                    if kk not in a:
+                        a[kk] = vv
+                d.attrs[root] = a
+            return
+        if name == "body":
+            self.error()
+            b = d.body()
+            if b == -1 or d.tag[b] != "body":
+                return
+            self.frameset_ok = False
+            a = d.attrs[b] or {}
+            for kk, vv in attrs.items():
+                if kk not in a:
+                    a[kk] = vv
+            d.attrs[b] = a
+            return
+        if name == "frameset":
+            self.error()
+            b = d.body()
+            if b == -1 or not self.frameset_ok or d.tag[b] != "body":
+                return
+            # replace body with frameset
+            d.detach(b)
+            while len(self.stack) > 1:
+                self.stack.pop()
+            self.insert_element("frameset", attrs)
+            self.mode = IN_FRAMESET
+            return
+        if name in ("base", "basefont", "bgsound", "command", "link", "meta",
+                    "noscript", "script", "style", "title", "template"):
+            self._in_head(tok)
+            return
+        # any other start tag
+        self.reconstruct_formatting()
+        self.insert_element(name, attrs)
+
+    def _close_element(self, name: str) -> None:
+        self.generate_implied_end(name)
+        if self.current_tag() != name:
+            self.error()
+        self.pop_until(name)
+
+    def _in_body_end(self, tok) -> None:
+        name = tok[1].lower()
+        d = self.doc
+        if name in FORMATTING_TAGS:
+            self._adoption_agency(name)
+            return
+        if name == "body":
+            if not self.in_scope("body"):
+                self.error()
+                return
+            self.mode = AFTER_BODY
+            return
+        if name == "html":
+            if not self.in_scope("body"):
+                self.error()
+                return
+            self.mode = AFTER_BODY
+            self.process(tok)
+            return
+        if name in _P_CLOSERS and name != "p" or name in (
+                "button", "listing", "pre", "fieldset", "form"):
+            if name == "form" and not self.on_stack("template"):
+                form = self.form_id
+                self.form_id = -1
+                if form == -1 or not self.in_scope("form"):
+                    self.error()
+                    return
+                self.generate_implied_end()
+                if self.current_tag() != "form":
+                    self.error()
+                self.remove_from_stack(form)
+                return
+            if not self.in_scope(name):
+                self.error()
+                return
+            self.generate_implied_end()
+            if self.current_tag() != name:
+                self.error()
+            self.pop_until(name)
+            return
+        if name == "p":
+            if not self.in_button_scope("p"):
+                self.error()
+                self._in_body_start(("start", "p", [], False))
+                self.process(tok)
+                return
+            self.close_p()
+            return
+        if name == "li":
+            if not self.in_list_scope("li"):
+                self.error()
+                return
+            self._close_element("li")
+            return
+        if name in ("dd", "dt"):
+            if not self.in_scope(name):
+                self.error()
+                return
+            self._close_element(name)
+            return
+        if name in HEADINGS:
+            if not self.in_scope(HEADINGS):
+                self.error()
+                return
+            self.generate_implied_end(name)
+            if self.current_tag() != name:
+                self.error()
+            while self.stack:
+                nid = self.stack.pop()
+                if d.tag[nid] in HEADINGS:
+                    break
+            return
+        if name in ("applet", "marquee", "object"):
+            if not self.in_scope(name):
+                self.error()
+                return
+            self.generate_implied_end()
+            if self.current_tag() != name:
+                self.error()
+            self.pop_until(name)
+            self.clear_formatting_to_marker()
+            return
+        if name == "br":
+            self.error()
+            self._in_body_start(("start", "br", [], False))
+            return
+        if name == "template":
+            self._in_head(tok)
+            return
+        # any other end tag (HtmlTreeBuilderState.kt:913-942)
+        for i in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[i]
+            t = d.tag[nid]
+            if t == name and d.ns[nid] == dom.NS_HTML:
+                self.generate_implied_end(name)
+                if self.current_tag() != name:
+                    self.error()
+                while self.stack:
+                    if self.stack.pop() == nid:
+                        break
+                return
+            if t in SPECIAL_TAGS:
+                self.error()
+                return
+
+    # -- adoption agency (HtmlTreeBuilderState.kt:944-1041) --------------------
+
+    def _adoption_agency(self, name: str) -> None:
+        d = self.doc
+        # fast path: current element matches and not in formatting list
+        cur = self.current() if self.stack else -1
+        if cur != -1 and d.tag[cur] == name and cur not in self.formatting:
+            self.generate_implied_end(name)
+            self.pop_until(name)
+            return
+        for _ in range(8):  # outer loop cap
+            fmt_el = self.last_formatting(name)
+            if fmt_el == -1:
+                self._any_other_end_tag(name)
+                return
+            if fmt_el not in self.stack:
+                self.error()
+                self.remove_formatting(fmt_el)
+                return
+            if not self.in_scope(name):
+                self.error()
+                return
+            if fmt_el != self.current():
+                self.error()
+            stack_idx = self.stack.index(fmt_el)
+            furthest = -1
+            f_idx = -1
+            for i in range(stack_idx + 1, min(len(self.stack),
+                                              stack_idx + 1 + MAX_ADOPTION_STACK_SCAN)):
+                if d.tag[self.stack[i]] in SPECIAL_TAGS:
+                    furthest = self.stack[i]
+                    f_idx = i
+                    break
+            if furthest == -1:
+                # no furthest block: pop up to & including fmt element
+                del self.stack[stack_idx:]
+                self.remove_formatting(fmt_el)
+                return
+            common_ancestor = self.stack[stack_idx - 1]
+            bookmark = self.formatting.index(fmt_el)
+            node = furthest
+            node_idx = f_idx
+            last_node = furthest
+            for _inner in range(3):  # inner loop cap
+                node_idx -= 1
+                node = self.stack[node_idx]
+                if node == fmt_el:
+                    break
+                if node not in self.formatting:
+                    self.remove_from_stack(node)
+                    node_idx_stack = node_idx
+                    node_idx = node_idx_stack  # removed; index now points at next
+                    continue
+                # clone node
+                clone = d.new_node(dom.ELEMENT, d.tag[node],
+                                   dict(d.attrs[node] or {}))
+                fpos = self.formatting.index(node)
+                self.formatting[fpos] = clone
+                spos = self.stack.index(node)
+                self.stack[spos] = clone
+                node = clone
+                node_idx = spos
+                if last_node == furthest:
+                    bookmark = fpos + 1
+                d.detach(last_node)
+                d.append_child(node, last_node)
+                last_node = node
+            # place last_node in common ancestor (foster if table context)
+            if d.tag[common_ancestor] in ("table", "tbody", "tfoot", "thead", "tr"):
+                d.detach(last_node)
+                self._foster_insert(last_node)
+            else:
+                d.detach(last_node)
+                d.append_child(common_ancestor, last_node)
+            # new element clone of fmt, take children of furthest
+            clone = d.new_node(dom.ELEMENT, name, dict(d.attrs[fmt_el] or {}))
+            for c in list(d.children[furthest]):
+                d.detach(c)
+                d.append_child(clone, c)
+            d.append_child(furthest, clone)
+            self.remove_formatting(fmt_el)
+            if clone not in self.formatting:
+                bookmark = min(bookmark, len(self.formatting))
+                self.formatting.insert(bookmark, clone)
+            self.remove_from_stack(fmt_el)
+            f_idx = self.stack.index(furthest)
+            self.stack.insert(f_idx + 1, clone)
+
+    def _any_other_end_tag(self, name: str) -> None:
+        self._in_body_end(("end", name))
+
+    def _foster_insert(self, nid: int) -> None:
+        d = self.doc
+        for sid in reversed(self.stack):
+            if d.tag[sid] == "table":
+                p = d.parent[sid]
+                if p != -1:
+                    d.insert_before(sid, nid)
+                else:
+                    idx = self.stack.index(sid)
+                    d.append_child(self.stack[idx - 1], nid)
+                return
+        d.append_child(self.stack[0], nid)
+
+    # -- TEXT mode ---------------------------------------------------------------
+
+    def _text(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            cur = self.current_tag()
+            kind = dom.DATA if cur in ("script", "style", "iframe", "noembed",
+                                       "noframes", "xmp") else dom.TEXT
+            if self.skip_next_lf:
+                self.skip_next_lf = False
+                t = tok[1]
+                if t.startswith("\n"):
+                    t = t[1:]
+                if t:
+                    self.insert_char(t, kind=kind)
+                return
+            self.insert_char(tok[1], kind=kind)
+            return
+        if k == "end":
+            self.pop()
+            self.mode = self.original_mode
+            return
+        if k == "eof":
+            self.error()
+            self.pop()
+            self.mode = self.original_mode
+            self.process(tok)
+            return
+
+    def _rcdata(self, name: str, attrs: dict) -> None:
+        self.insert_element(name, attrs)
+        self.tok.state = TOK_RCDATA
+        self.tok.rawtext_tag = name
+        self.original_mode = self.mode
+        self.mode = TEXT
+
+    def _rawtext(self, name: str, attrs: dict) -> None:
+        self.insert_element(name, attrs)
+        self.tok.state = TOK_RAWTEXT
+        self.tok.rawtext_tag = name
+        self.original_mode = self.mode
+        self.mode = TEXT
+
+    # -- tables -------------------------------------------------------------------
+
+    def _in_table(self, tok) -> None:
+        k = tok[0]
+        d = self.doc
+        if k == "text" and d.tag[self.current()] in (
+                "table", "tbody", "tfoot", "thead", "tr"):
+            self.pending_table_text = []
+            self.original_mode = self.mode
+            self.mode = IN_TABLE_TEXT
+            self._in_table_text(tok)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            attrs = self.norm_attrs(tok[2])
+            if name == "caption":
+                self._clear_stack_to_table()
+                self.formatting.append(MARKER)
+                self.insert_element(name, attrs)
+                self.mode = IN_CAPTION
+                return
+            if name == "colgroup":
+                self._clear_stack_to_table()
+                self.insert_element(name, attrs)
+                self.mode = IN_COLUMN_GROUP
+                return
+            if name == "col":
+                self._clear_stack_to_table()
+                self.insert_element("colgroup", {})
+                self.reprocess(tok, IN_COLUMN_GROUP)
+                return
+            if name in ("tbody", "tfoot", "thead"):
+                self._clear_stack_to_table()
+                self.insert_element(name, attrs)
+                self.mode = IN_TABLE_BODY
+                return
+            if name in ("td", "th", "tr"):
+                self._clear_stack_to_table()
+                self.insert_element("tbody", {})
+                self.reprocess(tok, IN_TABLE_BODY)
+                return
+            if name == "table":
+                self.error()
+                if self.in_table_scope("table"):
+                    self.pop_until("table")
+                    self.reset_insertion_mode()
+                    self.process(tok)
+                return
+            if name in ("style", "script", "template"):
+                self._in_head(tok)
+                return
+            if name == "input":
+                if (attrs.get("type") or "").lower() == "hidden":
+                    self.error()
+                    self.insert_empty(name, attrs)
+                    return
+            if name == "form":
+                self.error()
+                if self.form_id == -1 and not self.on_stack("template"):
+                    self.form_id = self.insert_empty(name, attrs)
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "table":
+                if not self.in_table_scope("table"):
+                    self.error()
+                    return
+                self.pop_until("table")
+                self.reset_insertion_mode()
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "tbody",
+                        "td", "tfoot", "th", "thead", "tr"):
+                self.error()
+                return
+            if name == "template":
+                self._in_head(tok)
+                return
+        if k == "eof":
+            return
+        # anything else: foster-parented InBody processing
+        self.error()
+        self.foster_inserts = True
+        self._in_body(tok)
+        self.foster_inserts = False
+
+    def _in_table_text(self, tok) -> None:
+        if tok[0] == "text":
+            self.pending_table_text.append(tok[1])
+            return
+        text = "".join(self.pending_table_text)
+        self.pending_table_text = []
+        if text:
+            if text.strip(_WS):
+                # non-ws: foster parent via InBody
+                self.error()
+                self.foster_inserts = True
+                self.reconstruct_formatting()
+                self.insert_char(text, kind=dom.TEXT)
+                self.foster_inserts = False
+                self.frameset_ok = False
+            else:
+                self.insert_char(text, kind=dom.TEXT)
+        self.mode = self.original_mode
+        self.process(tok)
+
+    def _clear_stack_to_table(self) -> None:
+        self.pop_until_before("table", "template", "html")
+
+    def _clear_stack_to_table_body(self) -> None:
+        self.pop_until_before("tbody", "tfoot", "thead", "template", "html")
+
+    def _clear_stack_to_table_row(self) -> None:
+        self.pop_until_before("tr", "template", "html")
+
+    def _in_caption(self, tok) -> None:
+        k = tok[0]
+        if k == "end" and tok[1].lower() == "caption":
+            if not self.in_table_scope("caption"):
+                self.error()
+                return
+            self.generate_implied_end()
+            if self.current_tag() != "caption":
+                self.error()
+            self.pop_until("caption")
+            self.clear_formatting_to_marker()
+            self.mode = IN_TABLE
+            return
+        if (k == "start" and tok[1].lower() in (
+                "caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
+                "thead", "tr")) or (k == "end" and tok[1].lower() == "table"):
+            if not self.in_table_scope("caption"):
+                self.error()
+                return
+            self.generate_implied_end()
+            self.pop_until("caption")
+            self.clear_formatting_to_marker()
+            self.reprocess(tok, IN_TABLE) if False else None
+            self.mode = IN_TABLE
+            self.process(tok)
+            return
+        if k == "end" and tok[1].lower() in (
+                "body", "col", "colgroup", "html", "tbody", "td", "tfoot",
+                "th", "thead", "tr"):
+            self.error()
+            return
+        self._in_body(tok)
+
+    def _in_column_group(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            lead = _leading_ws(tok[1])
+            if lead:
+                self.insert_char(lead)
+            rest = tok[1][len(lead):]
+            if not rest:
+                return
+            tok = ("text", rest)
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "col":
+                self.insert_empty("col", self.norm_attrs(tok[2]))
+                return
+            if name == "template":
+                self._in_head(tok)
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "colgroup":
+                if self.current_tag() != "colgroup":
+                    self.error()
+                    return
+                self.pop()
+                self.mode = IN_TABLE
+                return
+            if name == "col":
+                self.error()
+                return
+            if name == "template":
+                self._in_head(tok)
+                return
+        if k == "eof":
+            return
+        if self.current_tag() != "colgroup":
+            self.error()
+            return
+        self.pop()
+        self.reprocess(tok, IN_TABLE)
+
+    def _in_table_body(self, tok) -> None:
+        k = tok[0]
+        if k == "start":
+            name = tok[1].lower()
+            if name == "tr":
+                self._clear_stack_to_table_body()
+                self.insert_element(name, self.norm_attrs(tok[2]))
+                self.mode = IN_ROW
+                return
+            if name in ("th", "td"):
+                self.error()
+                self._clear_stack_to_table_body()
+                self.insert_element("tr", {})
+                self.reprocess(tok, IN_ROW)
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+                self._table_body_exit(tok)
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name in ("tbody", "tfoot", "thead"):
+                if not self.in_table_scope(name):
+                    self.error()
+                    return
+                self._clear_stack_to_table_body()
+                self.pop()
+                self.mode = IN_TABLE
+                return
+            if name == "table":
+                self._table_body_exit(tok)
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "td",
+                        "th", "tr"):
+                self.error()
+                return
+        self._in_table(tok)
+
+    def _table_body_exit(self, tok) -> None:
+        if not (self.in_table_scope("tbody") or self.in_table_scope("thead")
+                or self.in_table_scope("tfoot")):
+            self.error()
+            return
+        self._clear_stack_to_table_body()
+        self.pop()
+        self.reprocess(tok, IN_TABLE)
+
+    def _in_row(self, tok) -> None:
+        k = tok[0]
+        if k == "start":
+            name = tok[1].lower()
+            if name in ("th", "td"):
+                self._clear_stack_to_table_row()
+                self.insert_element(name, self.norm_attrs(tok[2]))
+                self.mode = IN_CELL
+                self.formatting.append(MARKER)
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead", "tr"):
+                self._row_exit(tok)
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "tr":
+                if not self.in_table_scope("tr"):
+                    self.error()
+                    return
+                self._clear_stack_to_table_row()
+                self.pop()
+                self.mode = IN_TABLE_BODY
+                return
+            if name == "table":
+                self._row_exit(tok)
+                return
+            if name in ("tbody", "tfoot", "thead"):
+                if not self.in_table_scope(name):
+                    self.error()
+                    return
+                self._row_exit(tok)
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "td", "th"):
+                self.error()
+                return
+        self._in_table(tok)
+
+    def _row_exit(self, tok) -> None:
+        if not self.in_table_scope("tr"):
+            self.error()
+            return
+        self._clear_stack_to_table_row()
+        self.pop()
+        self.reprocess(tok, IN_TABLE_BODY)
+
+    def _in_cell(self, tok) -> None:
+        k = tok[0]
+        if k == "end":
+            name = tok[1].lower()
+            if name in ("td", "th"):
+                if not self.in_table_scope(name):
+                    self.error()
+                    return
+                self.generate_implied_end()
+                if self.current_tag() != name:
+                    self.error()
+                self.pop_until(name)
+                self.clear_formatting_to_marker()
+                self.mode = IN_ROW
+                return
+            if name in ("body", "caption", "col", "colgroup", "html"):
+                self.error()
+                return
+            if name in ("table", "tbody", "tfoot", "thead", "tr"):
+                if not self.in_table_scope(name):
+                    self.error()
+                    return
+                self._close_cell()
+                self.process(tok)
+                return
+        if k == "start" and tok[1].lower() in (
+                "caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
+                "thead", "tr"):
+            if not (self.in_table_scope("td") or self.in_table_scope("th")):
+                self.error()
+                return
+            self._close_cell()
+            self.process(tok)
+            return
+        self._in_body(tok)
+
+    def _close_cell(self) -> None:
+        name = "td" if self.in_table_scope("td") else "th"
+        self.generate_implied_end()
+        if self.current_tag() != name:
+            self.error()
+        self.pop_until(name)
+        self.clear_formatting_to_marker()
+        self.mode = IN_ROW
+
+    # -- select ----------------------------------------------------------------
+
+    def _in_select(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            self.insert_char(tok[1])
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            attrs = self.norm_attrs(tok[2])
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "option":
+                if self.current_tag() == "option":
+                    self.pop()
+                self.insert_element(name, attrs)
+                return
+            if name == "optgroup":
+                if self.current_tag() == "option":
+                    self.pop()
+                if self.current_tag() == "optgroup":
+                    self.pop()
+                self.insert_element(name, attrs)
+                return
+            if name == "select":
+                self.error()
+                self._end_select()
+                return
+            if name in ("input", "keygen", "textarea"):
+                self.error()
+                if not self.in_select_scope("select"):
+                    return
+                self._end_select()
+                self.process(tok)
+                return
+            if name in ("script", "template"):
+                self._in_head(tok)
+                return
+        if k == "end":
+            name = tok[1].lower()
+            if name == "option":
+                if self.current_tag() == "option":
+                    self.pop()
+                else:
+                    self.error()
+                return
+            if name == "optgroup":
+                if self.current_tag() == "option" and len(self.stack) >= 2 and \
+                        self.doc.tag[self.stack[-2]] == "optgroup":
+                    self.pop()
+                if self.current_tag() == "optgroup":
+                    self.pop()
+                else:
+                    self.error()
+                return
+            if name == "select":
+                if not self.in_select_scope("select"):
+                    self.error()
+                    return
+                self._end_select()
+                return
+            if name == "template":
+                self._in_head(tok)
+                return
+        if k == "eof":
+            return
+        self.error()
+
+    def _end_select(self) -> None:
+        self.pop_until("select")
+        self.reset_insertion_mode()
+
+    def _in_select_in_table(self, tok) -> None:
+        k = tok[0]
+        if k in ("start", "end") and tok[1].lower() in (
+                "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"):
+            self.error()
+            if k == "end" and not self.in_table_scope(tok[1].lower()):
+                return
+            self._end_select()
+            self.process(tok)
+            return
+        self._in_select(tok)
+
+    # -- template (reduced) -------------------------------------------------------
+
+    def _in_template(self, tok) -> None:
+        k = tok[0]
+        if k in ("text", "comment", "doctype", "cdata"):
+            self._in_body(tok)
+            return
+        if k == "start":
+            name = tok[1].lower()
+            if name in ("base", "basefont", "bgsound", "link", "meta",
+                        "noframes", "script", "style", "template", "title"):
+                self._in_head(tok)
+                return
+            if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+                self._template_switch(tok, IN_TABLE)
+                return
+            if name == "col":
+                self._template_switch(tok, IN_COLUMN_GROUP)
+                return
+            if name == "tr":
+                self._template_switch(tok, IN_TABLE_BODY)
+                return
+            if name in ("td", "th"):
+                self._template_switch(tok, IN_ROW)
+                return
+            self._template_switch(tok, IN_BODY)
+            return
+        if k == "end":
+            if tok[1].lower() == "template":
+                self._in_head(tok)
+                return
+            self.error()
+            return
+        if k == "eof":
+            if not self.on_stack("template"):
+                return
+            self.error()
+            self.pop_until("template")
+            self.clear_formatting_to_marker()
+            if self.template_modes:
+                self.template_modes.pop()
+            self.reset_insertion_mode()
+            if self.mode != IN_TEMPLATE:
+                self.process(tok)
+
+    def _template_switch(self, tok, mode: int) -> None:
+        if self.template_modes:
+            self.template_modes.pop()
+        self.template_modes.append(mode)
+        self.reprocess(tok, mode)
+
+    # -- after body / frameset ------------------------------------------------------
+
+    def _after_body(self, tok) -> None:
+        k = tok[0]
+        if k == "text" and not tok[1].strip(_WS):
+            self._in_body(tok)
+            return
+        if k == "comment":
+            # comment after body: attach to <html>
+            root = self.doc.html_el()
+            self.insert_comment(tok[1], parent=root if root != -1 else 0)
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start" and tok[1].lower() == "html":
+            self._in_body(tok)
+            return
+        if k == "end" and tok[1].lower() == "html":
+            if self.fragment_context:
+                self.error()
+                return
+            self.mode = AFTER_AFTER_BODY
+            return
+        if k == "eof":
+            return
+        self.error()
+        self.reprocess(tok, IN_BODY)
+
+    def _in_frameset(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self.insert_char(ws)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            attrs = self.norm_attrs(tok[2])
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "frameset":
+                self.insert_element(name, attrs)
+                return
+            if name == "frame":
+                self.insert_empty(name, attrs)
+                return
+            if name == "noframes":
+                self._in_head(tok)
+                return
+        if k == "end" and tok[1].lower() == "frameset":
+            if self.current_tag() == "html":
+                self.error()
+                return
+            self.pop()
+            if not self.fragment_context and self.current_tag() != "frameset":
+                self.mode = AFTER_FRAMESET
+            return
+        if k == "eof":
+            if self.current_tag() != "html":
+                self.error()
+            return
+        self.error()
+
+    def _after_frameset(self, tok) -> None:
+        k = tok[0]
+        if k == "text":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self.insert_char(ws)
+            return
+        if k == "comment":
+            self.insert_comment(tok[1])
+            return
+        if k == "doctype":
+            self.error()
+            return
+        if k == "start":
+            name = tok[1].lower()
+            if name == "html":
+                self._in_body(tok)
+                return
+            if name == "noframes":
+                self._in_head(tok)
+                return
+        if k == "end" and tok[1].lower() == "html":
+            self.mode = AFTER_AFTER_FRAMESET
+            return
+        if k == "eof":
+            return
+        self.error()
+
+    def _after_after_body(self, tok) -> None:
+        k = tok[0]
+        if k == "comment":
+            self.insert_comment(tok[1], parent=0)
+            return
+        if k == "doctype" or (k == "text" and not tok[1].strip(_WS)) or (
+                k == "start" and tok[1].lower() == "html"):
+            self._in_body(tok)
+            return
+        if k == "eof":
+            return
+        self.error()
+        self.reprocess(tok, IN_BODY)
+
+    def _after_after_frameset(self, tok) -> None:
+        k = tok[0]
+        if k == "comment":
+            self.insert_comment(tok[1], parent=0)
+            return
+        if k == "doctype" or (k == "text" and not tok[1].strip(_WS)) or (
+                k == "start" and tok[1].lower() == "html"):
+            self._in_body(tok)
+            return
+        if k == "start" and tok[1].lower() == "noframes":
+            self._in_head(tok)
+            return
+        if k == "eof":
+            return
+        self.error()
+
+    # -- reset insertion mode (HtmlTreeBuilder.kt:526-618) ------------------------
+
+    def reset_insertion_mode(self) -> None:
+        d = self.doc
+        for i in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[i]
+            name = d.tag[nid] or ""
+            last = i == 0
+            if last and self.fragment_context:
+                name = self.fragment_context
+            if name == "select":
+                self.mode = IN_SELECT
+                return
+            if name in ("td", "th") and not last:
+                self.mode = IN_CELL
+                return
+            if name == "tr":
+                self.mode = IN_ROW
+                return
+            if name in ("tbody", "thead", "tfoot"):
+                self.mode = IN_TABLE_BODY
+                return
+            if name == "caption":
+                self.mode = IN_CAPTION
+                return
+            if name == "colgroup":
+                self.mode = IN_COLUMN_GROUP
+                return
+            if name == "table":
+                self.mode = IN_TABLE
+                return
+            if name == "template":
+                self.mode = self.template_modes[-1] if self.template_modes \
+                    else IN_BODY
+                return
+            if name == "head" and not last:
+                self.mode = IN_HEAD
+                return
+            if name == "body":
+                self.mode = IN_BODY
+                return
+            if name == "frameset":
+                self.mode = IN_FRAMESET
+                return
+            if name == "html":
+                self.mode = BEFORE_HEAD if self.head_id == -1 else AFTER_HEAD
+                return
+            if last:
+                self.mode = IN_BODY
+                return
+        self.mode = IN_BODY
+
+
+def _leading_ws(s: str) -> str:
+    i = 0
+    n = len(s)
+    while i < n and s[i] in _WS:
+        i += 1
+    return s[:i]
+
+
+def _quirks_mode(name, pub, sysid, force: bool) -> int:
+    if force:
+        return 1
+    if name is None or name.lower() != "html":
+        return 1
+    p = (pub or "").lower()
+    s = (sysid or "").lower()
+    quirky_pub_prefixes = (
+        "-//w3c//dtd html 4.01 frameset//", "-//w3c//dtd html 4.01 transitional//",
+    )
+    quirky_pub = (
+        "-//w3o//dtd w3 html strict 3.0//en//", "-/w3c/dtd html 4.0 transitional/en",
+        "html",
+    )
+    if p in quirky_pub or p.startswith((
+        "+//silmaril//", "-//advasoft ltd//", "-//as//", "-//ietf//dtd html",
+        "-//metrius//", "-//microsoft//", "-//netscape comm. corp.//",
+        "-//o'reilly and associates//", "-//spyglass//", "-//sq//",
+        "-//sun microsystems corp.//", "-//w3c//dtd html 3",
+        "-//w3c//dtd w3 html//", "-//w3o//dtd w3 html//",
+        "-//webtechs//",
+    )):
+        return 1
+    if sysid is None and p.startswith(quirky_pub_prefixes):
+        return 1
+    if s == "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd":
+        return 1
+    if p.startswith(("-//w3c//dtd xhtml 1.0 frameset//",
+                     "-//w3c//dtd xhtml 1.0 transitional//")):
+        return 2
+    if sysid is not None and p.startswith(quirky_pub_prefixes):
+        return 2
+    return 0
+
+
+_MODE_HANDLERS = {
+    INITIAL: HtmlTreeBuilder._initial,
+    BEFORE_HTML: HtmlTreeBuilder._before_html,
+    BEFORE_HEAD: HtmlTreeBuilder._before_head,
+    IN_HEAD: HtmlTreeBuilder._in_head,
+    IN_HEAD_NOSCRIPT: HtmlTreeBuilder._in_head_noscript,
+    AFTER_HEAD: HtmlTreeBuilder._after_head,
+    IN_BODY: HtmlTreeBuilder._in_body,
+    TEXT: HtmlTreeBuilder._text,
+    IN_TABLE: HtmlTreeBuilder._in_table,
+    IN_TABLE_TEXT: HtmlTreeBuilder._in_table_text,
+    IN_CAPTION: HtmlTreeBuilder._in_caption,
+    IN_COLUMN_GROUP: HtmlTreeBuilder._in_column_group,
+    IN_TABLE_BODY: HtmlTreeBuilder._in_table_body,
+    IN_ROW: HtmlTreeBuilder._in_row,
+    IN_CELL: HtmlTreeBuilder._in_cell,
+    IN_SELECT: HtmlTreeBuilder._in_select,
+    IN_SELECT_IN_TABLE: HtmlTreeBuilder._in_select_in_table,
+    IN_TEMPLATE: HtmlTreeBuilder._in_template,
+    AFTER_BODY: HtmlTreeBuilder._after_body,
+    IN_FRAMESET: HtmlTreeBuilder._in_frameset,
+    AFTER_FRAMESET: HtmlTreeBuilder._after_frameset,
+    AFTER_AFTER_BODY: HtmlTreeBuilder._after_after_body,
+    AFTER_AFTER_FRAMESET: HtmlTreeBuilder._after_after_frameset,
+}
+
+
+def parse(html: str, base_uri: str = "") -> Doc:
+    """Parse an HTML string into a Doc (Ksoup.parse semantics)."""
+    return HtmlTreeBuilder().parse(html, base_uri)
+
+
+def parse_fragment(html: str, context: str = "body", base_uri: str = ""):
+    """Fragment parse; returns (Doc, list of top-level node ids)."""
+    tb = HtmlTreeBuilder()
+    nodes = tb.parse_fragment(html, context, base_uri)
+    return tb.doc, nodes
+
+
+def parse_body_fragment(html: str, base_uri: str = "") -> Doc:
+    """Ksoup.parseBodyFragment semantics: fragment hosted in a fresh body."""
+    doc, nodes = parse_fragment(html, "body", base_uri)
+    return doc

@@ -1,0 +1,96 @@
+"""XML mode (parser/XmlTreeBuilderTest.kt semantics) and charset detection
+(helper/DataUtilTest.kt, testResources/bomtests semantics)."""
+
+from ksoup_spark.kernel import dom
+from ksoup_spark.kernel.charset import (
+    charset_from_content_type,
+    decode_html_bytes,
+    detect_bom,
+    sniff_meta_charset,
+)
+from ksoup_spark.kernel.xml import parse_xml
+
+
+def test_xml_preserves_case():
+    d = parse_xml("<CHECK>One</CHECK><TEST ID=1>Two</TEST>")
+    tags = [d.tag[n] for n, _ in d.preorder() if d.kind[n] == dom.ELEMENT]
+    assert tags == ["CHECK", "TEST"]
+    t = d.find_first("TEST")
+    assert d.attrs[t] == {"ID": "1"}
+
+
+def test_xml_self_closing_any_tag():
+    d = parse_xml("<a/><b>x</b>")
+    root_kids = [d.tag[c] for c in d.element_children(0)]
+    assert root_kids == ["a", "b"]
+    a = d.find_first("a")
+    assert d.children[a] == []
+
+
+def test_xml_declaration():
+    d = parse_xml('<?xml version="1.0" encoding="UTF-8"?><root>x</root>')
+    decls = [n for n, _ in d.preorder() if d.kind[n] == dom.XMLDECL]
+    assert len(decls) == 1
+    assert d.attrs[decls[0]].get("version") == "1.0"
+    assert d.attrs[decls[0]].get("encoding") == "UTF-8"
+
+
+def test_xml_no_html_rules():
+    # no implicit html/body; <p> nests freely
+    d = parse_xml("<p><p>nested</p></p>")
+    outer = d.element_children(0)
+    assert len(outer) == 1
+    inner = d.element_children(outer[0])
+    assert len(inner) == 1
+
+
+def test_xml_cdata():
+    d = parse_xml("<x><![CDATA[<raw>&amp;]]></x>")
+    cd = [n for n, _ in d.preorder() if d.kind[n] == dom.CDATA]
+    assert d.text[cd[0]] == "<raw>&amp;"
+
+
+def test_bom_detection():
+    assert detect_bom("﻿hi".encode("utf-8")) == ("utf-8", 3)
+    assert detect_bom("﻿hi".encode("utf-16-le"))[0] == "utf-16-le"
+    assert detect_bom("﻿hi".encode("utf-16-be"))[0] == "utf-16-be"
+    assert detect_bom("﻿hi".encode("utf-32-le"))[0] == "utf-32-le"
+    assert detect_bom("﻿hi".encode("utf-32-be"))[0] == "utf-32-be"
+    assert detect_bom(b"plain") == (None, 0)
+
+
+def test_bom_overrides_meta():
+    data = '﻿<meta charset="iso-8859-1"><p>héllo</p>'.encode("utf-8")
+    s = decode_html_bytes(data)
+    assert "héllo" in s and not s.startswith("﻿")
+
+
+def test_meta_charset_sniff():
+    data = '<html><head><meta charset="iso-8859-5"></head></html>'.encode("ascii")
+    assert sniff_meta_charset(data) == "iso-8859-5"
+    data2 = b'<meta http-equiv="Content-Type" content="text/html; charset=gb2312">'
+    assert sniff_meta_charset(data2) == "gb2312"
+
+
+def test_meta_charset_redecode():
+    body = "<meta charset=iso-8859-1><p>caf\xe9</p>"
+    data = body.encode("iso-8859-1")
+    assert "café" in decode_html_bytes(data)
+
+
+def test_xml_decl_encoding():
+    data = '<?xml version="1.0" encoding="ISO-8859-1"?><x>caf\xe9</x>'.encode("iso-8859-1")
+    assert "café" in decode_html_bytes(data)
+
+
+def test_charset_from_content_type():
+    assert charset_from_content_type("text/html; charset=utf-8") == "utf-8"
+    assert charset_from_content_type('text/html; charset="gb2312"') == "gb2312"
+    assert charset_from_content_type("text/html") is None
+    assert charset_from_content_type(None) is None
+
+
+def test_gzip_transparent():
+    import gzip
+    data = gzip.compress("<p>zipped</p>".encode("utf-8"))
+    assert "zipped" in decode_html_bytes(data)
