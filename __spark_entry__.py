@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship interleaved-corpus span extraction at sf0.001.
+queries()      -> operator showcase, each runnable at (spark, sf_dir).
+oracle_sql()   -> DuckDB twins. For the HTML-engine queries the documents
+                  table is wrapped in HTML whose expected parse output is
+                  computable in pure SQL — so the tokenizer/tree/selector/
+                  text kernels are value-hash-checked against an independent
+                  engine, not just row-counted.
+
+Non-SQL-expressible ops (LSH candidate generation) omit the oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +16,431 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ksoup_spark.functions import html as H
+from ksoup_spark.operators import dedup, extract, similarity, textstats
+from ksoup_spark.sources.corpus import build_docs_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs -> ordered span sequences (exploded)."""
+    corpus = build_docs_table(spark, "/root/testdata/sf0.001")
+    spans = extract.extract_spans_df(corpus.select("doc_id", "spans"))
+    return spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML-engine queries (oracle-checkable by construction)
+# ---------------------------------------------------------------------------
+
+def q_html_text_roundtrip(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><article><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    return d.select("doc_id", H.html_text(html).alias("text_out"))
+
+
+def q_html_entity_roundtrip(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    enc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "e", "&#101;"), " ", "&nbsp;"
+    )
+    html = F.concat(F.lit("<p>"), enc, F.lit("</p>"))
+    return d.select("doc_id", H.html_text(html).alias("text_out"))
+
+
+def q_html_media_spans(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><img src="http://m.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png"><p>tail</p>'),
+    )
+    spans = extract.extract_spans_from_html_df(
+        d.select(F.col("doc_id"), html.alias("html"))
+    )
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.col("spans")[0]["text"].alias("body_text"),
+        F.col("spans")[1]["media_ref"].alias("media_ref"),
+        F.col("spans")[2]["text"].alias("tail_text"),
+    )
+
+
+def _span_class_html():
+    words = F.split(F.col("text"), " ")
+    return F.concat(
+        F.lit("<div>"),
+        F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit('<span class="w'),
+                    (i % 3).cast("string"),
+                    F.lit('">'),
+                    w,
+                    F.lit("</span>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</div>"),
+    )
+
+
+def q_selector_class(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            H.html_select_text(_span_class_html(), "span.w1"), " "
+        ).alias("matched"),
+    )
+
+
+def q_selector_nth(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit("<ul>"),
+        F.array_join(
+            F.transform(words, lambda w: F.concat(F.lit("<li>"), w)), ""
+        ),
+        F.lit("</ul>"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            H.html_select_text(html, "li:nth-child(3n+1)"), " "
+        ).alias("matched"),
+    )
+
+
+def q_selector_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = _span_class_html()
+    return d.select(
+        "doc_id",
+        H.html_select_count(html, "span:nth-child(even)").alias("n_even"),
+        H.html_select_count(html, "span.w0").alias("n_w0"),
+        H.html_select_count(html, "span:first-child + span").alias("n_second"),
+    )
+
+
+def q_attr_absurl(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<base href="http://base.example/dir/"><a href="p/'),
+        sid,
+        F.lit('.html">x</a><img src="../i/'),
+        sid,
+        F.lit('.png">'),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(H.html_select_attr(html, "a", "href", absolute=True), 1)
+        .alias("a_href"),
+        F.element_at(H.html_select_attr(html, "img", "src", absolute=True), 1)
+        .alias("img_src"),
+    )
+
+
+def q_wholetext_pre(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<pre>"), F.regexp_replace(F.col("text"), " ", "\n"), F.lit("</pre>")
+    )
+    return d.select("doc_id", H.html_whole_text(html).alias("whole"))
+
+
+def q_html_title(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>  Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" : "),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("  </title></head><body><p>x</p></body></html>"),
+    )
+    return d.select("doc_id", H.html_title(html).alias("title"))
+
+
+def q_node_table(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit("<div>"),
+        F.array_join(
+            F.transform(words, lambda w: F.concat(F.lit("<p>"), w, F.lit("</p>"))),
+            "",
+        ),
+        F.lit("</div>"),
+    )
+    nodes = extract.node_table_df(d.select("doc_id", html.alias("html")))
+    return (
+        nodes.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.sum((F.col("kind") == extract.KIND_ELEMENT).cast("int"))
+            .alias("n_elements"),
+            F.sum((F.col("kind") == extract.KIND_TEXT).cast("int"))
+            .alias("n_text_nodes"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
+def q_xml_mode(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    xml = F.concat(
+        F.lit("<root>"),
+        F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit('<item idx="'), i.cast("string"), F.lit('">'),
+                    w, F.lit("</item>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</root>"),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(H.xml_select_text(xml, "item[idx=2]"), 1).alias("third_word"),
+    )
+
+
+def q_spans_pipeline(spark, sf_dir):
+    """Full interleaved pipeline: corpus table -> extract -> span summary."""
+    corpus = build_docs_table(spark, sf_dir)
+    spans = extract.extract_spans_df(corpus.select("doc_id", "spans"))
+    return spans.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["kind"]), ",").alias("kinds"),
+        F.col("spans")[0]["text"].alias("body_text"),
+        F.col("spans")[1]["media_ref"].alias("media_ref"),
+        F.col("spans")[2]["text"].alias("tail_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32,
+                                   bands=8, threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    return textstats.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    sh = textstats.simhash(_docs(spark, sf_dir))
+    return dedup.simhash_near_dups(sh, band_bits=15, total_bits=60, max_hamming=3)
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_ann(emb, dim, query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def q_cosine_near_dups(spark, sf_dir):
+    return similarity.cosine_near_dups(_emb(spark, sf_dir), threshold=0.8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "html_text_roundtrip": q_html_text_roundtrip,
+        "html_entity_roundtrip": q_html_entity_roundtrip,
+        "html_media_spans": q_html_media_spans,
+        "selector_class": q_selector_class,
+        "selector_nth": q_selector_nth,
+        "selector_count": q_selector_count,
+        "attr_absurl": q_attr_absurl,
+        "wholetext_pre": q_wholetext_pre,
+        "html_title": q_html_title,
+        "node_table": q_node_table,
+        "xml_mode": q_xml_mode,
+        "spans_pipeline": q_spans_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "cosine_near_dups": q_cosine_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "html_text_roundtrip":
+            "SELECT doc_id, text AS text_out FROM documents",
+        "html_entity_roundtrip":
+            "SELECT doc_id, text AS text_out FROM documents",
+        "html_media_spans": """
+            SELECT doc_id, 3 AS n_spans, text AS body_text,
+                   'http://m.example/' || doc_id || '.png' AS media_ref,
+                   'tail' AS tail_text
+            FROM documents
+        """,
+        "selector_class": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 1),
+                     ' ') AS matched
+            FROM documents
+        """,
+        "selector_nth": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 0),
+                     ' ') AS matched
+            FROM documents
+        """,
+        "selector_count": """
+            SELECT doc_id,
+                   CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS n_even,
+                   CAST(ceil(len(string_split(text, ' ')) / 3.0) AS INT) AS n_w0,
+                   CAST(CASE WHEN len(string_split(text, ' ')) >= 2
+                        THEN 1 ELSE 0 END AS INT) AS n_second
+            FROM documents
+        """,
+        "attr_absurl": """
+            SELECT doc_id,
+                   'http://base.example/dir/p/' || doc_id || '.html' AS a_href,
+                   'http://base.example/i/' || doc_id || '.png' AS img_src
+            FROM documents
+        """,
+        "wholetext_pre":
+            "SELECT doc_id, replace(text, ' ', chr(10)) AS whole FROM documents",
+        "html_title": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' : ' || rtrim(substr(text, 1, 20)) AS title
+            FROM documents
+        """,
+        "node_table": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) + 4 AS BIGINT) AS n_elements,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_text_nodes,
+                   5 AS max_depth
+            FROM documents
+        """,
+        "xml_mode": """
+            SELECT doc_id, string_split(text, ' ')[3] AS third_word
+            FROM documents
+        """,
+        "spans_pipeline": """
+            SELECT printf('doc-%08d', doc_id) AS doc_id,
+                   3 AS n_spans,
+                   'text,' || CASE doc_id % 3 WHEN 0 THEN 'image'
+                              WHEN 1 THEN 'video' ELSE 'object' END
+                           || ',text' AS kinds,
+                   CASE doc_id % 3
+                     WHEN 2 THEN 'Doc & ' || printf('doc-%08d', doc_id)
+                                 || ' ' || replace(text, ' ', chr(10))
+                     ELSE text END AS body_text,
+                   'http://corpus.example/' || printf('doc-%08d', doc_id)
+                     || '/media/' || printf('doc-%08d', doc_id) || '.bin'
+                     AS media_ref,
+                   'tail of ' || printf('doc-%08d', doc_id) AS tail_text
+            FROM documents
+        """,
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        # dedup_minhash_lsh: no oracle (probabilistic candidate generation)
+        "simhash": textstats.simhash_sql(),
+        "simhash_near_dups": f"""
+            WITH sh AS ({textstats.simhash_sql()})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "lang_id": textstats.lang_id_sql(),
+        "quality": textstats.quality_score_sql(),
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                     AS n_distinct_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS fingerprint
+            FROM documents
+        """,
+        "ann_bruteforce": similarity.cosine_topk_sql([0, 1, 2, 3, 4], k=3),
+        # ann_lsh: no oracle (bucketing is the approximation under test)
+        "cosine_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+    }

@@ -1,0 +1,249 @@
+"""Column-level HTML functions: the jsoup-style user API as Arrow-batched
+pandas UDFs.
+
+Each function compiles its CSS query once on the driver (broadcast with the
+closure; QueryParser caches per executor) and evaluates vectorized over
+Arrow batches — the Spark analogue of Element.select/text/attr
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/ksoup/src/com/fleeksoft/ksoup
+nodes/Element.kt:459-499, Ksoup.kt:192-288 for metadata).
+
+These are the convenience path; the bulk pipeline uses
+operators.extract (mapInArrow) which avoids pandas Series overhead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import dom
+from ..kernel import selector as sel
+from ..kernel import serialize
+from ..kernel import textops as tx
+from ..kernel.treebuilder import parse as _parse
+from ..kernel.xml import parse_xml as _parse_xml
+
+
+def html_text(col: Column | str) -> Column:
+    """Element.text() of the document body."""
+
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            b = d.body()
+            out.append(tx.element_text(d, b if b != -1 else 0))
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_whole_text(col: Column | str) -> Column:
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            b = d.body()
+            out.append(tx.whole_text(d, b if b != -1 else 0))
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_title(col: Column | str) -> Column:
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([tx.doc_title(_parse(h or "")) for h in s])
+
+    return _f(col)
+
+
+def html_select_text(col: Column | str, css: str) -> Column:
+    """texts of elements matching the CSS query, in document order."""
+    ev = sel.parse_query(css)  # validate on driver
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            out.append([tx.element_text(d, n) for n in sel.select(d, q)])
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_select_own_text(col: Column | str, css: str) -> Column:
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            out.append([tx.own_text(d, n) for n in sel.select(d, q)])
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_select_attr(col: Column | str, css: str, attr: str,
+                     absolute: bool = False) -> Column:
+    """attr values of matching elements; absolute=True resolves via absUrl."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            vals = []
+            for n in sel.select(d, q):
+                v = d.abs_url(n, attr) if absolute else d.get_attr(n, attr)
+                if v is not None:
+                    vals.append(v)
+            out.append(vals)
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_select_count(col: Column | str, css: str) -> Column:
+    sel.parse_query(css)
+
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        return pd.Series([len(sel.select(_parse(h or ""), q)) for h in s])
+
+    return _f(col)
+
+
+def html_select_html(col: Column | str, css: str) -> Column:
+    """outerHtml of matching elements."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            out.append(
+                [serialize.outer_html(d, n, pretty=False) for n in sel.select(d, q)]
+            )
+        return pd.Series(out)
+
+    return _f(col)
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_description", StringType()),
+        StructField("og_image", StringType()),
+        StructField("og_url", StringType()),
+        StructField("twitter_title", StringType()),
+        StructField("twitter_description", StringType()),
+        StructField("canonical", StringType()),
+        StructField("charset", StringType()),
+    ]
+)
+
+
+def html_meta(col: Column | str) -> Column:
+    """Ksoup.parseMetaData equivalent (Ksoup.kt:192-288): og:/twitter:/meta
+    extraction from <head> into a typed struct."""
+
+    @F.pandas_udf(_META_SCHEMA)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in s:
+            d = _parse(h or "")
+
+            def meta(attr_val, key="name", content="content"):
+                n = sel.select_first(d, f'meta[{key}={attr_val}]')
+                return d.get_attr(n, content) if n != -1 else None
+
+            canonical = None
+            n = sel.select_first(d, 'link[rel=canonical]')
+            if n != -1:
+                canonical = d.abs_url(n, "href")
+            charset = None
+            n = sel.select_first(d, "meta[charset]")
+            if n != -1:
+                charset = d.get_attr(n, "charset")
+            rows.append(
+                {
+                    "title": tx.doc_title(d) or None,
+                    "description": meta("description"),
+                    "og_title": meta("og:title", key="property"),
+                    "og_description": meta("og:description", key="property"),
+                    "og_image": meta("og:image", key="property"),
+                    "og_url": meta("og:url", key="property"),
+                    "twitter_title": meta("twitter:title"),
+                    "twitter_description": meta("twitter:description"),
+                    "canonical": canonical,
+                    "charset": charset,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _f(col)
+
+
+def xml_select_text(col: Column | str, css: str) -> Column:
+    """XML-mode parse + select (Parser.xmlParser path)."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for x in s:
+            d = _parse_xml(x or "")
+            out.append([tx.element_text(d, n) for n in sel.select(d, q)])
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_links(col: Column | str, absolute: bool = True) -> Column:
+    """All anchor hrefs (absUrl-resolved by default)."""
+    return html_select_attr(col, "a[href]", "href", absolute=absolute)
+
+
+def html_media_refs(col: Column | str) -> Column:
+    """All media references: img[src], video[src]/source[src], object[data]."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query("img[src], video[src], video > source[src], object[data]")
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            vals = []
+            for n in sel.select(d, q):
+                attr = "data" if d.tag[n] == "object" else "src"
+                v = d.abs_url(n, attr)
+                if v:
+                    vals.append(v)
+            out.append(vals)
+        return pd.Series(out)
+
+    return _f(col)

@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, n-gram Jaccard similarity join,
+MinHash+LSH, SimHash-banded — the training-data pipeline's near-dup suite.
+
+Scale notes (the point of each design):
+
+- exact_dedup: hash-groupBy on a fingerprint column — one shuffle keyed by
+  md5(text); AQE coalesces post-shuffle partitions. At 100 TB, group on the
+  digest (fixed 32 bytes), never the raw text.
+- jaccard_pairs: inverted-index join on shingles (explode -> self-join on
+  shingle -> count per pair -> |A∩B| / (|A|+|B|-|A∩B|)). Avoids the O(n²)
+  cross join; hot shingles are the skew risk, so shingles above a document-
+  frequency cap are dropped (standard df-cut) before the join.
+- minhash_lsh: k permutations via seeded xxhash64, banded into b buckets;
+  candidate pairs only join within a bucket. This is the 100 TB path — the
+  shuffle key is (band, bucket-hash), cardinality controlled by b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One canonical (min id) row per distinct text; exact duplicates counted."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("digest", "canonical_id", "n_dups")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (md5-hashed)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("shingle"))
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                  df_cut: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sh = shingles(df, n).cache()
+    if df_cut:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cut)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """k minhash values per doc via seeded xxhash64 over shingles."""
+    sh = shingles(df, n)
+    seeds = list(range(num_hashes))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}") for s in seeds
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in seeds]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      n: int = 3, threshold: float | None = None) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join within bands.
+
+    With threshold set, candidates are verified with exact Jaccard on
+    minhash estimate (fraction of equal signature positions).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(num_hashes),
+            4,
+        ),
+    ).select("doc_a", "doc_b", "est_jaccard")
+    if threshold is not None:
+        est = est.filter(F.col("est_jaccard") >= threshold)
+    return est
+
+
+def simhash_near_dups(simhash_df: DataFrame, band_bits: int = 15,
+                      total_bits: int = 60, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band fingerprint into total/band chunks
+    (pigeonhole: hamming<=k pairs share >=1 of k+1 bands), join per band,
+    verify hamming distance."""
+    n_bands = total_bits // band_bits
+    banded = simhash_df.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        f"size(filter(transform(sequence(0, {total_bits - 1}), "
+        "i -> (shiftright(h_a ^ h_b, i) & 1) = 1), x -> x))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM {table} GROUP BY md5(text)
+"""
+
+
+def jaccard_pairs_sql(table: str = "documents", n: int = 3,
+                      threshold: float = 0.5) -> str:
+    """DuckDB oracle twin: full pairwise exact Jaccard over distinct shingles."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i + {n - 1}), ' ')
+         )) AS shingles
+  FROM {table}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+"""

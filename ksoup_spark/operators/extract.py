@@ -1,0 +1,238 @@
+"""Core extraction operators: interleaved docs -> ordered span sequences,
+and HTML -> exploded node table.
+
+Physical plan (SURVEY.md §4): read -> salted repartition on hash(doc_id)
+(defuses giant-document skew by scattering rows uniformly; one doc is one
+row, so skew is row-size skew, not key skew) -> mapInArrow(extract kernel)
+-> columnar spans. No per-row Python at the Spark boundary: the kernel
+receives Arrow record batches and returns Arrow record batches; the
+per-document parse loop runs inside the batch (the same document-at-a-time
+model as the reference, Parser.kt:13-14 — parallelism lives BETWEEN
+documents).
+
+At 100 TB scale: extraction is embarrassingly parallel (no shuffle needed
+beyond the optional salting pass), the parse kernel is CPU-bound per core,
+and Arrow batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+so a multi-MB document cannot balloon executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import dom
+from ..kernel.textops import extract_spans as _kernel_extract_spans
+from ..kernel.treebuilder import parse as _parse
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+SPANS_TYPE = ArrayType(SPAN_STRUCT)
+
+SPANS_SCHEMA = StructType(
+    [StructField("doc_id", StringType()), StructField("spans", SPANS_TYPE)]
+)
+
+NODE_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("node_id", IntegerType()),
+        StructField("parent_id", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("kind", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("ns", IntegerType()),
+        StructField("sibling_index", IntegerType()),
+        StructField("elem_sibling_index", IntegerType()),
+        StructField("first_child", IntegerType()),
+        StructField("next_sibling", IntegerType()),
+        StructField("subtree_end", IntegerType()),
+        StructField("text", StringType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+    ]
+)
+
+_MEDIA_TAG = {"image": "img", "video": "video", "object": "object"}
+
+
+def assemble_html(spans: list) -> str:
+    """Interleaved input spans -> one HTML payload.
+
+    Text-kind spans ('html'/'text') concatenate in offset order; media spans
+    become media elements at their stream position (the "interleaved
+    placeholders resolved against DOM positions" contract).
+    """
+    parts: list[str] = []
+    for s in sorted(spans, key=lambda x: x["offset"] if x["offset"] is not None else 0):
+        kind = s["kind"]
+        if kind in ("html", "text"):
+            parts.append(s["text"] or "")
+        else:
+            tag = _MEDIA_TAG.get(kind)
+            if tag is None:
+                continue
+            ref = s["media_ref"] or ""
+            if tag == "object":
+                parts.append(f'<object data="{ref}"></object>')
+            elif tag == "video":
+                parts.append(f'<video src="{ref}"></video>')
+            else:
+                parts.append(f'<img src="{ref}">')
+    return "".join(parts)
+
+
+def spans_to_rows(spans: list[tuple]) -> list[dict]:
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in spans
+    ]
+
+
+def extract_spans_from_html(html: str, base_uri: str = "") -> list[dict]:
+    return spans_to_rows(_kernel_extract_spans(_parse(html, base_uri)))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Scatter rows uniformly by hash(doc_id) so giant documents spread
+    across partitions instead of clumping (north-rule skew defusal)."""
+    if num_partitions:
+        return df.repartition(num_partitions, F.xxhash64(F.col(id_col)))
+    return df.repartition(F.xxhash64(F.col(id_col)))
+
+
+def extract_spans_df(docs: DataFrame, repartition: int | None = None) -> DataFrame:
+    """(doc_id, spans<input>) -> (doc_id, spans<output>) via Arrow kernel."""
+    docs = docs.select("doc_id", "spans")
+    if repartition:
+        docs = salted_repartition(docs, repartition)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        arrow_spans_type = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        for batch in batches:
+            ids = batch.column(0)
+            in_spans = batch.column(1).to_pylist()
+            out = [
+                extract_spans_from_html(assemble_html(s or []))
+                for s in in_spans
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=arrow_spans_type)],
+                names=["doc_id", "spans"],
+            )
+
+    return docs.mapInArrow(kernel, SPANS_SCHEMA)
+
+
+def extract_spans_from_html_df(docs: DataFrame, html_col: str = "html",
+                               id_col: str = "doc_id",
+                               repartition: int | None = None) -> DataFrame:
+    """(doc_id, html) -> (doc_id, spans)."""
+    docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(html_col).alias("html"))
+    if repartition:
+        docs = salted_repartition(docs, repartition)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        arrow_spans_type = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        for batch in batches:
+            ids = batch.column(0)
+            htmls = batch.column(1).to_pylist()
+            out = [extract_spans_from_html(h or "") for h in htmls]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=arrow_spans_type)],
+                names=["doc_id", "spans"],
+            )
+
+    return docs.mapInArrow(kernel, SPANS_SCHEMA)
+
+
+def node_table_df(docs: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, html) -> exploded node table (SURVEY.md §1.2): one row per
+    DOM node with preorder ids, int parent/child/sibling indices, and a
+    subtree interval enabling descendant joins
+    (ancestor iff anc.node_id < d.node_id <= anc.subtree_end)."""
+    docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(html_col).alias("html"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in NODE_TABLE_SCHEMA.fields}
+            for did, h in zip(ids, htmls):
+                t = _parse(h or "").to_table()
+                n = len(t["node_id"])
+                cols["doc_id"].extend([did] * n)
+                for key in ("node_id", "parent_id", "depth", "kind", "tag",
+                            "ns", "sibling_index", "elem_sibling_index",
+                            "first_child", "next_sibling", "subtree_end",
+                            "text"):
+                    cols[key].extend(t[key])
+                cols["attrs"].extend(t["attrs"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["doc_id"], type=pa.string()),
+                    pa.array(cols["node_id"], type=pa.int32()),
+                    pa.array(cols["parent_id"], type=pa.int32()),
+                    pa.array(cols["depth"], type=pa.int32()),
+                    pa.array(cols["kind"], type=pa.int32()),
+                    pa.array(cols["tag"], type=pa.string()),
+                    pa.array(cols["ns"], type=pa.int32()),
+                    pa.array(cols["sibling_index"], type=pa.int32()),
+                    pa.array(cols["elem_sibling_index"], type=pa.int32()),
+                    pa.array(cols["first_child"], type=pa.int32()),
+                    pa.array(cols["next_sibling"], type=pa.int32()),
+                    pa.array(cols["subtree_end"], type=pa.int32()),
+                    pa.array(cols["text"], type=pa.string()),
+                    pa.array(cols["attrs"], type=pa.map_(pa.string(), pa.string())),
+                ],
+                names=[f.name for f in NODE_TABLE_SCHEMA.fields],
+            )
+
+    return docs.mapInArrow(kernel, NODE_TABLE_SCHEMA)
+
+
+# node-kind codes re-exported for DataFrame-side filters
+KIND_DOCUMENT = dom.DOCUMENT
+KIND_ELEMENT = dom.ELEMENT
+KIND_TEXT = dom.TEXT
+KIND_DATA = dom.DATA
+KIND_COMMENT = dom.COMMENT
+KIND_CDATA = dom.CDATA

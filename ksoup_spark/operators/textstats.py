@@ -1,0 +1,173 @@
+"""Training-data text-analysis operators over the documents table.
+
+All pure built-in pyspark.sql.functions (JVM-side, whole-stage codegen) —
+no Python UDFs anywhere: language-ID, quality scoring, token counting,
+fingerprinting. Each has an exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic stopword sets per language (public common words)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def token_count(df: DataFrame) -> DataFrame:
+    """Whitespace token count + distinct tokens (exact, JVM-side)."""
+    w = _words()
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID with deterministic tie-break (en>es>de>fr)."""
+    w = _words()
+    scores = {
+        lang: F.size(
+            F.array_intersect(F.array_distinct(w),
+                              F.array(*[F.lit(s) for s in STOPWORDS[lang]]))
+        )
+        for lang in LANG_ORDER
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
+    return df.select("doc_id", *cols, pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Heuristic quality metrics: lengths, mean token length, stopword ratio."""
+    w = _words()
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_tokens + 1) / n_tokens, 4).alias("mean_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        (n_stop > 0).alias("has_stopwords"),
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def simhash(df: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: per-token 60-bit hash from md5 hex (portable to
+    any SQL engine), sign-aggregated per bit position.
+
+    Plan shape: explode tokens -> explode bit positions -> groupBy(doc_id,
+    bit) partial-aggregates map-side -> pivot-free reassembly via sum of
+    shifted bits. Scales linearly; the explode factor (tokens × bits) is the
+    cost — at 100 TB use sampled tokens or a pandas_udf packing 64 bits per
+    pass instead.
+    """
+    w = F.explode(_words()).alias("w")
+    tok = df.select("doc_id", w)
+    # 60-bit hash: first 15 hex chars of md5 (fits signed 64-bit)
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h.alias("h"))
+    bits_df = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("v"),
+    )
+    agg = bits_df.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return (
+        agg.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    """DuckDB oracle twin of lang_id()."""
+    score_exprs = []
+    for lang in LANG_ORDER:
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}]))"
+            f" AS score_{lang}"
+        )
+    case = "CASE "
+    for lang in LANG_ORDER:
+        case += f"WHEN score_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM {table}
+), best AS (
+  SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best FROM scored
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN best = 0 THEN 'und' ELSE {case} END AS pred_lang
+FROM best
+"""
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round((length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')), 4) AS mean_token_len,
+       round(len(list_filter(string_split(text, ' '), w -> list_contains([{lst}], w)))
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       len(list_filter(string_split(text, ' '), w -> list_contains([{lst}], w))) > 0
+         AS has_stopwords
+FROM {table}
+"""
+
+
+def simhash_sql(table: str = "documents", bits: int = 60) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {table}
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+), bit_votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, {bits - 1})) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bit_votes GROUP BY doc_id
+"""
