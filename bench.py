@@ -1,0 +1,170 @@
+"""Benchmark harness.
+
+Runs the headline extraction pipeline and operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS],
+then evidences the north-rule two-cluster-size scaling criterion by running
+the SAME extraction job at local[N] and local[4N] on identical input and
+reporting throughput at both plus efficiency = thr(4N) / (4 * thr(N)).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline extraction sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "docs_per_sec": ..., "mb_per_sec": ...,
+   "scaling": {"n": N, "4n": 4N, "thr_n": ..., "thr_4n": ..., "efficiency": ...}}
+
+Also refreshes BENCH/BASELINE.md with the scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ksoup_spark.operators import extract  # noqa: E402
+from ksoup_spark.session import get_spark  # noqa: E402
+from ksoup_spark.sources.corpus import build_docs_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "4"))
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "24"))
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "8"))
+
+BENCH_QUERIES = [
+    "html_text_roundtrip",
+    "selector_class",
+    "node_table",
+    "spans_pipeline",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "simhash",
+    "lang_id",
+    "quality",
+    "fingerprint",
+    "ann_bruteforce",
+    "ann_lsh",
+]
+
+
+def _corpus(spark, mult: int):
+    """Deterministic corpus, replicated mult× with distinct doc ids."""
+    base = build_docs_table(spark, SF_DIR, repeat=REPEAT).select("doc_id", "spans")
+    if mult <= 1:
+        return base
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    return base.crossJoin(reps).select(
+        F.concat_ws("-", "doc_id", F.col("rep").cast("string")).alias("doc_id"),
+        "spans",
+    )
+
+
+def _run_extraction(spark, mult: int) -> tuple[float, int, float]:
+    """Returns (seconds, n_docs, html_mb)."""
+    corpus = _corpus(spark, mult).cache()
+    n_docs = corpus.count()  # materialize input before timing the kernel
+    # warm Python workers (process spawn + module imports are one-time costs
+    # that a long-running cluster amortizes; don't let them skew throughput)
+    extract.extract_spans_df(corpus.limit(64)).count()
+    html_bytes = corpus.select(
+        F.sum(
+            F.aggregate(
+                F.transform("spans", lambda s: F.coalesce(F.length(s["text"]), F.lit(0))),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+        )
+    ).first()[0]
+    t0 = time.time()
+    out = extract.extract_spans_df(corpus, repartition=spark.sparkContext.defaultParallelism)
+    n_spans = out.select(F.sum(F.size("spans"))).first()[0]
+    dt = time.time() - t0
+    corpus.unpersist()
+    assert n_spans and n_spans > 0
+    return dt, n_docs, (html_bytes or 0) / 1e6
+
+
+def main() -> None:
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    spark = get_spark(app="ksoup-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    # warm up JVM + Python workers
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    headline_dt, n_docs, mb = _run_extraction(spark, MULT)
+
+    for name in BENCH_QUERIES:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # scaling: same job at local[N] and local[4N]
+    n_small = max(2, CPUS // 4)
+    thr = {}
+    for n in (n_small, CPUS):
+        s = get_spark(app=f"ksoup-scale-{n}", master=f"local[{n}]",
+                      shuffle_partitions=n)
+        s.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        dt, nd, _ = _run_extraction(s, SCALE_MULT)
+        thr[n] = nd / dt
+        s.stop()
+    efficiency = thr[CPUS] / ((CPUS / n_small) * thr[n_small])
+
+    result = {
+        "metric": "interleaved-corpus span extraction (docs/sec headline)",
+        "value": round(headline_dt, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_dt, 1),
+        "mb_per_sec": round(mb / headline_dt, 3),
+        "scaling": {
+            "n": n_small,
+            "4n": CPUS,
+            "thr_n_docs_per_sec": round(thr[n_small], 1),
+            "thr_4n_docs_per_sec": round(thr[CPUS], 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    _write_baseline_md(result)
+    print(json.dumps(result))
+
+
+def _write_baseline_md(r: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = r["scaling"]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — extraction throughput & scaling\n\n"
+            f"Input: `{SF_DIR}` corpus ×{MULT} = {r['n_docs']} interleaved docs.\n\n"
+            "| metric | value |\n|---|---|\n"
+            f"| extraction wall (local[{CPUS}]) | {r['value']} s |\n"
+            f"| docs/sec | {r['docs_per_sec']} |\n"
+            f"| MB/sec (HTML payload) | {r['mb_per_sec']} |\n\n"
+            "## Two-cluster-size scaling (north rule ≥0.8)\n\n"
+            "| parallelism | docs/sec |\n|---|---|\n"
+            f"| local[{s['n']}] (N) | {s['thr_n_docs_per_sec']} |\n"
+            f"| local[{s['4n']}] (4N) | {s['thr_4n_docs_per_sec']} |\n\n"
+            f"**Scaling efficiency thr(4N)/(4·thr(N)) = {s['efficiency']}**\n\n"
+            "Per-query wall seconds (sf dir above):\n\n"
+            "| query | sec |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in r["queries"].items())
+        )
+
+
+if __name__ == "__main__":
+    main()

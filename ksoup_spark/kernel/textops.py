@@ -23,6 +23,8 @@ resolved against the document base URI (absUrl semantics, Node.kt:234-244).
 
 from __future__ import annotations
 
+import re
+
 from . import dom
 from .dom import Doc
 from .tags import BLOCK_TAGS, PRESERVE_WS_TAGS, format_as_block
@@ -30,6 +32,9 @@ from .tags import BLOCK_TAGS, PRESERVE_WS_TAGS, format_as_block
 _ACTUAL_WS = frozenset(" \t\n\f\r ")
 _INVISIBLE = frozenset("​­")
 _TRIM = " \t\n\r\f\v"
+# regex forms of the isActuallyWhitespace (incl. nbsp) / isInvisibleChar sets
+_WS_RUN = re.compile("[ \t\n\f\r\u00a0]+")
+_INVIS_RE = re.compile("[\u200b\u00ad]")
 
 MEDIA_KIND = {"img": "image", "video": "video", "object": "object"}
 _MEDIA_REF_ATTR = {"img": "src", "video": "src", "object": "data"}
@@ -42,22 +47,19 @@ def normalise_whitespace(s: str) -> str:
 
 
 def append_normalised(accum: list[str], s: str, strip_leading: bool) -> None:
-    """StringUtil.appendNormalisedWhitespace over a list-of-chunks accumulator."""
-    last_was_white = False
-    reached_non_white = False
-    buf: list[str] = []
-    for c in s:
-        if c in _ACTUAL_WS:
-            if (strip_leading and not reached_non_white) or last_was_white:
-                continue
-            buf.append(" ")
-            last_was_white = True
-        elif c not in _INVISIBLE:
-            buf.append(c)
-            last_was_white = False
-            reached_non_white = True
-    if buf:
-        accum.append("".join(buf))
+    """StringUtil.appendNormalisedWhitespace over a list-of-chunks accumulator.
+
+    Regex formulation of the same algorithm: drop invisible chars, collapse
+    actually-whitespace runs to single spaces, strip one leading space when
+    the accumulator already ends in whitespace.
+    """
+    if _INVIS_RE.search(s):
+        s = _INVIS_RE.sub("", s)
+    s = _WS_RUN.sub(" ", s)
+    if strip_leading and s.startswith(" "):
+        s = s[1:]
+    if s:
+        accum.append(s)
 
 
 class _Accum:
@@ -138,27 +140,63 @@ def _next_sibling(doc: Doc, node: int) -> int:
 
 
 def element_text(doc: Doc, root: int) -> str:
-    """Element.text(): normalized combined text of root's subtree."""
+    """Element.text(): normalized combined text of root's subtree.
+
+    Single non-recursive DFS; the stack frame carries the child cursor so
+    tail-boundary next-sibling checks are O(1), and open preserve-whitespace
+    elements are tracked by depth (≤6-level rule) instead of ancestor walks.
+    """
     accum = _Accum()
-    is_text = (dom.TEXT, dom.CDATA)
-    for ev, node in _traverse(doc, root):
-        k = doc.kind[node]
-        if ev == "head":
-            if k in is_text:
-                _append_text_node(doc, accum, node)
+    kind = doc.kind
+    tag = doc.tag
+    text = doc.text
+    children = doc.children
+    stack: list[list] = [[root, 0]]
+    pre_depths: list[int] = []
+    while stack:
+        frame = stack[-1]
+        node = frame[0]
+        ci = frame[1]
+        kids = children[node]
+        if ci == 0:
+            k = kind[node]
+            if k == dom.TEXT:
+                t = text[node] or ""
+                # parent depth minus nearest preserve-element depth ≤5
+                # == the reference's 6-level lookup (Element.kt:1885-1898)
+                if pre_depths and (len(stack) - 2) - pre_depths[-1] < 6:
+                    accum.append(t)
+                else:
+                    accum.append_normalised(t)
+            elif k == dom.CDATA:
+                accum.append(text[node] or "")
             elif k == dom.ELEMENT:
-                if not accum.is_empty() and (
-                    doc.tag[node] in BLOCK_TAGS or doc.tag[node] == "br"
-                ) and not accum.last_is_ws():
+                tg = tag[node]
+                if accum.parts and (tg in BLOCK_TAGS or tg == "br") \
+                        and not accum.last_is_ws():
                     accum.append(" ")
-        else:
-            if k == dom.ELEMENT and doc.tag[node] in BLOCK_TAGS:
-                nxt = _next_sibling(doc, node)
-                if nxt != -1 and not accum.last_is_ws():
-                    nk = doc.kind[nxt]
-                    if nk in is_text or (
+                if tg in PRESERVE_WS_TAGS:
+                    pre_depths.append(len(stack) - 1)
+        if ci < len(kids):
+            frame[1] = ci + 1
+            stack.append([kids[ci], 0])
+            continue
+        # tail
+        stack.pop()
+        k = kind[node]
+        if k == dom.ELEMENT:
+            tg = tag[node]
+            if pre_depths and pre_depths[-1] == len(stack):
+                pre_depths.pop()
+            if tg in BLOCK_TAGS and stack and not accum.last_is_ws():
+                pframe = stack[-1]
+                pkids = children[pframe[0]]
+                if pframe[1] < len(pkids):
+                    nxt = pkids[pframe[1]]
+                    nk = kind[nxt]
+                    if nk == dom.TEXT or nk == dom.CDATA or (
                         nk == dom.ELEMENT
-                        and not format_as_block(doc.tag[nxt] or "")
+                        and not format_as_block(tag[nxt] or "")
                     ):
                         accum.append(" ")
     return accum.value().strip(_TRIM)
@@ -240,17 +278,29 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
 
     skip_under = -1
     skip_depth = 0
-    stack: list[tuple[int, int]] = [(root, 0)]
+    kind = doc.kind
+    tagv = doc.tag
+    textv = doc.text
     children = doc.children
+    stack: list[list] = [[root, 0]]
+    pre_depths: list[int] = []
     while stack:
-        node, ci = stack[-1]
+        frame = stack[-1]
+        node = frame[0]
+        ci = frame[1]
         kids = children[node]
         if ci == 0 and skip_under == -1:
-            k = doc.kind[node]
-            if k in is_text:
-                _append_text_node(doc, accum, node)
+            k = kind[node]
+            if k == dom.TEXT:
+                t = textv[node] or ""
+                if pre_depths and (len(stack) - 2) - pre_depths[-1] < 6:
+                    accum.append(t)
+                else:
+                    accum.append_normalised(t)
+            elif k == dom.CDATA:
+                accum.append(textv[node] or "")
             elif k == dom.ELEMENT:
-                tag = doc.tag[node] or ""
+                tag = tagv[node] or ""
                 mk = MEDIA_KIND.get(tag)
                 if mk is not None and node != root:
                     flush()
@@ -259,35 +309,43 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
                     if not ref and tag == "video":
                         # fall back to first <source src>
                         for c in kids:
-                            if doc.kind[c] == dom.ELEMENT and doc.tag[c] == "source":
+                            if kind[c] == dom.ELEMENT and tagv[c] == "source":
                                 ref = doc.abs_url(c, "src")
                                 if ref:
                                     break
                     spans.append((mk, None, ref or "", len(spans)))
                     skip_under = node  # don't descend into fallback content
                     skip_depth = len(stack)
-                elif not accum.is_empty() and (
-                    tag in BLOCK_TAGS or tag == "br"
-                ) and not accum.last_is_ws():
-                    accum.append(" ")
+                else:
+                    if accum.parts and (tag in BLOCK_TAGS or tag == "br") \
+                            and not accum.last_is_ws():
+                        accum.append(" ")
+                    if tag in PRESERVE_WS_TAGS:
+                        pre_depths.append(len(stack) - 1)
         if ci < len(kids):
-            stack[-1] = (node, ci + 1)
-            stack.append((kids[ci], 0))
-        else:
-            # tail
-            if skip_under == node and len(stack) == skip_depth:
-                skip_under = -1
-            elif skip_under == -1:
-                k = doc.kind[node]
-                if k == dom.ELEMENT and (doc.tag[node] or "") in BLOCK_TAGS:
-                    nxt = _next_sibling(doc, node)
-                    if nxt != -1 and not accum.last_is_ws():
-                        nk = doc.kind[nxt]
+            frame[1] = ci + 1
+            stack.append([kids[ci], 0])
+            continue
+        # tail
+        stack.pop()
+        if skip_under == node and len(stack) == skip_depth - 1:
+            skip_under = -1
+        elif skip_under == -1:
+            k = kind[node]
+            if k == dom.ELEMENT:
+                if pre_depths and pre_depths[-1] == len(stack):
+                    pre_depths.pop()
+                if (tagv[node] or "") in BLOCK_TAGS and stack \
+                        and not accum.last_is_ws():
+                    pframe = stack[-1]
+                    pkids = children[pframe[0]]
+                    if pframe[1] < len(pkids):
+                        nxt = pkids[pframe[1]]
+                        nk = kind[nxt]
                         if nk in is_text or (
                             nk == dom.ELEMENT
-                            and not format_as_block(doc.tag[nxt] or "")
+                            and not format_as_block(tagv[nxt] or "")
                         ):
                             accum.append(" ")
-            stack.pop()
     flush()
     return spans

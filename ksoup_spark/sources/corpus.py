@@ -22,9 +22,20 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def build_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> interleaved (doc_id, spans) corpus table."""
+def build_docs_table(spark: SparkSession, sf_dir: str,
+                     repeat: int = 1) -> DataFrame:
+    """documents.parquet -> interleaved (doc_id, spans) corpus table.
+
+    ``repeat`` scales each document's body ×repeat (bench realism: web docs
+    are tens of KB, the seed texts are ~400 B); repeat=1 is the
+    oracle-checked shape.
+    """
     docs = load_documents(spark, sf_dir)
+    if repeat > 1:
+        docs = docs.withColumn(
+            "text",
+            F.array_join(F.array_repeat(F.col("text"), repeat), " "),
+        )
     did = F.col("doc_id")
     sid = F.format_string("doc-%08d", did)
     mod = F.pmod(did, F.lit(3))
