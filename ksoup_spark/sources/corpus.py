@@ -23,14 +23,23 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_docs_table(spark: SparkSession, sf_dir: str,
-                     repeat: int = 1) -> DataFrame:
+                     repeat: int = 1,
+                     partitions: int | None = None) -> DataFrame:
     """documents.parquet -> interleaved (doc_id, spans) corpus table.
 
     ``repeat`` scales each document's body ×repeat (bench realism: web docs
     are tens of KB, the seed texts are ~400 B); repeat=1 is the
     oracle-checked shape.
+
+    ``partitions``: salted spread on hash(doc_id) applied to the SEED rows,
+    before the body-inflating column ops — a small parquet file arrives in
+    one partition, and everything downstream (including the extraction
+    kernel) would serialize on it otherwise. This is the north-rule salted
+    repartition, done at the cheapest point in the plan.
     """
     docs = load_documents(spark, sf_dir)
+    if partitions:
+        docs = docs.repartition(partitions, F.xxhash64("doc_id"))
     if repeat > 1:
         docs = docs.withColumn(
             "text",
