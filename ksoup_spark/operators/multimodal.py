@@ -1,0 +1,187 @@
+"""Multimodal column operators: opaque binary media + typed metadata.
+
+Treats image/audio/video payloads as binary columns with a typed metadata
+struct, processed via mapInPandas (Arrow-batched). The actual codec work is
+STUBBED — this container ships no image/audio libraries — behind
+``_decode_payload``: either a deterministic fake (default; stable for tests)
+or NotImplementedError when strict=True. The Spark-side plumbing (schemas,
+batch iteration, partitioning) is real and tested; swapping the stub for a
+Pillow/ffmpeg call changes no plan shape.
+
+At 100 TB: media rows are large and skewed — process with
+maxRecordsPerBatch kept small and media tables bucketed by media_id so
+joins against span tables (media_ref) co-locate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": ("png", "image"),
+    b"\xff\xd8\xff": ("jpeg", "image"),
+    b"GIF8": ("gif", "image"),
+    b"RIFF": ("riff", "audio"),
+    b"\x1aE\xdf\xa3": ("mkv", "video"),
+    b"ID3": ("mp3", "audio"),
+}
+
+
+def _sniff(data: bytes) -> tuple[str, str]:
+    for magic, fmt in _MAGIC.items():
+        if data.startswith(magic):
+            return fmt
+    return ("unknown", "binary")
+
+
+def _decode_payload(data: bytes, strict: bool = False) -> dict:
+    """STUB decode step. Real impl: Pillow / soundfile / pyav.
+
+    The deterministic fake derives pseudo-dimensions from a content hash so
+    tests are stable and the downstream plumbing is exercised end-to-end.
+    """
+    if strict:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "swap _decode_payload for a Pillow/ffmpeg-backed implementation"
+        )
+    h = hashlib.sha256(data).digest()
+    fmt, kind = _sniff(data)
+    return {
+        "format": fmt,
+        "kind": kind,
+        "width": 16 + h[0] % 64 if kind == "image" else None,
+        "height": 16 + h[1] % 64 if kind == "image" else None,
+        "duration_ms": int.from_bytes(h[2:4], "big") if kind != "image" else None,
+    }
+
+
+def media_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload",
+                   strict: bool = False) -> DataFrame:
+    """binary payload -> typed metadata struct rows."""
+    df = df.select(F.col(id_col).alias("media_id"),
+                   F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(data or b"")
+                meta = _decode_payload(data, strict)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": meta["kind"],
+                        "n_bytes": len(data),
+                        "format": meta["format"],
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "duration_ms": meta["duration_ms"],
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return df.mapInPandas(kernel, MEDIA_META_SCHEMA)
+
+
+def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """binary payload -> deterministic feature vector (stubbed extractor:
+    hash-derived; a real one plugs a vision/audio model into the same
+    mapInPandas shape)."""
+    df = df.select(F.col(id_col).alias("media_id"),
+                   F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.sha256(bytes(data or b"")).digest()
+                vec = [(h[i % 32] / 127.5) - 1.0 for i in range(dim)]
+                rows.append({"media_id": mid, "features": vec})
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 4096,
+                  max_frames: int = 4, id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """video payload -> sampled 'frames' (stub: byte-window slices standing
+    in for decoded frames; one output row per frame, exploded shape)."""
+    df = df.select(F.col(id_col).alias("media_id"),
+                   F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(data or b"")
+                for fi in range(min(max_frames,
+                                    max(1, len(data) // every_n_bytes))):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": fi,
+                            "frame": data[fi * every_n_bytes:
+                                          (fi + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def synth_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media corpus for tests (PNG/JPEG/RIFF magics +
+    hash-expanded bodies)."""
+    magics = [b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"ID3"]
+    rows = []
+    for i in range(n):
+        body = hashlib.sha256(str(i).encode()).digest() * (8 + i % 32)
+        rows.append((f"media-{i:04d}", magics[i % len(magics)] + body))
+    return spark.createDataFrame(rows, "media_id string, payload binary")

@@ -1,0 +1,61 @@
+"""Sanitizer goldens — semantics from safety/CleanerTest.kt / SafelistTest."""
+
+from ksoup_spark.kernel.safety import Safelist, clean_html, is_valid_html
+
+
+def test_simple_text_keeps_formatting():
+    out = clean_html("<p>Hello <b>world</b>!</p>", Safelist.simple_text())
+    assert out == "Hello <b>world</b>!"
+
+
+def test_basic_drops_script_payload():
+    out = clean_html("<div><script>alert(1)</script><b>ok</b></div>",
+                     Safelist.basic())
+    assert "alert" not in out
+    assert "<b>ok</b>" in out
+
+
+def test_children_of_dropped_element_promoted():
+    out = clean_html("<div><p>keep</p></div>", Safelist.basic())
+    assert out == "<p>keep</p>"
+
+
+def test_enforced_rel_nofollow():
+    out = clean_html('<a href="http://x.com/">x</a>', Safelist.basic())
+    assert 'rel="nofollow"' in out
+    assert 'href="http://x.com/"' in out
+
+
+def test_protocol_filtering():
+    out = clean_html('<a href="javascript:alert(1)">x</a>', Safelist.basic())
+    assert "href" not in out
+    out2 = clean_html('<a href="mailto:a@b.c">m</a>', Safelist.basic())
+    assert 'href="mailto:a@b.c"' in out2
+
+
+def test_disallowed_attrs_dropped():
+    out = clean_html('<p class="x" onclick="evil()">t</p>', Safelist.basic())
+    assert "onclick" not in out and "class" not in out
+    assert "<p>t</p>" == out
+
+
+def test_none_safelist_text_only():
+    out = clean_html("<div><p>a<b>b</b></p></div>", Safelist.none())
+    assert out == "ab"
+
+
+def test_basic_with_images():
+    out = clean_html('<img src="http://i.co/a.png" onerror=x>',
+                     Safelist.basic_with_images())
+    assert 'src="http://i.co/a.png"' in out and "onerror" not in out
+
+
+def test_relaxed_keeps_tables():
+    out = clean_html("<table><tr><td>c</td></tr></table>", Safelist.relaxed())
+    assert "<td>c</td>" in out
+
+
+def test_is_valid():
+    assert is_valid_html("<p>fine <b>text</b></p>", Safelist.basic())
+    assert not is_valid_html("<p onclick=x>bad</p>", Safelist.basic())
+    assert not is_valid_html("<script>x</script>", Safelist.basic())

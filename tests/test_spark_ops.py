@@ -1,0 +1,175 @@
+"""Spark-side operator tests: node table, HTML column functions, resumable
+pipeline, streaming extraction, multimodal stubs."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ksoup_spark.functions import html as H  # noqa: E402
+from ksoup_spark.operators import extract, multimodal  # noqa: E402
+from ksoup_spark.plans import pipeline  # noqa: E402
+from ksoup_spark.sources.corpus import build_docs_table  # noqa: E402
+from ksoup_spark.streaming import stream as streaming  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def html_df(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", '<html><head><title>T1</title><meta name=description '
+                   'content="desc one"><link rel=canonical href="http://c.x/p">'
+                   '</head><body><div id=m><p>Hello <b>world</b></p>'
+                   '<a href="/rel">l</a><img src="i.png"></div></body></html>'),
+            ("d2", "<base href='http://b.x/'><p>Two</p><video src='v.mp4'></video>"),
+        ],
+        "doc_id string, html string",
+    )
+
+
+def test_node_table_shape(spark, html_df):
+    nt = extract.node_table_df(html_df)
+    rows = nt.filter("doc_id = 'd1'").orderBy("node_id").collect()
+    assert rows[0]["kind"] == extract.KIND_DOCUMENT
+    tags = [r["tag"] for r in rows if r["kind"] == extract.KIND_ELEMENT]
+    assert tags[:3] == ["html", "head", "title"]
+    # preorder interval invariant: child ranges nest inside parents
+    by_id = {r["node_id"]: r for r in rows}
+    for r in rows:
+        p = r["parent_id"]
+        if p >= 0:
+            assert by_id[p]["node_id"] < r["node_id"] <= by_id[p]["subtree_end"]
+
+
+def test_node_table_descendant_join(spark, html_df):
+    """Corpus-wide descendant query via the preorder-interval range join."""
+    nt = extract.node_table_df(html_df).cache()
+    divs = nt.filter("tag = 'div'").select(
+        "doc_id", F.col("node_id").alias("anc_id"),
+        F.col("subtree_end").alias("anc_end"))
+    descendants = nt.join(divs, "doc_id").filter(
+        (F.col("node_id") > F.col("anc_id"))
+        & (F.col("node_id") <= F.col("anc_end"))
+        & (F.col("tag") == "a")
+    )
+    assert descendants.count() == 1
+
+
+def test_html_functions(spark, html_df):
+    out = html_df.select(
+        "doc_id",
+        H.html_text("html").alias("text"),
+        H.html_title("html").alias("title"),
+        H.html_select_count("html", "p").alias("np"),
+        H.html_links("html").alias("links"),
+        H.html_media_refs("html").alias("media"),
+    ).orderBy("doc_id").collect()
+    assert out[0]["text"] == "Hello world l"
+    assert out[0]["title"] == "T1"
+    assert out[0]["np"] == 1
+    assert out[0]["links"] == ["/rel"]
+    assert out[0]["media"] == ["i.png"]
+    assert out[1]["media"] == ["http://b.x/v.mp4"]
+
+
+def test_html_meta(spark, html_df):
+    m = html_df.select(H.html_meta("html").alias("m")).first()["m"]
+    assert m["title"] == "T1"
+    assert m["description"] == "desc one"
+    assert m["canonical"] == "http://c.x/p"
+
+
+def test_pipeline_resume(spark, tmp_path):
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans")
+    out = str(tmp_path / "spans")
+    metrics = str(tmp_path / "metrics")
+    r1 = pipeline.run_extraction_pipeline(
+        spark, docs, out, metrics, num_parts=8, parts_per_batch=8)
+    assert r1["skipped_parts"] == 0
+    assert len(r1["processed_parts"]) == 8
+    n1 = spark.read.parquet(out).count()
+    assert n1 == docs.count()
+    # rerun: everything already checkpointed -> nothing reprocessed
+    r2 = pipeline.run_extraction_pipeline(
+        spark, docs, out, metrics, num_parts=8, parts_per_batch=8)
+    assert r2["processed_parts"] == []
+    assert r2["skipped_parts"] == 8
+    assert spark.read.parquet(out).count() == n1
+    # metrics carry lineage
+    m = spark.read.parquet(metrics)
+    assert m.select("part").distinct().count() == 8
+    assert m.agg(F.sum("n_docs")).first()[0] == n1
+
+
+def test_pipeline_partial_resume(spark, tmp_path):
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans").limit(100)
+    out = str(tmp_path / "spans")
+    metrics = str(tmp_path / "metrics")
+    full = pipeline.with_part(docs, 4)
+    # simulate a crashed run: only partition 0 completed
+    done_docs = full.filter("part = 0").drop("part")
+    pipeline.run_extraction_pipeline(
+        spark, done_docs, out, metrics, num_parts=4, parts_per_batch=4)
+    r = pipeline.run_extraction_pipeline(
+        spark, docs, out, metrics, num_parts=4, parts_per_batch=4)
+    assert 0 not in r["processed_parts"]
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_streaming_extraction(spark, tmp_path):
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans").limit(50)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.start_extraction_stream(
+        streaming.read_docs_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert set(got.columns) == {"doc_id", "spans"}
+    # restart with no new data: checkpoint prevents reprocessing
+    q2 = streaming.start_extraction_stream(
+        streaming.read_docs_stream(spark, src), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 50
+
+
+def test_multimodal_metadata(spark):
+    media = multimodal.synth_media_table(spark, 32)
+    meta = multimodal.media_metadata(media).orderBy("media_id").collect()
+    assert len(meta) == 32
+    assert meta[0]["format"] == "png" and meta[0]["kind"] == "image"
+    assert meta[0]["width"] is not None
+    assert meta[1]["format"] == "jpeg"
+    assert all(m["sha256"] for m in meta)
+    # deterministic across runs
+    again = multimodal.media_metadata(media).orderBy("media_id").collect()
+    assert meta == again
+
+
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.synth_media_table(spark, 8)
+    feats = multimodal.media_features(media, dim=16).collect()
+    assert all(len(f["features"]) == 16 for f in feats)
+    frames = multimodal.sample_frames(media).groupBy("media_id").count()
+    assert frames.count() == 8
+
+
+def test_multimodal_strict_raises(spark):
+    media = multimodal.synth_media_table(spark, 2)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.media_metadata(media, strict=True).collect()
+
+
+def test_extract_handles_malformed_and_empty(spark):
+    df = spark.createDataFrame(
+        [("a", "<p"), ("b", ""), ("c", None), ("d", "<table><tr>x")],
+        "doc_id string, html string",
+    )
+    out = extract.extract_spans_from_html_df(df).collect()
+    assert len(out) == 4  # no crash on adversarial input
