@@ -183,8 +183,12 @@ class Tokenizer:
         """
         s, n = self.s, self.n
         m = _TAG_NAME.match(s, p)
-        name_parts = [m.group()]
         p = m.end()
+        # fast path: plain <name> with no attributes (the common case)
+        if p < n and s[p] == ">":
+            self.p = p + 1
+            return ("start", m.group(), [], False)
+        name_parts = [m.group()]
         while p < n and s[p] == "\x00":  # NULL in tag name -> U+FFFD
             name_parts.append("�")
             p += 1

@@ -261,6 +261,16 @@ class HtmlTreeBuilder:
         if kind is None:
             cur = self.current_tag()
             kind = dom.DATA if cur in ("script", "style") else dom.TEXT
+        if not self.foster_inserts:  # common case: append to current element
+            parent = self.stack[-1] if self.stack else 0
+            sibs = d.children[parent]
+            if sibs and d.kind[sibs[-1]] == kind and kind != dom.CDATA:
+                d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
+                return
+            nid = d.new_node(kind, text=text)
+            sibs.append(nid)
+            d.parent[nid] = parent
+            return
         parent, before = self._insertion_parent()
         sibs = d.children[parent]
         if before == -1:
