@@ -236,6 +236,40 @@ def q_xml_mode(spark, sf_dir):
     )
 
 
+def q_bytes_charset(spark, sf_dir):
+    """Binary input with declared non-UTF8 charset: decode pipeline check."""
+    d = _docs(spark, sf_dir)
+    payload = F.encode(
+        F.concat(
+            F.lit('<meta charset="iso-8859-1"><p>'),
+            F.regexp_replace(F.col("text"), "e", "é"),
+            F.lit("</p>"),
+        ),
+        "ISO-8859-1",
+    )
+    spans = extract.extract_spans_from_bytes_df(
+        d.select("doc_id", payload.alias("content")),
+        bytes_col="content",
+    )
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("spans")[0]["text"].alias("text_out"),
+    )
+
+
+def q_select_elements(spark, sf_dir):
+    """Corpus-wide Element.select as an exploded DataFrame."""
+    d = _docs(spark, sf_dir)
+    matched = extract.select_elements_df(
+        d.select("doc_id", _span_class_html().alias("html")), "span.w2"
+    )
+    return matched.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "match_index",
+        F.col("own_text"),
+    )
+
+
 def q_spans_pipeline(spark, sf_dir):
     """Full interleaved pipeline: corpus table -> extract -> span summary."""
     corpus = build_docs_table(spark, sf_dir)
@@ -319,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_title": q_html_title,
         "node_table": q_node_table,
         "xml_mode": q_xml_mode,
+        "bytes_charset": q_bytes_charset,
+        "select_elements": q_select_elements,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -391,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xml_mode": """
             SELECT doc_id, string_split(text, ' ')[3] AS third_word
+            FROM documents
+        """,
+        "bytes_charset":
+            "SELECT doc_id, replace(text, 'e', 'é') AS text_out FROM documents",
+        "select_elements": """
+            SELECT doc_id,
+                   unnest(list_transform(
+                     list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 2),
+                     (w, i) -> {'match_index': i-1, 'own_text': w}),
+                     recursive := true)
             FROM documents
         """,
         "spans_pipeline": """

@@ -236,3 +236,111 @@ KIND_TEXT = dom.TEXT
 KIND_DATA = dom.DATA
 KIND_COMMENT = dom.COMMENT
 KIND_CDATA = dom.CDATA
+
+
+def extract_spans_from_bytes_df(docs: DataFrame, bytes_col: str = "content",
+                                id_col: str = "doc_id",
+                                charset_col: str | None = None) -> DataFrame:
+    """(doc_id, content:binary[, charset hint]) -> (doc_id, spans).
+
+    Runs the full charset pipeline per document before parsing: gzip magic,
+    BOM sniff (overrides everything), declared-charset detection from the
+    first 5KB (meta/xml-decl trial scan), hint fallback, then UTF-8 —
+    DataUtil.load semantics (helper/DataUtil.kt:38-259). Pairs with
+    spark.read.format("binaryFile") for raw crawl archives.
+    """
+    from ..kernel.charset import decode_html_bytes
+
+    cols = [F.col(id_col).cast("string").alias("doc_id"),
+            F.col(bytes_col).alias("content")]
+    if charset_col:
+        cols.append(F.col(charset_col).alias("charset"))
+    docs = docs.select(*cols)
+    has_hint = charset_col is not None
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        arrow_spans_type = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1).to_pylist()
+            hints = batch.column(2).to_pylist() if has_hint else [None] * len(payloads)
+            out = [
+                extract_spans_from_html(
+                    decode_html_bytes(b or b"", h) if b is not None else ""
+                )
+                for b, h in zip(payloads, hints)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=arrow_spans_type)],
+                names=["doc_id", "spans"],
+            )
+
+    return docs.mapInArrow(kernel, SPANS_SCHEMA)
+
+
+SELECTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("match_index", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("text", StringType()),
+        StructField("own_text", StringType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def select_elements_df(docs: DataFrame, css: str, html_col: str = "html",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide Element.select: one output row per matched element in
+    document order, carrying tag/text()/ownText()/attrs.
+
+    The CSS query compiles once on the driver (validated eagerly) and again
+    per executor from the broadcast closure's string (QueryParser caches).
+    """
+    from ..kernel import selector as _sel
+    from ..kernel import textops as _tx
+    from ..kernel.treebuilder import parse as _p
+
+    _sel.parse_query(css)  # validate on driver
+    docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(html_col).alias("html"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        q = _sel.parse_query(css)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            out = {k: [] for k in
+                   ("doc_id", "match_index", "tag", "text", "own_text", "attrs")}
+            for did, h in zip(ids, htmls):
+                d = _p(h or "")
+                for mi, node in enumerate(_sel.select(d, q)):
+                    out["doc_id"].append(did)
+                    out["match_index"].append(mi)
+                    out["tag"].append(d.tag[node])
+                    out["text"].append(_tx.element_text(d, node))
+                    out["own_text"].append(_tx.own_text(d, node))
+                    out["attrs"].append(d.attrs[node])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["doc_id"], type=pa.string()),
+                    pa.array(out["match_index"], type=pa.int32()),
+                    pa.array(out["tag"], type=pa.string()),
+                    pa.array(out["text"], type=pa.string()),
+                    pa.array(out["own_text"], type=pa.string()),
+                    pa.array(out["attrs"], type=pa.map_(pa.string(), pa.string())),
+                ],
+                names=["doc_id", "match_index", "tag", "text", "own_text", "attrs"],
+            )
+
+    return docs.mapInArrow(kernel, SELECTED_SCHEMA)

@@ -173,3 +173,36 @@ def test_extract_handles_malformed_and_empty(spark):
     )
     out = extract.extract_spans_from_html_df(df).collect()
     assert len(out) == 4  # no crash on adversarial input
+
+
+def test_giant_doc_skew(spark):
+    """A multi-MB document must not break Arrow batching or the kernel."""
+    giant = "<div>" + "".join(
+        f"<p id=g{i}>giant paragraph {i} text</p>" for i in range(20000)
+    ) + "</div>"
+    df = spark.createDataFrame(
+        [("giant", giant)] + [(f"s{i}", f"<p>small {i}</p>") for i in range(200)],
+        "doc_id string, html string",
+    )
+    out = extract.extract_spans_from_html_df(
+        df, repartition=8
+    )
+    rows = out.collect()
+    assert len(rows) == 201
+    giant_row = [r for r in rows if r["doc_id"] == "giant"][0]
+    assert "giant paragraph 19999" in giant_row["spans"][0]["text"]
+
+
+def test_select_elements_df(spark, html_df):
+    got = extract.select_elements_df(html_df, "div > p").collect()
+    assert len(got) == 1
+    assert got[0]["text"] == "Hello world"
+    assert got[0]["tag"] == "p"
+
+
+def test_bytes_decode_bom(spark):
+    payload = "﻿<p>bom doc</p>".encode("utf-16-le")
+    df = spark.createDataFrame([("b1", bytearray(payload))],
+                               "doc_id string, content binary")
+    out = extract.extract_spans_from_bytes_df(df).first()
+    assert out["spans"][0]["text"] == "bom doc"
