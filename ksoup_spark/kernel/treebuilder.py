@@ -636,16 +636,19 @@ class HtmlTreeBuilder:
                 self.insert_empty(name, attrs)
                 return
             if name == "title":
-                self._rcdata(name, attrs)
+                self._rcdata(name, attrs, tok[3])
                 return
             if name in ("noframes", "style"):
-                self._rawtext(name, attrs)
+                self._rawtext(name, attrs, tok[3])
                 return
             if name == "noscript":
                 self.insert_element(name, attrs)
                 self.mode = IN_HEAD_NOSCRIPT
                 return
             if name == "script":
+                if tok[3]:
+                    self.insert_empty(name, attrs)
+                    return
                 self.insert_element(name, attrs)
                 self.tok.state = TOK_SCRIPT
                 self.tok.rawtext_tag = "script"
@@ -980,14 +983,14 @@ class HtmlTreeBuilder:
                 self.close_p()
             self.reconstruct_formatting()
             self.frameset_ok = False
-            self._rawtext(name, attrs)
+            self._rawtext(name, attrs, selfclosing)
             return
         if name == "iframe":
             self.frameset_ok = False
-            self._rawtext(name, attrs)
+            self._rawtext(name, attrs, selfclosing)
             return
         if name in ("noembed", "noframes"):
-            self._rawtext(name, attrs)
+            self._rawtext(name, attrs, selfclosing)
             return
         if name == "select":
             self.reconstruct_formatting()
@@ -1321,14 +1324,22 @@ class HtmlTreeBuilder:
             self.process(tok)
             return
 
-    def _rcdata(self, name: str, attrs: dict) -> None:
+    def _rcdata(self, name: str, attrs: dict, selfclosing: bool = False) -> None:
+        # self-closing: synthesized end tag, no tokenizer switch
+        # (HtmlTreeBuilder.kt:265-287 tokenizer unwedging)
+        if selfclosing:
+            self.insert_empty(name, attrs)
+            return
         self.insert_element(name, attrs)
         self.tok.state = TOK_RCDATA
         self.tok.rawtext_tag = name
         self.original_mode = self.mode
         self.mode = TEXT
 
-    def _rawtext(self, name: str, attrs: dict) -> None:
+    def _rawtext(self, name: str, attrs: dict, selfclosing: bool = False) -> None:
+        if selfclosing:
+            self.insert_empty(name, attrs)
+            return
         self.insert_element(name, attrs)
         self.tok.state = TOK_RAWTEXT
         self.tok.rawtext_tag = name
