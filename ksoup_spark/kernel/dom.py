@@ -235,3 +235,100 @@ class Doc:
         while stack:
             out["subtree_end"][stack.pop()] = n_nodes - 1
         return out
+
+
+# ---------------------------------------------------------------------------
+# node accessor helpers (Node/Element API surface, nodes/Node.kt:589-613,
+# nodes/Element.kt:304-312, 542-562, 905-993, 1490-1631)
+# ---------------------------------------------------------------------------
+
+def next_sibling(doc: "Doc", node: int) -> int:
+    p = doc.parent[node]
+    if p == -1:
+        return -1
+    sibs = doc.children[p]
+    i = sibs.index(node)
+    return sibs[i + 1] if i + 1 < len(sibs) else -1
+
+
+def previous_sibling(doc: "Doc", node: int) -> int:
+    p = doc.parent[node]
+    if p == -1:
+        return -1
+    sibs = doc.children[p]
+    i = sibs.index(node)
+    return sibs[i - 1] if i > 0 else -1
+
+
+def next_element_sibling(doc: "Doc", node: int) -> int:
+    n = next_sibling(doc, node)
+    while n != -1 and doc.kind[n] != ELEMENT:
+        n = next_sibling(doc, n)
+    return n
+
+
+def previous_element_sibling(doc: "Doc", node: int) -> int:
+    n = previous_sibling(doc, node)
+    while n != -1 and doc.kind[n] != ELEMENT:
+        n = previous_sibling(doc, n)
+    return n
+
+
+def element_sibling_index(doc: "Doc", node: int) -> int:
+    p = doc.parent[node]
+    if p == -1:
+        return 0
+    i = 0
+    for c in doc.children[p]:
+        if c == node:
+            return i
+        if doc.kind[c] == ELEMENT:
+            i += 1
+    return 0
+
+
+def parents(doc: "Doc", node: int) -> list[int]:
+    """Ancestor elements, nearest first (Element.parents)."""
+    out = []
+    p = doc.parent[node]
+    while p != -1 and doc.kind[p] == ELEMENT:
+        out.append(p)
+        p = doc.parent[p]
+    return out
+
+
+def closest(doc: "Doc", node: int, css: str) -> int:
+    """Nearest self-or-ancestor element matching css (Element.closest)."""
+    from .selector import EvalCtx, parse_query
+
+    ev = parse_query(css)
+    ctx = EvalCtx(doc, 0)
+    n = node
+    while n != -1 and doc.kind[n] == ELEMENT:
+        if ev.matches(ctx, n):
+            return n
+        n = doc.parent[n]
+    return -1
+
+
+def class_names(doc: "Doc", node: int) -> list[str]:
+    v = doc.get_attr(node, "class")
+    return v.split() if v else []
+
+
+def has_class(doc: "Doc", node: int, name: str) -> bool:
+    """ASCII-case-insensitive whitespace-token membership (Element.kt:1528-1577)."""
+    v = doc.get_attr(node, "class")
+    if not v:
+        return False
+    name = name.lower()
+    return name in v.lower().split()
+
+
+def form_value(doc: "Doc", node: int) -> str:
+    """Element.value(): textarea -> text(), else value attr (Element.kt:1619-1631)."""
+    from .textops import element_text
+
+    if doc.tag[node] == "textarea":
+        return element_text(doc, node)
+    return doc.get_attr(node, "value") or ""

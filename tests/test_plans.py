@@ -1,0 +1,44 @@
+"""Physical-plan quality checks: pushdown, broadcast, no stray shuffles."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ksoup_spark.operators import similarity  # noqa: E402
+from tests.conftest import SF_ORACLE_DIR  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan
+    # column pruning: text column not read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_ann_broadcasts_small_side(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    df = similarity.cosine_topk(emb, query_ids=[0, 1], k=2)
+    plan = _plan(df)
+    assert "Broadcast" in plan  # queries broadcast, candidates streamed
+    # query-id filter pushed into the scan of the query side
+    assert "PushedFilters" in plan
+
+
+def test_extraction_plan_no_extra_shuffle(spark):
+    """Kernel over pre-partitioned input must add no exchange."""
+    from ksoup_spark.operators import extract
+    df = spark.createDataFrame(
+        [("a", "<p>x</p>")], "doc_id string, html string"
+    ).repartition(4, F.xxhash64("doc_id"))
+    out = extract.extract_spans_from_html_df(df)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1  # only the explicit salted repartition
