@@ -1175,21 +1175,7 @@ class HtmlTreeBuilder:
         if name == "template":
             self._in_head(tok)
             return
-        # any other end tag (HtmlTreeBuilderState.kt:913-942)
-        for i in range(len(self.stack) - 1, -1, -1):
-            nid = self.stack[i]
-            t = d.tag[nid]
-            if t == name and d.ns[nid] == dom.NS_HTML:
-                self.generate_implied_end(name)
-                if self.current_tag() != name:
-                    self.error()
-                while self.stack:
-                    if self.stack.pop() == nid:
-                        break
-                return
-            if t in SPECIAL_TAGS:
-                self.error()
-                return
+        self._any_other_end_tag(name)
 
     # -- adoption agency (HtmlTreeBuilderState.kt:944-1041) --------------------
 
@@ -1280,7 +1266,23 @@ class HtmlTreeBuilder:
             self.stack.insert(f_idx + 1, clone)
 
     def _any_other_end_tag(self, name: str) -> None:
-        self._in_body_end(("end", name))
+        # HtmlTreeBuilderState.kt:913-942: walk the stack; close on a name
+        # match, bail on a special element
+        d = self.doc
+        for i in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[i]
+            t = d.tag[nid]
+            if t == name and d.ns[nid] == dom.NS_HTML:
+                self.generate_implied_end(name)
+                if self.current_tag() != name:
+                    self.error()
+                while self.stack:
+                    if self.stack.pop() == nid:
+                        break
+                return
+            if t in SPECIAL_TAGS:
+                self.error()
+                return
 
     def _foster_insert(self, nid: int) -> None:
         d = self.doc

@@ -1,0 +1,78 @@
+"""Adversarial / fuzz-style cases (shape of testResources/fuzztests — 36
+crash corpora): the parser must terminate, never raise, and be
+deterministic; span extraction must be stable. Property-based via
+hypothesis with a markup-biased alphabet."""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from ksoup_spark.kernel import treebuilder as tb
+from ksoup_spark.kernel.serialize import outer_html
+from ksoup_spark.kernel.textops import extract_spans
+from ksoup_spark.kernel.xml import parse_xml
+
+_MARKUP_ALPHABET = list("<>/='\"&;#!-abcz \t\n\0[]()?")
+_markup = st.text(alphabet=_MARKUP_ALPHABET, max_size=160)
+_tags = st.sampled_from(
+    ["p", "div", "table", "tr", "td", "li", "b", "a", "select", "option",
+     "pre", "script", "title", "svg", "template", "form", "img", "br"]
+)
+
+
+@given(_markup)
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+def test_parse_never_crashes(s):
+    d1 = tb.parse(s)
+    d2 = tb.parse(s)
+    assert extract_spans(d1) == extract_spans(d2)  # deterministic
+
+
+@given(st.lists(st.tuples(_tags, st.booleans(), _markup), max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_tag_soup_never_crashes(parts):
+    html = "".join(
+        (f"</{t}>" if close else f"<{t} x='{payload[:10]}'>") + payload[:12]
+        for t, close, payload in parts
+    )
+    d = tb.parse(html)
+    extract_spans(d)
+    outer_html(d)  # serializer must not crash either
+
+
+@given(_markup)
+@settings(max_examples=150, deadline=None)
+def test_xml_never_crashes(s):
+    parse_xml(s)
+
+
+@given(st.integers(min_value=0, max_value=200), _tags)
+@settings(max_examples=50, deadline=None)
+def test_deep_nesting_terminates(depth, tag):
+    d = tb.parse(f"<{tag}>" * depth + "x")
+    extract_spans(d)
+
+
+def test_reparse_stability():
+    """Serialized output reparses to the same text (idempotence-ish)."""
+    from ksoup_spark.kernel.textops import element_text
+
+    cases = [
+        "<p>1<b>2<i>3</b>4</i>5",
+        "<table><td>a<td>b<tr><td>c",
+        "<ul><li>x<li>y<p>z",
+        "<select><option>a<option>b</select>after",
+    ]
+    for h in cases:
+        d1 = tb.parse(h)
+        out = outer_html(d1, pretty=False)
+        d2 = tb.parse(out)
+        assert element_text(d1, d1.body()) == element_text(d2, d2.body()), h
+
+
+def test_null_heavy_and_unterminated():
+    for h in ["\0\0<p\0>\0", "<!doctype", "<![CDATA[", "<!--" * 50,
+              "&#" * 100, "&amp" * 100, "<" * 200, "</" * 200,
+              "<p " + "a" * 5000, "<a href='" + "x" * 10000]:
+        d = tb.parse(h)
+        extract_spans(d)
