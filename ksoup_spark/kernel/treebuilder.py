@@ -288,6 +288,15 @@ class HtmlTreeBuilder:
         else:
             d.append_child(parent, nid)
 
+    def _append_char_to(self, parent: int, text: str) -> None:
+        d = self.doc
+        sibs = d.children[parent]
+        if sibs and d.kind[sibs[-1]] == dom.TEXT:
+            d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
+        else:
+            nid = d.new_node(dom.TEXT, text=text)
+            d.append_child(parent, nid)
+
     def insert_comment(self, data: str, parent: int | None = None) -> None:
         nid = self.doc.new_node(dom.COMMENT, text=data)
         if parent is not None:
@@ -693,8 +702,9 @@ class HtmlTreeBuilder:
         self.reprocess(tok, AFTER_HEAD)
 
     def _in_head_noscript(self, tok) -> None:
-        # reference deviation (HtmlTreeBuilderState.kt:256-266): content
-        # inside <head><noscript> parses as markup rather than raw text
+        # reference deviation (HtmlTreeBuilderState.kt:221-266): anything-else
+        # tokens are inserted INTO the noscript as literal character data
+        # rather than the spec's pop-and-reprocess
         k = tok[0]
         if k == "doctype":
             self.error()
@@ -719,12 +729,11 @@ class HtmlTreeBuilder:
         if k == "end" and tok[1].lower() != "br":
             self.error()
             return
-        # anything else: pop noscript, reprocess in head
+        if k == "eof":
+            return
+        # anything else: insert the token's literal text as character data
         self.error()
-        if self.current_tag() == "noscript":
-            self.pop()
-        self.mode = IN_HEAD
-        self.process(tok)
+        self.insert_char(_token_literal(tok), kind=dom.TEXT)
 
     def _after_head(self, tok) -> None:
         k = tok[0]
@@ -1835,7 +1844,13 @@ class HtmlTreeBuilder:
     def _after_body(self, tok) -> None:
         k = tok[0]
         if k == "text" and not tok[1].strip(_WS):
-            self._in_body(tok)
+            # deviation (HtmlTreeBuilderState.kt:1770-1779): trailing space
+            # goes to the <html> element, not body
+            root = self.doc.html_el()
+            if root != -1:
+                self._append_char_to(root, tok[1])
+            else:
+                self._in_body(tok)
             return
         if k == "comment":
             # comment after body: attach to <html>
@@ -1934,7 +1949,12 @@ class HtmlTreeBuilder:
         if k == "comment":
             self.insert_comment(tok[1], parent=0)
             return
-        if k == "doctype" or (k == "text" and not tok[1].strip(_WS)) or (
+        if k == "text" and not tok[1].strip(_WS):
+            # deviation (HtmlTreeBuilderState.kt:1890-1893): space after
+            # </html> attaches to the document
+            self._append_char_to(0, tok[1])
+            return
+        if k == "doctype" or (
                 k == "start" and tok[1].lower() == "html"):
             self._in_body(tok)
             return
@@ -2010,6 +2030,24 @@ class HtmlTreeBuilder:
                 self.mode = IN_BODY
                 return
         self.mode = IN_BODY
+
+
+def _token_literal(tok) -> str:
+    """Token.toString()-style literal rendering (for the InHeadNoscript
+    insert-as-data deviation)."""
+    k = tok[0]
+    if k == "text":
+        return tok[1]
+    if k == "start":
+        attrs = "".join(
+            f" {a}" if v is None else f' {a}="{v}"' for a, v in tok[2]
+        )
+        return f"<{tok[1]}{attrs}>"
+    if k == "end":
+        return f"</{tok[1]}>"
+    if k == "comment":
+        return f"<!--{tok[1]}-->"
+    return ""
 
 
 def _leading_ws(s: str) -> str:
