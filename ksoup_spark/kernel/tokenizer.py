@@ -252,6 +252,14 @@ class Tokenizer:
                 p += 1
                 while p < n and s[p] in _WS:
                     p += 1
+                if p >= n:
+                    # EOF in before-attribute-value: the reference emits the
+                    # pending tag here (TokeniserState.kt:795-799), unlike
+                    # other in-tag EOF states which drop it
+                    if len(attrs) < MAX_ATTRS:
+                        attrs.append((aname, ""))
+                    self.p = n
+                    return ("start", name, attrs, selfclosing)
                 val, p2 = self._attr_value(p)
                 if p2 is None:
                     self.p = n

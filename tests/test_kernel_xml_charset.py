@@ -94,3 +94,43 @@ def test_gzip_transparent():
     import gzip
     data = gzip.compress("<p>zipped</p>".encode("utf-8"))
     assert "zipped" in decode_html_bytes(data)
+
+
+def test_xml_pop_to_close():
+    # XmlTreeBuilderTest.testPopToClose: </bar> with no open bar is ignored
+    from ksoup_spark.kernel import textops as tx
+    d = parse_xml("<doc><val>One<val>Two</val></bar>Three</doc>")
+    docel = d.element_children(0)[0]
+    assert tx.element_text(d, docel) == "OneTwoThree"
+    vals = [n for n, _ in d.preorder() if d.tag[n] == "val"]
+    assert len(vals) == 2
+
+
+def test_xml_br_not_forced_void():
+    # testDoesNotForceSelfClosingKnownTags: XML <br>one</br> keeps content
+    d = parse_xml("<br>one</br>")
+    br = d.find_first("br")
+    assert [d.text[c] for c in d.children[br]] == ["one"]
+
+
+def test_xml_eof_in_tag_emits_pending():
+    # testDoesHandleEOFInTag (TokeniserState BeforeAttributeValue EOF)
+    d = parse_xml('<img src=asdf onerror="alert(1)" x=')
+    img = d.find_first("img")
+    assert d.attrs[img] == {"src": "asdf", "onerror": "alert(1)", "x": ""}
+
+
+def test_xml_declaration_attributes():
+    d = parse_xml('<?xml version="1" encoding="UTF-8" something="else"?><val>One</val>')
+    decl = [n for n, _ in d.preorder() if d.kind[n] == dom.XMLDECL][0]
+    assert d.attrs[decl] == {"version": "1", "encoding": "UTF-8",
+                             "something": "else"}
+
+
+def test_xml_cdata_roundtrip():
+    from ksoup_spark.kernel import textops as tx
+    d = parse_xml('<div id=1><![CDATA[\n<html>\n <foo><&amp;]]></div>')
+    div = d.find_first("div")
+    assert tx.element_text(d, div) == "<html>\n <foo><&amp;"
+    assert d.element_children(div) == []
+    assert len(d.children[div]) == 1
