@@ -70,8 +70,9 @@ class Doc:
     def new_node(self, kind: int, tag: str | None = None,
                  attrs: dict | None = None, text: str | None = None,
                  ns: int = NS_HTML) -> int:
-        nid = len(self.kind)
-        self.kind.append(kind)
+        k = self.kind
+        nid = len(k)
+        k.append(kind)
         self.tag.append(tag)
         self.attrs.append(attrs)
         self.text.append(text)

@@ -51,7 +51,8 @@ MAX_ATTRS = 512
 
 
 class Tokenizer:
-    __slots__ = ("s", "low", "n", "p", "state", "rawtext_tag", "pending", "has_null")
+    __slots__ = ("s", "low", "n", "p", "state", "rawtext_tag", "pending",
+                 "has_null", "next_amp")
 
     def __init__(self, s: str):
         self.s = s
@@ -62,6 +63,10 @@ class Tokenizer:
         self.rawtext_tag: str | None = None
         self.pending: list = []
         self.has_null = "\x00" in s
+        # memoized position of the next '&' at/after p — without it every
+        # text segment would rescan to the next amp (possibly EOF), turning
+        # amp-free documents quadratic
+        self.next_amp = -2
 
     # -- public API -------------------------------------------------------
 
@@ -89,7 +94,10 @@ class Tokenizer:
         p = self.p
         while p < n:
             lt = s.find("<", p)
-            amp = s.find("&", p)
+            amp = self.next_amp
+            if amp != -1 and amp < p:
+                amp = s.find("&", p)
+                self.next_amp = amp
             if lt == -1 and amp == -1:
                 buf.append(s[p:])
                 p = n

@@ -116,6 +116,7 @@ class HtmlTreeBuilder:
         self.skip_next_lf = False
         self.base_latched = False
         self.fragment_context: str | None = None
+        self.has_foreign = False
 
     # ------------------------------------------------------------------ util
 
@@ -455,11 +456,13 @@ class HtmlTreeBuilder:
     # -- main dispatch -------------------------------------------------------
 
     def process(self, tok) -> None:
-        # foreign-content dispatch (simplified adjusted-current-node rules)
-        if self.stack and self.doc.ns[self.current()] != dom.NS_HTML:
+        # foreign-content dispatch (simplified adjusted-current-node rules);
+        # has_foreign is a one-way latch so HTML-only docs skip the ns check
+        if self.has_foreign and self.stack \
+                and self.doc.ns[self.stack[-1]] != dom.NS_HTML:
             if self._process_foreign(tok):
                 return
-        self._dispatch(tok, self.mode)
+        _MODE_HANDLERS[self.mode](self, tok)
 
     def _dispatch(self, tok, mode: int) -> None:
         handler = _MODE_HANDLERS[mode]
@@ -1026,6 +1029,7 @@ class HtmlTreeBuilder:
             self.insert_element(name, attrs)
             return
         if name == "math":
+            self.has_foreign = True
             self.reconstruct_formatting()
             nid = d.new_node(dom.ELEMENT, name, self.norm_attrs(tok[2], lower=False),
                              ns=dom.NS_MATHML)
@@ -1034,6 +1038,7 @@ class HtmlTreeBuilder:
                 self.stack.append(nid)
             return
         if name == "svg":
+            self.has_foreign = True
             self.reconstruct_formatting()
             nid = d.new_node(dom.ELEMENT, name, self.norm_attrs(tok[2], lower=False),
                              ns=dom.NS_SVG)
