@@ -270,6 +270,19 @@ def q_select_elements(spark, sf_dir):
     )
 
 
+def q_nodequery_compiled(spark, sf_dir):
+    """CSS compiled to Catalyst plan over the node table (no Python in the
+    query itself — only the parse kernel that builds the table)."""
+    from ksoup_spark.operators import nodequery
+
+    d = _docs(spark, sf_dir)
+    nodes = extract.node_table_df(d.select("doc_id", _span_class_html().alias("html")))
+    matched = nodequery.compile_selector(nodes, "div > span.w1")
+    return matched.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched")
+    )
+
+
 def q_spans_pipeline(spark, sf_dir):
     """Full interleaved pipeline: corpus table -> extract -> span summary."""
     corpus = build_docs_table(spark, sf_dir)
@@ -355,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_mode": q_xml_mode,
         "bytes_charset": q_bytes_charset,
         "select_elements": q_select_elements,
+        "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -431,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bytes_charset":
             "SELECT doc_id, replace(text, 'e', 'é') AS text_out FROM documents",
+        "nodequery_compiled": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        (w, i) -> (i-1) % 3 = 1)) AS INT)
+                     AS n_matched
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                                  (w, i) -> (i-1) % 3 = 1)) > 0
+        """,
         "select_elements": """
             SELECT doc_id,
                    unnest(list_transform(

@@ -1,0 +1,207 @@
+"""CSS-to-DataFrame compiler: run selectors as Catalyst plans over the
+exploded node table.
+
+The kernel evaluates selectors per document (Collector semantics); this
+module compiles the common selector subset into RELATIONAL operations over
+``node_table_df`` output, so corpus-wide structural queries run fully
+JVM-side with Catalyst doing predicate pushdown/join planning:
+
+- simple selectors -> column predicates (tag/id/class/attr families)
+- ``E F`` (descendant) -> preorder-interval range join
+  (anc.node_id < d.node_id <= anc.subtree_end, per SURVEY §2.E "the closest
+  thing the reference has to a join")
+- ``E > F`` (child) -> equi-join on (doc_id, parent_id)
+- ``E + F`` / ``E ~ F`` -> sibling joins on (doc_id, parent_id) with
+  elem_sibling_index arithmetic
+- positional pseudos (:first-child, :nth-child(b), :lt/:gt/:eq) -> index
+  arithmetic on elem_sibling_index
+
+Unsupported pieces (text pseudos, :has, :not, nth of-type formulas with a!=0)
+raise UnsupportedSelector — callers fall back to the kernel path
+(operators.extract.select_elements_df), which covers everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import selector as S
+
+ELEMENT_KIND = 1
+
+
+class UnsupportedSelector(ValueError):
+    pass
+
+
+def _compound_predicate(ev) -> "F.Column":
+    """Column predicate for a non-structural evaluator."""
+    if isinstance(ev, S.And):
+        pred = F.lit(True)
+        for e in ev.evals:
+            pred = pred & _compound_predicate(e)
+        return pred
+    if isinstance(ev, S.Or):
+        pred = F.lit(False)
+        for e in ev.evals:
+            pred = pred | _compound_predicate(e)
+        return pred
+    if isinstance(ev, S.AllElements):
+        return F.lit(True)
+    if isinstance(ev, S.Tag):
+        return F.lower(F.col("tag")) == ev.name
+    if isinstance(ev, S.TagStartsWith):
+        return F.lower(F.col("tag")).startswith(ev.prefix)
+    if isinstance(ev, S.TagEndsWith):
+        return F.lower(F.col("tag")).endswith(ev.suffix) | (
+            F.lower(F.col("tag")) == ev.suffix.lstrip(":")
+        )
+    if isinstance(ev, S.Id):
+        return F.col("attrs")["id"] == ev.ident
+    if isinstance(ev, S.ClassEval):
+        return F.array_contains(
+            F.split(F.lower(F.coalesce(F.col("attrs")["class"], F.lit(""))),
+                    r"\s+"),
+            ev.cls,
+        )
+    if isinstance(ev, S.HasAttr):
+        return F.array_contains(
+            F.transform(F.map_keys("attrs"), lambda k: F.lower(k)), ev.key
+        )
+    if isinstance(ev, S.AttrStarting):
+        return F.exists(
+            F.map_keys("attrs"), lambda k: F.lower(k).startswith(ev.prefix)
+        )
+    if isinstance(ev, (S.AttrValue, S.AttrValueNot, S.AttrValueStarting,
+                       S.AttrValueEnding, S.AttrValueContaining)):
+        v = F.lower(F.trim(F.coalesce(F.col("attrs")[ev.key], F.lit(""))))
+        raw = F.lower(F.coalesce(F.col("attrs")[ev.key], F.lit("")))
+        has = F.array_contains(
+            F.transform(F.map_keys("attrs"), lambda k: F.lower(k)), ev.key
+        )
+        if isinstance(ev, S.AttrValue):
+            return has & (v == ev.value)
+        if isinstance(ev, S.AttrValueNot):
+            return ~has | (v != ev.value)
+        if isinstance(ev, S.AttrValueStarting):
+            return has & raw.startswith(ev.value)
+        if isinstance(ev, S.AttrValueEnding):
+            return has & raw.endswith(ev.value)
+        return has & raw.contains(ev.value)
+    if isinstance(ev, S.AttrValueMatching):
+        return F.coalesce(F.col("attrs")[ev.key], F.lit("")).rlike(
+            ev.re.pattern
+        )
+    if isinstance(ev, S.IsFirstChild):
+        return F.col("elem_sibling_index") == 0
+    if isinstance(ev, S.IndexLessThan):
+        return F.col("elem_sibling_index") < ev.idx
+    if isinstance(ev, S.IndexGreaterThan):
+        return F.col("elem_sibling_index") > ev.idx
+    if isinstance(ev, S.IndexEquals):
+        return F.col("elem_sibling_index") == ev.idx
+    if isinstance(ev, S.IsNth) and ev.a == 0 and not ev.last and not ev.of_type:
+        return F.col("elem_sibling_index") == ev.b - 1
+    raise UnsupportedSelector(type(ev).__name__)
+
+
+def _split_structural(ev):
+    """Decompose And(compound..., structural) -> (compound pred, structural)."""
+    if isinstance(ev, S.And):
+        structural = [e for e in ev.evals
+                      if isinstance(e, (S.Ancestor, S.ImmediateParentRun,
+                                        S.ImmediatePrevious, S.PreviousSibling))]
+        plain = [e for e in ev.evals if e not in structural]
+        if len(structural) > 1:
+            raise UnsupportedSelector("multiple structural conjuncts")
+        pred = _compound_predicate(S.And(plain)) if plain else F.lit(True)
+        return pred, (structural[0] if structural else None)
+    if isinstance(ev, (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
+                       S.PreviousSibling)):
+        return F.lit(True), ev
+    return _compound_predicate(ev), None
+
+
+def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
+    """node table + CSS -> DataFrame of matched element rows.
+
+    Catalyst sees only joins/filters — whole-stage codegen end to end.
+    """
+    ev = S.parse_query(css)
+    return _compile_eval(nodes, ev)
+
+
+def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
+    elements = nodes.filter(F.col("kind") == ELEMENT_KIND)
+    if isinstance(ev, S.Or):
+        out = None
+        for sub in ev.evals:
+            part = _compile_eval(nodes, sub)
+            out = part if out is None else out.unionByName(part)
+        return out.dropDuplicates(["doc_id", "node_id"])
+    pred, structural = _split_structural(ev)
+    subject = elements.filter(pred)
+    if structural is None:
+        return subject
+    if isinstance(ev := structural, S.Ancestor):
+        anc = _compile_eval(nodes, ev.inner).select(
+            "doc_id",
+            F.col("node_id").alias("_anc_id"),
+            F.col("subtree_end").alias("_anc_end"),
+        )
+        return (
+            subject.join(anc, "doc_id")
+            .filter((F.col("node_id") > F.col("_anc_id"))
+                    & (F.col("node_id") <= F.col("_anc_end")))
+            .drop("_anc_id", "_anc_end")
+            .dropDuplicates(["doc_id", "node_id"])
+        )
+    if isinstance(ev, S.ImmediateParentRun):
+        # chain outermost-first; subject matches the last entry
+        out = subject
+        chain = ev.chain
+        for parent_ev in reversed(chain[:-1]):
+            if isinstance(parent_ev, S.Root):
+                raise UnsupportedSelector("root-anchored child run")
+            par = _compile_eval(nodes, parent_ev).select(
+                "doc_id", F.col("node_id").alias("_p_id")
+            )
+            out = (
+                out.join(
+                    par,
+                    (out["doc_id"] == par["doc_id"])
+                    & (out["parent_id"] == par["_p_id"]),
+                )
+                .drop(par["doc_id"])
+                .drop("_p_id")
+            )
+        # subject predicate: the final chain entry
+        out = out.filter(_compound_predicate(chain[-1]))
+        return out.dropDuplicates(["doc_id", "node_id"])
+    if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
+        prev = _compile_eval(nodes, ev.inner).select(
+            "doc_id",
+            F.col("parent_id").alias("_sp"),
+            F.col("elem_sibling_index").alias("_si"),
+        )
+        cond = (
+            (subject["doc_id"] == prev["doc_id"])
+            & (subject["parent_id"] == prev["_sp"])
+        )
+        if isinstance(ev, S.ImmediatePrevious):
+            cond = cond & (subject["elem_sibling_index"] == prev["_si"] + 1)
+        else:
+            cond = cond & (subject["elem_sibling_index"] > prev["_si"])
+        return (
+            subject.join(prev, cond)
+            .drop(prev["doc_id"])
+            .drop("_sp", "_si")
+            .dropDuplicates(["doc_id", "node_id"])
+        )
+    raise UnsupportedSelector(type(structural).__name__)
+
+
+def select_nodes(nodes: DataFrame, css: str) -> DataFrame:
+    """compile_selector + document-order output columns."""
+    return compile_selector(nodes, css).orderBy("doc_id", "node_id")

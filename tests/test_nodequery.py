@@ -1,0 +1,82 @@
+"""CSS-to-DataFrame compiler vs the kernel selector (differential test:
+both paths must return identical (doc_id, node_id) sets)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ksoup_spark.kernel import selector as sel  # noqa: E402
+from ksoup_spark.kernel import treebuilder as tb  # noqa: E402
+from ksoup_spark.operators import extract, nodequery  # noqa: E402
+
+DOCS = [
+    ("d1", '<div id=a class="x y"><p id=p1>one</p><p id=p2>two</p>'
+           '<span data-k=v>s</span></div><div class=z><p id=p3>three</p></div>'),
+    ("d2", '<ul><li id=l1>1<li id=l2 class=X>2<li id=l3>3</ul>'
+           '<table><tr><td id=t1>c</td></tr></table>'),
+    ("d3", '<article><section><p id=q1 title="The Title">deep</p></section>'
+           '</article><p id=q2>top</p>'),
+]
+
+QUERIES = [
+    "p",
+    "*",
+    "div p",
+    "div > p",
+    "article p",
+    "li + li",
+    "#l1 ~ li",
+    "div.x p",
+    ".x",
+    "[data-k]",
+    "[data-k=v]",
+    "[title^=the]",
+    "p:first-child",
+    "li:nth-child(2)",
+    "li:lt(2)",
+    "p, span",
+    "ul > li.x",
+]
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, html string")
+    return extract.node_table_df(df).cache()
+
+
+def _kernel_matches(css):
+    out = set()
+    for did, html in DOCS:
+        d = tb.parse(html)
+        remap = {}
+        for new_id, (old, _) in enumerate(d.preorder(0)):
+            remap[old] = new_id
+        for n in sel.select(d, css):
+            out.add((did, remap[n]))
+    return out
+
+
+@pytest.mark.parametrize("css", QUERIES)
+def test_compiled_matches_kernel(spark, nodes, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(nodes, css).collect()
+    }
+    assert got == _kernel_matches(css), css
+
+
+def test_unsupported_falls_back(spark, nodes):
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(p)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "p:contains(x)")
+
+
+def test_compiled_plan_is_jvm_only(spark, nodes):
+    plan = nodequery.compile_selector(nodes, "div > p")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
