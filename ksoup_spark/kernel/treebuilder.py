@@ -92,6 +92,17 @@ _SVG_TAG_ADJUST = {
     ).split()
 }
 
+# every tag with a dedicated InBody start-tag rule; others take the generic
+# reconstruct+insert fast path
+_INBODY_SPECIAL_START = frozenset(
+    "a p form li dd dt plaintext button table hr image textarea xmp iframe "
+    "noembed select optgroup option rp rt math svg html body frameset "
+    "head noframes area br embed img keygen wbr input param source track "
+    "caption col colgroup frame tbody td tfoot th thead tr pre listing "
+    "base basefont bgsound command link meta noscript script style title "
+    "template".split()
+) | FORMATTING_TAGS | _P_CLOSERS | HEADINGS
+
 MARKER = -1  # active-formatting-list scope marker
 
 MAX_SCOPE_SEARCH = 100          # HtmlTreeBuilder.kt:1095-1097
@@ -239,8 +250,14 @@ class HtmlTreeBuilder:
 
     def insert_element(self, name: str, attrs: dict, ns: int = dom.NS_HTML,
                        push: bool = True) -> int:
-        nid = self.doc.new_node(dom.ELEMENT, name, attrs, ns=ns)
-        self._attach(nid)
+        d = self.doc
+        nid = d.new_node(dom.ELEMENT, name, attrs, ns=ns)
+        if not self.foster_inserts:  # common case: append to current element
+            parent = self.stack[-1] if self.stack else 0
+            d.children[parent].append(nid)
+            d.parent[nid] = parent
+        else:
+            self._attach(nid)
         if push:
             self.stack.append(nid)
         return nid
@@ -839,6 +856,11 @@ class HtmlTreeBuilder:
 
     def _in_body_start(self, tok) -> None:
         name = tok[1].lower()
+        if name not in _INBODY_SPECIAL_START:
+            # generic/unknown tag fast path (the common case)
+            self.reconstruct_formatting()
+            self.insert_element(name, self.norm_attrs(tok[2]))
+            return
         attrs = self.norm_attrs(tok[2])
         selfclosing = tok[3]
         d = self.doc
