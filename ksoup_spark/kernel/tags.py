@@ -18,8 +18,12 @@ BLOCK_TAGS = frozenset(
     ul ol pre div blockquote hr address figure figcaption form fieldset ins
     del dl dt dd li table caption thead tfoot tbody colgroup col tr th
     td video audio canvas details menu plaintext template article main
-    svg math center dir applet marquee listing""".split()
+    svg math center dir applet marquee listing button output""".split()
 )
+# NOTE: button/output are not in the reference's blockTags array, but its
+# registry creates them via later setup lists (formatAsInlineTags /
+# formListedTags) with the default isBlock=true (Tag.kt:31,264-290) — so they
+# behave as block in text() boundary-space rules (buttonTextHasSpace test).
 
 INLINE_TAGS = frozenset(
     """object base font tt i b u big small em strong dfn code samp kbd

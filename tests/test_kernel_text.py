@@ -85,3 +85,44 @@ def test_title_normalised():
 def test_cdata_raw_in_text():
     d = tb.parse("<p><svg><![CDATA[  raw  text ]]></svg></p>")
     assert "  raw  text " in tx.whole_text(d, d.body())
+
+
+def test_whole_text_runs():
+    # ElementTest.wholeTextRuns
+    d = tb.parse("<div><p id=1></p><p id=2> </p><p id=3>.  </p>")
+    from ksoup_spark.kernel import selector as sel
+    p1 = sel.select_first(d, "#1")
+    p2 = sel.select_first(d, "#2")
+    p3 = sel.select_first(d, "#3")
+    assert tx.whole_text(d, p1) == ""
+    assert tx.whole_text(d, p2) == " "
+    assert tx.whole_text(d, p3) == ".  "
+
+
+def test_button_text_has_space():
+    # ElementTest.buttonTextHasSpace: button is block-ish boundary in text()
+    d = tb.parse("<html><button>Reply</button><button>All</button></html>")
+    assert tx.element_text(d, d.body()) == "Reply All"
+    assert tx.whole_text(d, d.body()) == "ReplyAll"
+
+
+def test_whole_text_block_boundary_preserved():
+    d = tb.parse("<p>Hello  <div>\n  there</div></p>")
+    assert tx.whole_text(d, d.body()) == "Hello  \n  there"
+
+
+def test_sibling_navigation():
+    # ElementTest.testGetSiblings / nextElementSibling / prevElementSibling
+    from ksoup_spark.kernel import dom as D
+    from ksoup_spark.kernel import selector as sel
+    d = tb.parse("<div><p>Hello<p id=1>there<p>this<p>is<p>an<p id=last>element</div>")
+    p = sel.select_first(d, "#1")
+    assert tx.element_text(d, p) == "there"
+    assert tx.element_text(d, D.previous_element_sibling(d, p)) == "Hello"
+    assert tx.element_text(d, D.next_element_sibling(d, p)) == "this"
+    d2 = tb.parse("<p>One</p>Two<p>Three</p>")
+    first = sel.select_first(d2, "p")
+    assert D.previous_element_sibling(d2, first) == -1
+    nxt = D.next_element_sibling(d2, first)
+    assert tx.element_text(d2, nxt) == "Three"
+    assert D.next_element_sibling(d2, nxt) == -1
