@@ -143,3 +143,26 @@ def test_doctype_parsing():
     assert d.quirks == 0
     d2 = tb.parse("<p>x</p>")
     assert d2.quirks == 1  # no doctype -> quirks
+
+
+def test_unescape_reference_cases():
+    # EntitiesTest.getByName / unescapeMultiChars semantics
+    assert unescape("&nGt;") == "≫⃒"
+    assert unescape("&fjlig;") == "fj"
+    assert unescape("&gg;") == "≫"
+    assert unescape("&copy;") == "©"
+    assert unescape("&Gt; &Gg;&#x338; &Gt;&#x20D2; &Gt;&#x338; &Gt; &Gt;") \
+        == "≫ ⋙̸ ≫⃒ ≫̸ ≫ ≫"
+
+
+def test_unescape_strict_vs_loose():
+    # base entities without ';' decode in text; unknown stays literal
+    assert unescape("Hello &amp;&LT; &reg; &icy; &hopf; &icy &hopf") \
+        == "Hello &< ® и 𝕙 &icy &hopf"
+
+
+def test_nested_quotes_in_attrs():
+    d = tb.parse('<p foo=\'bar "qux" baz\'>x</p>')
+    assert d.get_attr(d.find_first("p"), "foo") == 'bar "qux" baz'
+    d2 = tb.parse('<p foo="bar \'qux\' baz">x</p>')
+    assert d2.get_attr(d2.find_first("p"), "foo") == "bar 'qux' baz"
