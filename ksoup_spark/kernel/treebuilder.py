@@ -95,7 +95,7 @@ _SVG_TAG_ADJUST = {
 # every tag with a dedicated InBody start-tag rule; others take the generic
 # reconstruct+insert fast path
 _INBODY_SPECIAL_START = frozenset(
-    "a p form li dd dt plaintext button table hr image textarea xmp iframe "
+    "a p form li dd dt plaintext button table hr image isindex textarea xmp iframe "
     "noembed select optgroup option rp rt math svg html body frameset "
     "head noframes area br embed img keygen wbr input param source track "
     "caption col colgroup frame tbody td tfoot th thead tr pre listing "
@@ -1001,6 +1001,27 @@ class HtmlTreeBuilder:
             # image -> img rename (HtmlTreeBuilderState.kt:556-561)
             self.error()
             self._in_body_start(("start", "img", tok[2], tok[3]))
+            return
+        if name == "isindex":
+            # legacy expansion (HtmlTreeBuilderState.kt:563-610):
+            # form > hr, label("prompt", input[name=isindex]), hr
+            self.error()
+            if self.form_id != -1:
+                return
+            self._in_body_start(("start", "form", [("action", attrs["action"])]
+                                 if "action" in attrs else [], False))
+            self._in_body_start(("start", "hr", [], False))
+            self._in_body_start(("start", "label", [], False))
+            prompt = attrs.get("prompt") or \
+                "This is a searchable index. Enter search keywords: "
+            self._in_body_text(prompt)
+            input_attrs = [(k, v) for k, v in attrs.items()
+                           if k not in ("name", "action", "prompt")]
+            input_attrs.append(("name", "isindex"))
+            self._in_body_start(("start", "input", input_attrs, False))
+            self._in_body_end(("end", "label"))
+            self._in_body_start(("start", "hr", [], False))
+            self._in_body_end(("end", "form"))
             return
         if name == "textarea":
             self.insert_element(name, attrs)

@@ -126,3 +126,53 @@ def test_nbsp_entity_is_text_whitespace():
     # text() collapses nbsp to plain space; wholeText keeps U+00A0
     assert tx.element_text(d, d.body()) == "a b"
     assert tx.whole_text(d, d.body()) == "a b"
+
+
+def test_input_in_table_hidden_stays():
+    # handlesInputInTable
+    h = ('<body>\n<input type="hidden" name="a" value="">\n<table>\n'
+         '<input type="hidden" name="b" value="" />\n</table>\n</body>')
+    d = tb.parse(h)
+    assert len(sel.select(d, "table input")) == 1
+    assert len(sel.select(d, "input")) == 2
+
+
+def test_image_to_img_except_svg():
+    # convertsImageToImg
+    d = tb.parse("<body><image><svg><image /></svg></body>")
+    assert d.find_first("img") != -1
+    svg = d.find_first("svg")
+    kids = d.element_children(svg)
+    assert kids and d.tag[kids[0]] == "image"
+
+
+def test_invalid_doctypes_no_crash():
+    for h in ["<!DOCTYPE>", "<!DOCTYPE><html><p>Foo</p></html>", "<!DOCTYPE \x00>"]:
+        tb.parse(h)
+
+
+def test_many_children_scale():
+    # handlesManyChildren: 25k text+br pairs parse fast, 50k body children
+    body = "".join(f"{i}<br>" for i in range(25000))
+    d = tb.parse_body_fragment(body)
+    assert len(d.children[d.body()]) == 50000
+
+
+def test_th_reinsertion_mode():
+    # testReinsertionModeForThCelss
+    d = tb.parse("<body> <table> <tr> <th> <table><tr><td></td></tr></table> "
+                 "<div> <table><tr><td></td></tr></table> </div> <div></div> "
+                 "<div></div> <div></div> </th> </tr> </table> </body>")
+    assert len(d.element_children(d.body())) == 1
+
+
+def test_isindex_expansion():
+    # testNormalisesIsIndex: legacy isindex -> form/hr/label/input
+    d = tb.parse("<body><isindex action='/submit'></body>")
+    form = d.find_first("form")
+    assert form != -1 and d.get_attr(form, "action") == "/submit"
+    label = d.find_first("label")
+    assert "searchable index" in tx.element_text(d, label)
+    inp = d.find_first("input")
+    assert d.get_attr(inp, "name") == "isindex"
+    assert len(sel.select(d, "form > hr")) == 2
