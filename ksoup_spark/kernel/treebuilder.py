@@ -444,21 +444,31 @@ class HtmlTreeBuilder:
                 return fid
         return -1
 
+    def _on_stack_capped(self, nid: int) -> bool:
+        # stack membership scan capped at 256 from the top, like the
+        # reference's maxQueueDepth (HtmlTreeBuilder.kt:1095-1097) — keeps
+        # adversarial deep stacks from making every check O(stack)
+        s = self.stack
+        return nid in (s if len(s) <= 256 else s[-256:])
+
     def reconstruct_formatting(self) -> None:
-        # HtmlTreeBuilder.kt:839-881
+        # HtmlTreeBuilder.kt:839-881; rewind capped at 12 entries
+        # (maxUsedFormattingElements) so adversarial formatting floods don't
+        # turn every text insertion quadratic
         if not self.formatting:
             return
         last = self.formatting[-1]
-        if last == MARKER or last in self.stack:
+        if last == MARKER or self._on_stack_capped(last):
             return
         i = len(self.formatting) - 1
+        floor = max(0, i - 12)
         entry = last
         while True:
-            if i == 0:
+            if i == floor:
                 break
             i -= 1
             entry = self.formatting[i]
-            if entry == MARKER or entry in self.stack:
+            if entry == MARKER or self._on_stack_capped(entry):
                 i += 1
                 entry = self.formatting[i]
                 break
@@ -1870,16 +1880,18 @@ class HtmlTreeBuilder:
             self.error()
             return
         if k == "eof":
-            if not self.on_stack("template"):
-                return
-            self.error()
-            self.pop_until("template")
-            self.clear_formatting_to_marker()
-            if self.template_modes:
-                self.template_modes.pop()
-            self.reset_insertion_mode()
-            if self.mode != IN_TEMPLATE:
-                self.process(tok)
+            # iterative unwind: a fuzz doc can nest thousands of templates,
+            # so reprocessing EOF recursively would blow the Python stack
+            while self.on_stack("template"):
+                self.error()
+                self.pop_until("template")
+                self.clear_formatting_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
+                self.reset_insertion_mode()
+                if self.mode != IN_TEMPLATE:
+                    break
+            return
 
     def _template_switch(self, tok, mode: int) -> None:
         if self.template_modes:

@@ -76,3 +76,29 @@ def test_null_heavy_and_unterminated():
               "<p " + "a" * 5000, "<a href='" + "x" * 10000]:
         d = tb.parse(h)
         extract_spans(d)
+
+
+import glob
+import os
+import time
+
+import pytest
+
+_FUZZ_DIR = "/root/reference/ksoup-test/testResources/fuzztests"
+
+
+@pytest.mark.skipif(not os.path.isdir(_FUZZ_DIR),
+                    reason="reference fuzz corpus not available")
+def test_reference_fuzz_corpus_terminates():
+    """The reference's 36 crash-regression inputs: parse + extract must
+    terminate promptly and never raise (timeout-bounded, ParserIT-style)."""
+    from ksoup_spark.kernel.charset import decode_html_bytes
+
+    files = sorted(glob.glob(f"{_FUZZ_DIR}/*.gz"))
+    assert len(files) >= 30
+    t0 = time.time()
+    for f in files:
+        html = decode_html_bytes(open(f, "rb").read())
+        d = tb.parse(html)
+        extract_spans(d)
+    assert time.time() - t0 < 60
