@@ -130,15 +130,6 @@ def _traverse(doc: Doc, root: int):
             stack.pop()
 
 
-def _next_sibling(doc: Doc, node: int) -> int:
-    p = doc.parent[node]
-    if p == -1:
-        return -1
-    sibs = doc.children[p]
-    i = sibs.index(node)
-    return sibs[i + 1] if i + 1 < len(sibs) else -1
-
-
 def element_text(doc: Doc, root: int) -> str:
     """Element.text(): normalized combined text of root's subtree.
 

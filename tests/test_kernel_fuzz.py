@@ -102,3 +102,23 @@ def test_reference_fuzz_corpus_terminates():
         d = tb.parse(html)
         extract_spans(d)
     assert time.time() - t0 < 60
+
+
+_HTMLTESTS_DIR = "/root/reference/ksoup-test/testResources/htmltests"
+
+
+@pytest.mark.skipif(not os.path.isdir(_HTMLTESTS_DIR),
+                    reason="reference html fixtures not available")
+def test_real_page_fixtures_extract():
+    """All real-page fixtures (incl. ~1MB news page, gzip variants) decode,
+    parse, and emit spans without error."""
+    from ksoup_spark.kernel.charset import decode_html_bytes
+
+    files = sorted(glob.glob(f"{_HTMLTESTS_DIR}/*"))
+    assert len(files) >= 15
+    n_spans = 0
+    for f in files:
+        html = decode_html_bytes(open(f, "rb").read())
+        d = tb.parse(html)
+        n_spans += len(extract_spans(d))
+    assert n_spans > 100
