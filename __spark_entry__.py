@@ -270,6 +270,17 @@ def q_select_elements(spark, sf_dir):
     )
 
 
+def q_html_clean(spark, sf_dir):
+    """Sanitizer roundtrip: unsafe attrs/tags stripped, text preserved."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<p onclick="evil()" class=x>'),
+        F.col("text"),
+        F.lit('</p><script>bad()</script><blockquote cite="http://c.x/">q</blockquote>'),
+    )
+    return d.select("doc_id", H.html_clean(html, "basic").alias("cleaned"))
+
+
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
     query itself — only the parse kernel that builds the table)."""
@@ -368,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_mode": q_xml_mode,
         "bytes_charset": q_bytes_charset,
         "select_elements": q_select_elements,
+        "html_clean": q_html_clean,
         "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -445,6 +457,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bytes_charset":
             "SELECT doc_id, replace(text, 'e', 'é') AS text_out FROM documents",
+        "html_clean": """
+            SELECT doc_id,
+                   '<p>' || text || '</p><blockquote cite="http://c.x/">q</blockquote>'
+                     AS cleaned
+            FROM documents
+        """,
         "nodequery_compiled": """
             SELECT doc_id,
                    CAST(len(list_filter(string_split(text, ' '),

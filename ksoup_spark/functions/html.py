@@ -247,3 +247,30 @@ def html_media_refs(col: Column | str) -> Column:
         return pd.Series(out)
 
     return _f(col)
+
+
+def html_clean(col: Column | str, preset: str = "basic") -> Column:
+    """Sanitize a body fragment against a Safelist preset (Ksoup.clean)."""
+    from ..kernel.safety import Safelist, clean_html
+
+    assert preset in ("none", "simple_text", "basic", "basic_with_images",
+                      "relaxed")
+
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        sl = getattr(Safelist, preset)()
+        return pd.Series([clean_html(h or "", sl) for h in s])
+
+    return _f(col)
+
+
+def html_is_valid(col: Column | str, preset: str = "basic") -> Column:
+    from ..kernel.safety import Safelist, is_valid_html
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _f(s: pd.Series) -> pd.Series:
+        sl = getattr(Safelist, preset)()
+        return pd.Series([is_valid_html(h or "", sl) for h in s])
+
+    return _f(col)
