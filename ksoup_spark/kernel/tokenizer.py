@@ -493,6 +493,25 @@ class Tokenizer:
         while True:
             idx = low.find(needle, search)
             if idx == -1:
+                if decode_refs:
+                    # RCDATA bail-out deviation (TokeniserState.kt:196-209):
+                    # no appropriate end tag ahead — at the first '<'+letter
+                    # emit a synthesized end tag and reparse from the '<' as
+                    # a regular start tag instead of consuming to EOF
+                    j = p
+                    while True:
+                        j = s.find("<", j)
+                        if j == -1 or j + 1 >= n:
+                            break
+                        c1 = s[j + 1]
+                        if "a" <= c1 <= "z" or "A" <= c1 <= "Z":
+                            text = s[p:j]
+                            self.p = j
+                            self.state = DATA
+                            return self._emit_raw_text(
+                                text, decode_refs, [("end", tag)]
+                            )
+                        j += 1
                 text = s[p:]
                 self.p = n
                 self.state = DATA

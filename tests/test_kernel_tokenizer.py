@@ -166,3 +166,58 @@ def test_nested_quotes_in_attrs():
     assert d.get_attr(d.find_first("p"), "foo") == 'bar "qux" baz'
     d2 = tb.parse('<p foo="bar \'qux\' baz">x</p>')
     assert d2.get_attr(d2.find_first("p"), "foo") == "bar 'qux' baz"
+
+
+def _sel_text(h, q):
+    from ksoup_spark.kernel import selector as sel
+    d = tb.parse(h)
+    n = sel.select_first(d, q)
+    return tx.element_text(d, n) if n != -1 else None
+
+
+def test_end_tag_open_states():
+    # TokeniserStateTest.testEndTagOpen
+    assert _sel_text("<div>hello world</", "div") == "hello world</"
+    assert _sel_text("<div>hello world</div>", "div") == "hello world"
+    assert _sel_text("<div>fake</></div>", "div") == "fake"
+    assert _sel_text("<div>fake</?</div>", "div") == "fake"
+
+
+def test_rcdata_lessthan_sign():
+    # TokeniserStateTest.testRcdataLessthanSign incl. the bail-out deviation
+    assert _sel_text("<textarea><fake></textarea>", "textarea") == "<fake>"
+    assert _sel_text("<textarea><open", "textarea") == ""
+    assert _sel_text("<textarea>hello world</?fake</textarea>", "textarea") \
+        == "hello world</?fake"
+
+
+def test_rcdata_bailout_reparses_content():
+    # title without end tag: following markup parses as real elements
+    d = tb.parse("<title>No end tag <p>Real para")
+    assert tx.doc_title(d) == "No end tag"
+    assert _sel_text("<title>No end tag <p>Real para", "p") == "Real para"
+
+
+@pytest.mark.parametrize("c", ["\t", "\n", "\r", "\f", " "])
+def test_rcdata_end_tag_name_whitespace(c):
+    assert _sel_text(f"<textarea>data</textarea{c}>", "textarea") == "data"
+
+
+def test_comment_end_coverage():
+    from ksoup_spark.kernel import dom
+    d = tb.parse("<html><head></head><body><img src=foo>"
+                 "<!-- <table><tr><td></table> --! --- --><p>Hello</p></body></html>")
+    comments = [n for n, _ in d.preorder() if d.kind[n] == dom.COMMENT]
+    assert d.text[comments[0]] == " <table><tr><td></table> --! --- "
+    d2 = tb.parse("<html><head></head><body><img src=foo>"
+                  "<!-- <table><tr><td></table> --!---><p>Hello</p></body></html>")
+    comments2 = [n for n, _ in d2.preorder() if d2.kind[n] == dom.COMMENT]
+    assert d2.text[comments2[0]] == " <table><tr><td></table> --!-"
+
+
+def test_less_in_tag_as_new_tag():
+    # handlesLessInTagThanAsNewTag (out-of-spec reference behavior)
+    from ksoup_spark.kernel.serialize import inner_html
+    d = tb.parse("<p\n<p<div id=one <span>Two")
+    got = inner_html(d, d.body(), pretty=False)
+    assert got == '<p></p><p></p><div id="one"><span>Two</span></div>'
