@@ -35,7 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "4"))
 REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "24"))
-SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "2"))
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "4"))
 SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPEAT", "48"))
 # N for the N-vs-4N scaling pair. Default 2 (→ local[2] vs local[8], the
 # pair named in BASELINE.md): both levels sit within PHYSICAL cores. This

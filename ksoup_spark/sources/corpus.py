@@ -78,9 +78,17 @@ def build_docs_table(spark: SparkSession, sf_dir: str,
         )
         .when(
             mod == 1,
+            # one <li> per 6 words — realistic web tag density (~1 tag per
+            # half-dozen words), not one tag per word
             F.concat(
                 F.lit('<ul><li class="first">'),
-                F.expr("array_join(transform(split(text, ' '), w -> concat('<li>', w)), '')"),
+                F.expr(
+                    "array_join(transform("
+                    " sequence(0, int(ceil(size(split(text,' ')) / 6.0)) - 1),"
+                    " i -> concat('<li>',"
+                    "   array_join(slice(split(text,' '), i*6 + 1, 6), ' '))"
+                    "), '')"
+                ),
                 F.lit("</ul>"),
             ),
         )
