@@ -134,3 +134,29 @@ def test_xml_cdata_roundtrip():
     assert tx.element_text(d, div) == "<html>\n <foo><&amp;"
     assert d.element_children(div) == []
     assert len(d.children[div]) == 1
+
+
+import glob as _glob
+import os as _os
+
+_BOM_DIR = "/root/reference/ksoup-test/testResources/bomtests"
+
+
+def test_reference_bom_fixtures():
+    """DataUtilTest BOM fixtures: all five BOM encodings + gzip decode to
+    readable documents with correct titles."""
+    import pytest as _pytest
+    if not _os.path.isdir(_BOM_DIR):
+        _pytest.skip("reference BOM fixtures not available")
+    from ksoup_spark.kernel import treebuilder as tb
+    from ksoup_spark.kernel.textops import doc_title
+    titles = {}
+    for f in sorted(_glob.glob(f"{_BOM_DIR}/*")):
+        d = tb.parse(decode_html_bytes(open(f, "rb").read()))
+        titles[_os.path.basename(f)] = doc_title(d)
+    assert titles["bom_utf16be.html"] == "UTF-16BE Encoded Korean Page with BOM"
+    assert titles["bom_utf16le.html"] == "UTF-16LE Encoded Korean Page with BOM"
+    assert titles["bom_utf32be.html"] == "UTF-32BE Encoded Korean Page with BOM"
+    assert titles["bom_utf32le.html"] == "UTF-32LE Encoded Korean Page with BOM"
+    assert titles["bom_utf8.html"] == "OK"
+    assert titles["bom_utf8.html.gz"] == "OK"
