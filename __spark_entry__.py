@@ -320,6 +320,11 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def q_minhash_signatures(spark, sf_dir):
+    """Oracle-checked MinHash signatures (md5 hash family, portable SQL)."""
+    return dedup.minhash_signatures_md5(_docs(spark, sf_dir), num_hashes=8)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32,
                                    bands=8, threshold=0.3)
@@ -384,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -498,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        "minhash_signatures": dedup.minhash_signatures_md5_sql(num_hashes=8),
         # dedup_minhash_lsh: no oracle (probabilistic candidate generation)
         "simhash": textstats.simhash_sql(),
         "simhash_near_dups": f"""

@@ -250,3 +250,57 @@ WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       (len(a.shingles) + len(b.shingles)
        - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
 """
+
+
+def minhash_signatures_md5(df: DataFrame, num_hashes: int = 8,
+                           n: int = 3) -> DataFrame:
+    """MinHash signatures using md5-derived 60-bit hashes — portable to any
+    SQL engine for oracle checking. Production path uses
+    minhash_signatures (xxhash64: JVM-native, ~4× faster); the math is
+    identical, only the hash family differs.
+    """
+    sh = shingles_raw(df, n)
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle"))),
+                            1, 15),
+                16, 10,
+            ).cast("long")
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def shingles_raw(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct raw word n-gram shingles per document (not hashed)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def minhash_signatures_md5_sql(table: str = "documents", num_hashes: int = 8,
+                               n: int = 3) -> str:
+    cols = ", ".join(
+        f"min(('0x' || substr(md5('s{s}:' || shingle), 1, 15))::BIGINT) AS h{s}"
+        for s in range(num_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i + {n - 1}), ' ')
+         ))) AS shingle
+  FROM {table}
+)
+SELECT doc_id, {cols} FROM sh GROUP BY doc_id
+"""

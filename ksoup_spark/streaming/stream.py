@@ -54,3 +54,52 @@ def start_extraction_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def extract_spans_col():
+    """Column-level extraction UDF (spans-in -> spans-out), for plans that
+    must keep sibling columns (e.g. event time in streaming) without a join."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.extract import SPANS_TYPE, assemble_html, \
+        extract_spans_from_html
+
+    @F.pandas_udf(SPANS_TYPE)
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_spans_from_html(assemble_html(v or [])) for v in s]
+        )
+
+    return _f
+
+
+def span_metrics_stream(docs_stream: DataFrame,
+                        event_time_col: str = "event_time",
+                        window_duration: str = "1 minute",
+                        watermark: str = "2 minutes") -> DataFrame:
+    """Windowed extraction metrics with late-data handling.
+
+    Shape: column-level extraction (keeps the event-time column, no
+    stream-stream join) -> watermark -> tumbling-window aggregate of
+    doc/span/media counts. Late documents beyond the watermark are dropped
+    (bounded state); 'append' mode emits a window once finalized.
+    """
+    from pyspark.sql import functions as F
+
+    extracted = docs_stream.select(
+        event_time_col,
+        "doc_id",
+        extract_spans_col()("spans").alias("spans"),
+    )
+    return (
+        extracted.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(
+                F.size(F.filter("spans", lambda s: s["kind"] != "text"))
+            ).alias("n_media_spans"),
+        )
+    )

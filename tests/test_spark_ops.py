@@ -206,3 +206,30 @@ def test_bytes_decode_bom(spark):
                                "doc_id string, content binary")
     out = extract.extract_spans_from_bytes_df(df).first()
     assert out["spans"][0]["text"] == "bom doc"
+
+
+def test_streaming_windowed_metrics(spark, tmp_path):
+    """Watermarked windowed aggregation over the extraction stream."""
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans").limit(40)
+    timed = docs.withColumn(
+        "event_time",
+        F.to_timestamp(
+            F.concat(F.lit("2026-08-16 10:0"),
+                     F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("string"),
+                     F.lit(":00"))
+        ),
+    )
+    src = str(tmp_path / "src")
+    timed.write.parquet(src)
+    schema = ("event_time timestamp, doc_id string, spans array<struct<"
+              "kind:string,text:string,media_ref:string,offset:int>>")
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming.span_metrics_stream(stream, window_duration="1 minute",
+                                        watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("span_metrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("span_metrics").collect()
+    assert sum(r["n_docs"] for r in rows) == 40
+    assert all(r["n_spans"] >= r["n_docs"] for r in rows)
+    assert len(rows) >= 2  # multiple windows
