@@ -10,6 +10,8 @@ by the same salted repartition as the batch path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.extract import SPANS_SCHEMA, extract_spans_df
@@ -59,7 +61,6 @@ def start_extraction_stream(
 def extract_spans_col():
     """Column-level extraction UDF (spans-in -> spans-out), for plans that
     must keep sibling columns (e.g. event time in streaming) without a join."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from ..operators.extract import SPANS_TYPE, assemble_html, \
@@ -68,7 +69,12 @@ def extract_spans_col():
     @F.pandas_udf(SPANS_TYPE)
     def _f(s: pd.Series) -> pd.Series:
         return pd.Series(
-            [extract_spans_from_html(assemble_html(v or [])) for v in s]
+            [
+                extract_spans_from_html(
+                    assemble_html(list(v) if v is not None else [])
+                )
+                for v in s
+            ]
         )
 
     return _f
