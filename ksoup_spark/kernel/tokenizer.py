@@ -43,6 +43,13 @@ PLAINTEXT = 4
 _WS = "\t\n\r\f "
 _TAG_NAME = re.compile(r"[^\t\n\r\f /><\x00]+")
 _ATTR_NAME = re.compile(r"[^\t\n\r\f /=><\x00]+")
+# fast path for the dominant clean-attribute shape: ws* name ws* = ws*
+# quoted-value with no charref/NULL inside. One C-level match replaces
+# ~6 Python-level steps of the general loop below.
+_ATTR_FAST_Q = re.compile(
+    r"[\t\n\r\f ]*([^\t\n\r\f /=><\x00]+)[\t\n\r\f ]*=[\t\n\r\f ]*"
+    r"(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)')"
+)
 _UNQUOTED_CHUNK = re.compile(r"[^\t\n\r\f >&\x00]+")
 _DOCTYPE_KW = re.compile(r"doctype", re.IGNORECASE)
 _CDATA_OPEN = "[CDATA["
@@ -208,6 +215,13 @@ class Tokenizer:
         attrs: list = []
         selfclosing = False
         while True:
+            m = _ATTR_FAST_Q.match(s, p)
+            if m:
+                if len(attrs) < MAX_ATTRS:
+                    v = m.group(2)
+                    attrs.append((m.group(1), v if v is not None else m.group(3)))
+                p = m.end()
+                continue
             if p >= n:
                 self.p = n
                 return None  # EOF inside tag: drop it
