@@ -281,6 +281,70 @@ def q_html_clean(spark, sf_dir):
     return d.select("doc_id", H.html_clean(html, "basic").alias("cleaned"))
 
 
+def q_main_content(spark, sf_dir):
+    """North-rule main-content extraction: boilerplate chrome (header/nav/
+    sidebar/ads/comments/footer + script) stripped by DOM heuristics; the
+    surviving article text must equal the seed text exactly."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><script>track()</script></head><body>'
+              '<header class="masthead"><h1>Site</h1>'
+              '<nav><a href="/">Home</a><a href="/b">Blog</a></nav></header>'
+              '<div class="sidebar"><a href="/x">x</a> promo</div>'
+              '<article><p>'),
+        F.col("text"),
+        F.lit('</p></article>'
+              '<div class="comments"><p>junk</p></div>'
+              '<footer>(c) site</footer></body></html>'),
+    )
+    return d.select("doc_id", H.html_main_text(html).alias("main_text"))
+
+
+def q_html_rewrite(spark, sf_dir):
+    """Mutation surface: Elements.remove + attr(k,v) as corpus rewrites."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<p id="k">'),
+        F.col("text"),
+        F.lit('</p><nav><a href="/">x</a></nav>'),
+    )
+    removed = H.html_remove(html, "nav")
+    return d.select(
+        "doc_id",
+        H.html_set_attr(removed, "p", "data-m", "1").alias("rewritten"),
+    )
+
+
+def q_match_text(spark, sf_dir):
+    """:matchText selector: text nodes selectable as pseudo elements; the
+    two text runs around <br> surface as separate matches."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("<br>tail-run</p>"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            H.html_select_text(html, "p:matchText"), " | "
+        ).alias("runs"),
+    )
+
+
+def q_pdf_layout(spark, sf_dir):
+    """PDF/layout-parse stage (stubbed parser, real plumbing): binary
+    payloads -> ordered layout blocks. Rows-only check (the stub derives
+    structure from sha256, not SQL-expressible)."""
+    from ksoup_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir)
+    pdfs = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "utf-8")
+        .alias("payload"),
+    )
+    return multimodal.pdf_layout(pdfs).orderBy("media_id", "page", "block")
+
+
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
     query itself — only the parse kernel that builds the table)."""
@@ -385,6 +449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytes_charset": q_bytes_charset,
         "select_elements": q_select_elements,
         "html_clean": q_html_clean,
+        "main_content": q_main_content,
+        "html_rewrite": q_html_rewrite,
+        "match_text": q_match_text,
+        "pdf_layout": q_pdf_layout,
         "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -463,6 +531,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bytes_charset":
             "SELECT doc_id, replace(text, 'e', 'é') AS text_out FROM documents",
+        "main_content":
+            "SELECT doc_id, text AS main_text FROM documents",
+        "html_rewrite": """
+            SELECT doc_id,
+                   '<p id="k" data-m="1">' || text || '</p>' AS rewritten
+            FROM documents
+        """,
+        "match_text":
+            "SELECT doc_id, text || ' | tail-run' AS runs FROM documents",
         "html_clean": """
             SELECT doc_id,
                    '<p>' || text || '</p><blockquote cite="http://c.x/">q</blockquote>'

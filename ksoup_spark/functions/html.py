@@ -274,3 +274,103 @@ def html_is_valid(col: Column | str, preset: str = "basic") -> Column:
         return pd.Series([is_valid_html(h or "", sl) for h in s])
 
     return _f(col)
+
+
+def html_main_text(col: Column | str, base_uri: str = "") -> Column:
+    """Boilerplate-stripped main-content text (north-rule DOM heuristics:
+    strip chrome, pick the semantic/best-scored container, Element.text())."""
+    from ..kernel.boilerplate import main_text
+
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([main_text(h or "", base_uri) for h in s])
+
+    return _f(col)
+
+
+_SPAN_SCHEMA = ArrayType(StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+]))
+
+
+def html_main_spans(col: Column | str, base_uri: str = "") -> Column:
+    """Boilerplate-stripped (kind, text, media_ref, offset) span sequence of
+    the main container — media spans interleaved at their DOM positions."""
+    from ..kernel.boilerplate import main_spans
+
+    @F.pandas_udf(_SPAN_SCHEMA)
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for h in s:
+            out.append([
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in main_spans(h or "", base_uri)
+            ])
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def _rewrite_udf(fn):
+    """html-in → html-out rewrite wrapper (serializes body inner HTML)."""
+
+    @F.pandas_udf(StringType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            fn(d)
+            b = d.body()
+            out.append(serialize.inner_html(d, b if b != -1 else 0,
+                                            pretty=False))
+        return pd.Series(out)
+
+    return _f
+
+
+def html_remove(col: Column | str, css: str) -> Column:
+    """Remove elements matching css; returns rewritten body HTML
+    (Elements.remove, select/Elements.kt:415-421)."""
+    sel.parse_query(css)  # validate on driver
+    from ..kernel import mutate
+
+    def op(d):
+        mutate.bulk_remove(d, sel.select(d, css))
+
+    return _rewrite_udf(op)(col)
+
+
+def html_set_attr(col: Column | str, css: str, key: str, value: str) -> Column:
+    """Set an attribute on all matching elements (Elements.attr(k, v))."""
+    sel.parse_query(css)
+    from ..kernel import mutate
+
+    def op(d):
+        mutate.bulk_attr(d, sel.select(d, css), key, value)
+
+    return _rewrite_udf(op)(col)
+
+
+def html_wrap(col: Column | str, css: str, wrapper_html: str) -> Column:
+    """Wrap matching elements in the fragment (Elements.wrap)."""
+    sel.parse_query(css)
+    from ..kernel import mutate
+
+    def op(d):
+        mutate.bulk_wrap(d, sel.select(d, css), wrapper_html)
+
+    return _rewrite_udf(op)(col)
+
+
+def html_unwrap(col: Column | str, css: str) -> Column:
+    """Drop matching elements but keep their children (Elements.unwrap)."""
+    sel.parse_query(css)
+    from ..kernel import mutate
+
+    def op(d):
+        mutate.bulk_unwrap(d, sel.select(d, css))
+
+    return _rewrite_udf(op)(col)

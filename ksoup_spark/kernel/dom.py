@@ -50,7 +50,7 @@ class Doc:
 
     __slots__ = (
         "kind", "tag", "attrs", "text", "parent", "children", "ns",
-        "base_uri", "quirks", "errors",
+        "base_uri", "quirks", "errors", "pseudo",
     )
 
     def __init__(self) -> None:
@@ -64,6 +64,9 @@ class Doc:
         self.base_uri: str = ""
         self.quirks: int = 0
         self.errors: int = 0
+        # ids of PseudoTextElements created by :matchText (nodes/
+        # PseudoTextElement.kt); None until prepare_match_text runs
+        self.pseudo: set[int] | None = None
 
     # -- construction -------------------------------------------------------
 

@@ -1,0 +1,363 @@
+"""DOM mutations over the node-table ``Doc``.
+
+Reimplements the reference's node/element mutation surface as node-table
+rewrites (the pipeline is read-mostly, but Cleaner, ``:matchText``,
+boilerplate-strip and user rewrites need structural edits):
+
+- node ops: remove/before/after/wrap/unwrap/replaceWith
+  (/root/reference/ksoup/src/com/fleeksoft/ksoup/nodes/Node.kt:338-491)
+- element ops: appendChild/prependChild/append(html)/prepend(html)/empty/
+  html(String)/text(String) (nodes/Element.kt:565-813)
+- attribute/class ops: attr(k,v)/removeAttr/addClass/removeClass/toggleClass
+  (nodes/Node.kt:102-160, nodes/Element.kt:1490-1577)
+- ``Elements`` bulk list ops (select/Elements.kt:37-792)
+
+Fragment HTML arguments are parsed with the real fragment parser and the
+resulting nodes grafted into the target ``Doc`` with id remapping
+(the reference allocates fresh objects; we allocate fresh rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import dom
+from .dom import Doc
+
+
+# -- fragment grafting -------------------------------------------------------
+
+def import_fragment(dst: Doc, html: str, context: str = "body") -> list[int]:
+    """Parse ``html`` as a fragment and copy its nodes into ``dst``.
+
+    Returns the new (unattached) top-level node ids in ``dst``, in order.
+    Mirrors Parser.parseFragment + node adoption (Parser.kt:193-220).
+    """
+    from .treebuilder import parse_fragment  # local import: cycle avoidance
+
+    src, roots = parse_fragment(html, context, base_uri=dst.base_uri)
+    return [_copy_subtree(dst, src, r) for r in roots]
+
+
+def _copy_subtree(dst: Doc, src: Doc, node: int) -> int:
+    attrs = src.attrs[node]
+    nid = dst.new_node(src.kind[node], src.tag[node],
+                       dict(attrs) if attrs else attrs,
+                       src.text[node], src.ns[node])
+    for c in src.children[node]:
+        dst.append_child(nid, _copy_subtree(dst, src, c))
+    return nid
+
+
+# -- node ops (Node.kt:338-491) ---------------------------------------------
+
+def remove(doc: Doc, node: int) -> None:
+    """Node.remove (Node.kt:338-341): detach from parent."""
+    doc.detach(node)
+
+
+def before(doc: Doc, node: int, new: int) -> None:
+    """Node.before(node) (Node.kt:359-366)."""
+    doc.insert_before(node, new)
+
+
+def after(doc: Doc, node: int, new: int) -> None:
+    """Node.after(node) (Node.kt:384-391)."""
+    p = doc.parent[node]
+    sibs = doc.children[p]
+    i = sibs.index(node)
+    doc.detach(new)
+    sibs.insert(i + 1, new)
+    doc.parent[new] = p
+
+
+def before_html(doc: Doc, node: int, html: str) -> None:
+    """Node.before(html) (Node.kt:348-352): fragment inserted before node."""
+    ctx = _fragment_context(doc, doc.parent[node])
+    for nid in import_fragment(doc, html, ctx):
+        doc.insert_before(node, nid)
+
+
+def after_html(doc: Doc, node: int, html: str) -> None:
+    """Node.after(html) (Node.kt:373-377)."""
+    ctx = _fragment_context(doc, doc.parent[node])
+    anchor = node
+    for nid in import_fragment(doc, html, ctx):
+        after(doc, anchor, nid)
+        anchor = nid
+
+
+def replace_with(doc: Doc, old: int, new: int) -> None:
+    """Node.replaceWith (Node.kt:473-476)."""
+    doc.insert_before(old, new)
+    doc.detach(old)
+
+
+def wrap(doc: Doc, node: int, html: str) -> int:
+    """Node.wrap(html) (Node.kt:409-455): first fragment element becomes the
+    wrapper, placed at node's position; node moves into the wrapper's deepest
+    element descendant; remaining fragment nodes follow after. Returns the
+    wrapper id (-1 if the fragment has no element)."""
+    ctx = _fragment_context(doc, doc.parent[node])
+    nodes = import_fragment(doc, html, ctx)
+    wrapper = -1
+    for nid in nodes:
+        if doc.kind[nid] == dom.ELEMENT:
+            wrapper = nid
+            break
+    if wrapper == -1:
+        return -1
+    deepest = _deep_child(doc, wrapper)
+    if doc.parent[node] != -1:
+        doc.insert_before(node, wrapper)
+    doc.append_child(deepest, node)
+    # trailing fragment nodes go after the wrapper (Node.kt:434-449)
+    anchor = wrapper
+    for nid in nodes:
+        if nid != wrapper and doc.parent[nid] == -1:
+            if doc.parent[anchor] != -1:
+                after(doc, anchor, nid)
+                anchor = nid
+    return wrapper
+
+
+def _deep_child(doc: Doc, el: int) -> int:
+    """First-element-child chain descent (Node.kt:897-905)."""
+    while True:
+        kids = [c for c in doc.children[el] if doc.kind[c] == dom.ELEMENT]
+        if not kids:
+            return el
+        el = kids[0]
+
+
+def unwrap(doc: Doc, node: int) -> None:
+    """Node.unwrap (Node.kt:457-463): replace node with its children."""
+    for c in list(doc.children[node]):
+        doc.insert_before(node, c)
+    doc.detach(node)
+
+
+def _fragment_context(doc: Doc, parent: int) -> str:
+    if parent != -1 and doc.kind[parent] == dom.ELEMENT and doc.tag[parent]:
+        return doc.tag[parent]
+    return "body"
+
+
+# -- element ops (Element.kt:565-813) ---------------------------------------
+
+def append_child(doc: Doc, el: int, child: int) -> None:
+    """Element.appendChild (Element.kt:572-578)."""
+    doc.append_child(el, child)
+
+
+def prepend_child(doc: Doc, el: int, child: int) -> None:
+    """Element.prependChild (Element.kt:610-616)."""
+    doc.detach(child)
+    doc.children[el].insert(0, child)
+    doc.parent[child] = el
+
+
+def append_html(doc: Doc, el: int, html: str) -> None:
+    """Element.append(html) (Element.kt:744-750)."""
+    for nid in import_fragment(doc, html, doc.tag[el] or "body"):
+        doc.append_child(el, nid)
+
+
+def prepend_html(doc: Doc, el: int, html: str) -> None:
+    """Element.prepend(html) (Element.kt:755-761)."""
+    at = 0
+    for nid in import_fragment(doc, html, doc.tag[el] or "body"):
+        doc.detach(nid)
+        doc.children[el].insert(at, nid)
+        doc.parent[nid] = el
+        at += 1
+
+
+def empty(doc: Doc, el: int) -> None:
+    """Element.empty (Element.kt:806-810): drop all children."""
+    for c in list(doc.children[el]):
+        doc.detach(c)
+
+
+def set_html(doc: Doc, el: int, html: str) -> None:
+    """Element.html(String) (Element.kt:1716-1721): empty + append."""
+    empty(doc, el)
+    append_html(doc, el, html)
+
+
+def set_text(doc: Doc, el: int, text: str) -> None:
+    """Element.text(String) (Element.kt:1406-1417): empty + one text node
+    (data node for script/style, matching the reference)."""
+    empty(doc, el)
+    kind = dom.DATA if doc.tag[el] in ("script", "style") else dom.TEXT
+    doc.append_child(el, doc.new_node(kind, text=text))
+
+
+# -- attribute / class ops ---------------------------------------------------
+
+def set_attr(doc: Doc, node: int, key: str, value: str | None) -> None:
+    """Node.attr(k, v) (Node.kt:122-131); None = boolean attribute."""
+    a = doc.attrs[node]
+    if a is None:
+        a = {}
+        doc.attrs[node] = a
+    kl = key.lower()
+    for k in list(a):  # case-insensitive replace (Attributes.kt:504-533)
+        if k.lower() == kl and k != key:
+            del a[k]
+    a[key] = value
+
+
+def remove_attr(doc: Doc, node: int, key: str) -> None:
+    """Node.removeAttr (Node.kt:155-160); case-insensitive."""
+    a = doc.attrs[node]
+    if not a:
+        return
+    kl = key.lower()
+    for k in list(a):
+        if k.lower() == kl:
+            del a[k]
+
+
+_CLASS_SPLIT = re.compile(r"[\t\n\r\f ]+")
+
+
+def _classes(doc: Doc, el: int) -> list[str]:
+    v = doc.get_attr(el, "class") or ""
+    return [c for c in _CLASS_SPLIT.split(v) if c]
+
+
+def add_class(doc: Doc, el: int, cls: str) -> None:
+    """Element.addClass (Element.kt:1579-1586)."""
+    cs = _classes(doc, el)
+    if cls not in cs:
+        cs.append(cls)
+        set_attr(doc, el, "class", " ".join(cs))
+
+
+def remove_class(doc: Doc, el: int, cls: str) -> None:
+    """Element.removeClass (Element.kt:1591-1598)."""
+    cs = [c for c in _classes(doc, el) if c != cls]
+    set_attr(doc, el, "class", " ".join(cs))
+
+
+def toggle_class(doc: Doc, el: int, cls: str) -> None:
+    """Element.toggleClass (Element.kt:1603-1614)."""
+    if cls in _classes(doc, el):
+        remove_class(doc, el, cls)
+    else:
+        add_class(doc, el, cls)
+
+
+# -- Elements bulk ops (select/Elements.kt) ----------------------------------
+
+def bulk_attr(doc: Doc, nodes: list[int], key: str, value: str) -> None:
+    """Elements.attr(k, v) (Elements.kt:58-76)."""
+    for n in nodes:
+        set_attr(doc, n, key, value)
+
+
+def bulk_add_class(doc: Doc, nodes: list[int], cls: str) -> None:
+    for n in nodes:
+        add_class(doc, n, cls)
+
+
+def bulk_remove_class(doc: Doc, nodes: list[int], cls: str) -> None:
+    for n in nodes:
+        remove_class(doc, n, cls)
+
+
+def bulk_remove(doc: Doc, nodes: list[int]) -> None:
+    """Elements.remove (Elements.kt:415-421)."""
+    for n in nodes:
+        doc.detach(n)
+
+
+def bulk_unwrap(doc: Doc, nodes: list[int]) -> None:
+    """Elements.unwrap (Elements.kt:393-399)."""
+    for n in nodes:
+        unwrap(doc, n)
+
+
+def bulk_wrap(doc: Doc, nodes: list[int], html: str) -> None:
+    """Elements.wrap (Elements.kt:378-384)."""
+    for n in nodes:
+        wrap(doc, n, html)
+
+
+def eq(nodes: list[int], index: int) -> list[int]:
+    """Elements.eq (Elements.kt:472-478)."""
+    return [nodes[index]] if 0 <= index < len(nodes) else []
+
+
+def not_(doc: Doc, nodes: list[int], query: str, root: int = 0) -> list[int]:
+    """Elements.not (Elements.kt:444-451)."""
+    from .selector import parse_query, EvalCtx
+
+    ev = parse_query(query)
+    ctx = EvalCtx(doc, root)
+    return [n for n in nodes if not ev.matches(ctx, n)]
+
+
+def next_(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.next (Elements.kt:487-493): next element siblings."""
+    out: list[int] = []
+    for n in nodes:
+        p = doc.parent[n]
+        if p == -1:
+            continue
+        sibs = doc.element_children(p)
+        i = sibs.index(n)
+        if i + 1 < len(sibs) and sibs[i + 1] not in out:
+            out.append(sibs[i + 1])
+    return out
+
+
+def prev(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.prev (Elements.kt:517-523)."""
+    out: list[int] = []
+    for n in nodes:
+        p = doc.parent[n]
+        if p == -1:
+            continue
+        sibs = doc.element_children(p)
+        i = sibs.index(n)
+        if i > 0 and sibs[i - 1] not in out:
+            out.append(sibs[i - 1])
+    return out
+
+
+def parents(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.parents (Elements.kt:545-553): all ancestors, deduped,
+    in first-encounter order."""
+    out: list[int] = []
+    seen: set[int] = set()
+    for n in nodes:
+        p = doc.parent[n]
+        while p > 0:
+            if doc.kind[p] == dom.ELEMENT and p not in seen:
+                seen.add(p)
+                out.append(p)
+            p = doc.parent[p]
+    return out
+
+
+def forms(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.forms (Elements.kt:640-646)."""
+    return [n for n in nodes if doc.tag[n] == "form"]
+
+
+def comments(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.comments (Elements.kt:650-656): comment children."""
+    out: list[int] = []
+    for n in nodes:
+        out.extend(c for c in doc.children[n] if doc.kind[c] == dom.COMMENT)
+    return out
+
+
+def text_nodes(doc: Doc, nodes: list[int]) -> list[int]:
+    """Elements.textNodes (Elements.kt:658-664): text-node children."""
+    out: list[int] = []
+    for n in nodes:
+        out.extend(c for c in doc.children[n] if doc.kind[c] == dom.TEXT)
+    return out

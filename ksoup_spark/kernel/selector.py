@@ -583,6 +583,41 @@ class MatchesWholeOwnText(Evaluator):
         return self.re.search("".join(parts)) is not None
 
 
+class MatchText(Evaluator):
+    """:matchText (Evaluator.kt:809-840): text nodes become selectable
+    PseudoTextElements. The reference mutates lazily during the scan with
+    cost -1 forcing first evaluation; we run the equivalent rewrite as a
+    pre-pass (prepare_match_text) before the preorder scan — identical
+    observable results, since preorder reaches a parent before its children.
+    """
+
+    cost = -1
+
+    def matches(self, ctx, el):
+        ps = ctx.doc.pseudo
+        return ps is not None and el in ps
+
+
+def prepare_match_text(doc: Doc, root: int = 0) -> None:
+    """Wrap every element's text-node children in PseudoTextElements carrying
+    the parent's tag + attributes (Evaluator.kt:816-829). Idempotent."""
+    if doc.pseudo is None:
+        doc.pseudo = set()
+    pseudo = doc.pseudo
+    snapshot = [n for n, _ in doc.preorder(root)
+                if doc.kind[n] == dom.ELEMENT and n not in pseudo]
+    for el in snapshot:
+        for c in list(doc.children[el]):
+            if doc.kind[c] == dom.TEXT:
+                attrs = doc.attrs[el]
+                pel = doc.new_node(dom.ELEMENT, doc.tag[el],
+                                   dict(attrs) if attrs else None,
+                                   ns=doc.ns[el])
+                pseudo.add(pel)
+                doc.insert_before(c, pel)
+                doc.append_child(pel, c)
+
+
 class And(Evaluator):
     def __init__(self, evals: list[Evaluator]):
         # cost-ordered conjunct evaluation (CombiningEvaluator.kt:41-53)
@@ -965,7 +1000,7 @@ class QueryParser:
         if name == "root":
             return IsRoot()
         if name == "matchtext":
-            raise SelectorError(":matchText is not supported (mutating selector)")
+            return MatchText()
         raise SelectorError(f"unknown pseudo selector :{name}")
 
 
@@ -982,11 +1017,24 @@ def parse_query(query: str) -> Evaluator:
     return ev
 
 
+def _contains_match_text(ev: Evaluator) -> bool:
+    if isinstance(ev, MatchText):
+        return True
+    for attr in ("evals", "chain"):
+        subs = getattr(ev, attr, None)
+        if subs and any(_contains_match_text(e) for e in subs):
+            return True
+    inner = getattr(ev, "inner", None)
+    return inner is not None and _contains_match_text(inner)
+
+
 def select(doc: Doc, query: str | Evaluator, root: int | None = None) -> list[int]:
     """Collector.collect: preorder scan testing the evaluator per element."""
     if root is None:
         root = 0
     ev = parse_query(query) if isinstance(query, str) else query
+    if _contains_match_text(ev):
+        prepare_match_text(doc, root)
     ctx = EvalCtx(doc, root)
     out: list[int] = []
     for node, _ in doc.preorder(root):
@@ -999,6 +1047,8 @@ def select_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> i
     if root is None:
         root = 0
     ev = parse_query(query) if isinstance(query, str) else query
+    if _contains_match_text(ev):
+        prepare_match_text(doc, root)
     ctx = EvalCtx(doc, root)
     for node, _ in doc.preorder(root):
         if doc.kind[node] == dom.ELEMENT and ev.matches(ctx, node):

@@ -19,21 +19,33 @@ from .tags import VOID_TAGS, format_as_block
 from .textops import _preserves_ws, normalise_whitespace
 
 
+# output charset for the encodability fallback; None = no fallback (UTF).
+# Set by outer_html for the duration of one serialization — the kernel is
+# single-threaded per document (Parser.kt:13-14), so a module slot is safe.
+_OUT_CHARSET: str | None = None
+
+
 def _escape_text(s: str) -> str:
-    return (
+    s = (
         s.replace("&", "&amp;")
         .replace("\xa0", "&nbsp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
     )
+    if _OUT_CHARSET:
+        s = _escape_unencodable(s, _OUT_CHARSET)
+    return s
 
 
 def _escape_attr(s: str) -> str:
-    return (
+    s = (
         s.replace("&", "&amp;")
         .replace("\xa0", "&nbsp;")
         .replace('"', "&quot;")
     )
+    if _OUT_CHARSET:
+        s = _escape_unencodable(s, _OUT_CHARSET)
+    return s
 
 
 def _attrs_html(attrs: dict | None) -> str:
@@ -50,10 +62,40 @@ def _attrs_html(attrs: dict | None) -> str:
     return "".join(parts)
 
 
-def outer_html(doc: Doc, node: int = 0, pretty: bool = True) -> str:
+def outer_html(doc: Doc, node: int = 0, pretty: bool = True,
+               charset: str | None = None) -> str:
+    """Serialize to HTML. ``charset``: when an output charset other than a
+    UTF family is requested, characters it cannot encode are escaped as
+    numeric references — the reference's charset-encodability fallback
+    (nodes/Entities.kt:206-302, canEncode + fallback ``&#x...;``)."""
+    global _OUT_CHARSET
+    if charset and charset.lower().replace("_", "-") not in (
+            "utf-8", "utf8", "utf-16", "utf-32"):
+        _OUT_CHARSET = charset
     out: list[str] = []
-    _emit(doc, node, 0, out, pretty)
+    try:
+        _emit(doc, node, 0, out, pretty)
+    finally:
+        _OUT_CHARSET = None
     return "".join(out).strip("\n")
+
+
+def _escape_unencodable(s: str, charset: str) -> str:
+    """Replace chars the target charset cannot encode with ``&#xN;``
+    (Entities.kt:262-276 fallback branch)."""
+    try:
+        s.encode(charset)
+        return s
+    except (UnicodeEncodeError, LookupError):
+        pass
+    out: list[str] = []
+    for ch in s:
+        try:
+            ch.encode(charset)
+            out.append(ch)
+        except UnicodeEncodeError:
+            out.append(f"&#x{ord(ch):x};")
+    return "".join(out)
 
 
 def inner_html(doc: Doc, node: int, pretty: bool = True) -> str:
@@ -75,6 +117,12 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
         return
     indent = "\n" + " " * depth if pretty else ""
     if k == dom.ELEMENT:
+        if doc.pseudo is not None and node in doc.pseudo:
+            # PseudoTextElement serializes transparently (children only) —
+            # outerHtmlHead/Tail are no-ops (nodes/PseudoTextElement.kt:12-24)
+            for c in doc.children[node]:
+                _emit(doc, c, depth, out, pretty)
+            return
         tag = doc.tag[node] or ""
         block = pretty and format_as_block(tag)
         if block and out and not (out and out[-1].endswith("\n" + " " * depth)):

@@ -185,3 +185,66 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         body = hashlib.sha256(str(i).encode()).digest() * (8 + i % 32)
         rows.append((f"media-{i:04d}", magics[i % len(magics)] + body))
     return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+# -- PDF / layout parse (north-rule "PDF/layout parse" stage) ----------------
+
+PDF_LAYOUT_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("page", IntegerType()),
+    StructField("block", IntegerType()),
+    StructField("kind", StringType()),        # text | image
+    StructField("bbox", ArrayType(FloatType())),  # x0,y0,x1,y1 (page units)
+    StructField("text", StringType()),
+])
+
+
+def _parse_pdf_layout(data: bytes, strict: bool = False) -> list[dict]:
+    """STUB layout parser. Real impl: pdfminer.six / PyMuPDF ``page.get_text
+    ("blocks")``. Deterministic fake: pages/blocks derived from a content
+    hash so the Spark plumbing (schema, explode shape, partitioning) is
+    exercised end-to-end with stable outputs."""
+    if strict:
+        raise NotImplementedError(
+            "PDF parser unavailable in this environment; swap "
+            "_parse_pdf_layout for a pdfminer.six/PyMuPDF-backed implementation"
+        )
+    h = hashlib.sha256(data).digest()
+    n_pages = 1 + h[0] % 3
+    rows: list[dict] = []
+    for page in range(n_pages):
+        n_blocks = 1 + h[1 + page] % 4
+        for block in range(n_blocks):
+            b = h[(page * 7 + block) % 24]
+            kind = "image" if (b % 5 == 0 and block > 0) else "text"
+            y0 = float(block * 100)
+            rows.append({
+                "page": page,
+                "block": block,
+                "kind": kind,
+                "bbox": [0.0, y0, 612.0, y0 + 90.0],
+                "text": (None if kind == "image"
+                         else f"block-{page}-{block}-{b:02x}"),
+            })
+    return rows
+
+
+def pdf_layout(df: DataFrame, id_col: str = "media_id",
+               payload_col: str = "payload",
+               strict: bool = False) -> DataFrame:
+    """binary PDF payload -> one row per layout block (exploded shape),
+    ordered (page, block) within each document — the layout-parse stage of
+    the north-rule extraction pipeline. Output feeds the same span model as
+    HTML: text blocks -> text spans, image blocks -> media spans."""
+    df = df.select(F.col(id_col).alias("media_id"),
+                   F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                for blk in _parse_pdf_layout(bytes(data or b""), strict):
+                    rows.append({"media_id": mid, **blk})
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_LAYOUT_SCHEMA])
+
+    return df.mapInPandas(kernel, PDF_LAYOUT_SCHEMA)
