@@ -50,7 +50,7 @@ class Doc:
 
     __slots__ = (
         "kind", "tag", "attrs", "text", "parent", "children", "ns",
-        "base_uri", "quirks", "errors", "pseudo",
+        "base_uri", "quirks", "errors", "pseudo", "self_closing",
     )
 
     def __init__(self) -> None:
@@ -67,6 +67,10 @@ class Doc:
         # ids of PseudoTextElements created by :matchText (nodes/
         # PseudoTextElement.kt); None until prepare_match_text runs
         self.pseudo: set[int] | None = None
+        # tag NAMES seen self-closing (unknown/foreign/XML tags): childless
+        # elements of these names serialize as "<x />" — mirrors the interned
+        # Tag.selfClosing flag (parser/Tag.kt:42-43, 102-105)
+        self.self_closing: set[str] | None = None
 
     # -- construction -------------------------------------------------------
 

@@ -13,6 +13,8 @@ with the reference's expected-html assertions.
 
 from __future__ import annotations
 
+import re
+
 from . import dom
 from .dom import Doc
 from .tags import VOID_TAGS, format_as_block
@@ -25,6 +27,15 @@ from .textops import _preserves_ws, normalise_whitespace
 _OUT_CHARSET: str | None = None
 
 
+# ascii control chars < 0x20 other than \t \n \r escape numerically for XML
+# compliance / readability (Entities.kt:236-243)
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _escape_ctrl(s: str) -> str:
+    return _CTRL_RE.sub(lambda m: f"&#x{ord(m.group()):x};", s)
+
+
 def _escape_text(s: str) -> str:
     s = (
         s.replace("&", "&amp;")
@@ -32,6 +43,8 @@ def _escape_text(s: str) -> str:
         .replace("<", "&lt;")
         .replace(">", "&gt;")
     )
+    if _CTRL_RE.search(s):
+        s = _escape_ctrl(s)
     if _OUT_CHARSET:
         s = _escape_unencodable(s, _OUT_CHARSET)
     return s
@@ -43,9 +56,27 @@ def _escape_attr(s: str) -> str:
         .replace("\xa0", "&nbsp;")
         .replace('"', "&quot;")
     )
+    if _CTRL_RE.search(s):
+        s = _escape_ctrl(s)
     if _OUT_CHARSET:
         s = _escape_unencodable(s, _OUT_CHARSET)
     return s
+
+
+# invalid chars in serialized HTML attribute names; runs are coerced to "_",
+# un-coercible keys are dropped (Attribute.getValidKey, nodes/Attribute.kt:
+# 256-315)
+_BAD_ATTR_KEY = re.compile("[\x00-\x1f\x7f-\x9f \"'/=]+")
+
+
+def _valid_key(k: str) -> str | None:
+    if not k:
+        return None
+    if _BAD_ATTR_KEY.search(k):
+        k = _BAD_ATTR_KEY.sub("_", k)
+        if not k or _BAD_ATTR_KEY.search(k):
+            return None
+    return k
 
 
 def _attrs_html(attrs: dict | None) -> str:
@@ -54,6 +85,9 @@ def _attrs_html(attrs: dict | None) -> str:
     parts = []
     for k, v in attrs.items():
         if k.startswith("/"):
+            continue
+        k = _valid_key(k)
+        if k is None:
             continue
         if v is None:
             parts.append(f" {k}")
@@ -133,6 +167,11 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
         kids = doc.children[node]
         if tag in VOID_TAGS:
             out.append(">" if doc.ns[node] == dom.NS_HTML else " />")
+            return
+        if not kids and doc.self_closing and tag in doc.self_closing:
+            # tag name seen self-closing (unknown/foreign/XML):
+            # "<x />" (Element.outerHtmlHead, Element.kt:1666-1674)
+            out.append(" />")
             return
         if not kids and doc.ns[node] != dom.NS_HTML:
             out.append("></" + tag + ">")

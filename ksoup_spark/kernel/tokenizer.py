@@ -56,6 +56,17 @@ _CDATA_OPEN = "[CDATA["
 
 MAX_ATTRS = 512
 
+# attribute names are trimmed of chars <= U+0020 at finalization; names that
+# collapse to empty are dropped (Token.kt:136-154 `name.trim { it <= ' ' }`)
+_LE_SPACE = "".join(chr(i) for i in range(0x21))
+
+
+def _push_attr(attrs: list, aname: str, val) -> None:
+    if aname and (aname[0] <= " " or aname[-1] <= " "):
+        aname = aname.strip(_LE_SPACE)
+    if aname and len(attrs) < MAX_ATTRS:
+        attrs.append((aname, val))
+
 
 class Tokenizer:
     __slots__ = ("s", "low", "n", "p", "state", "rawtext_tag", "pending",
@@ -219,7 +230,8 @@ class Tokenizer:
             if m:
                 if len(attrs) < MAX_ATTRS:
                     v = m.group(2)
-                    attrs.append((m.group(1), v if v is not None else m.group(3)))
+                    _push_attr(attrs, m.group(1),
+                               v if v is not None else m.group(3))
                 p = m.end()
                 continue
             if p >= n:
@@ -278,8 +290,7 @@ class Tokenizer:
                     # EOF in before-attribute-value: the reference emits the
                     # pending tag here (TokeniserState.kt:795-799), unlike
                     # other in-tag EOF states which drop it
-                    if len(attrs) < MAX_ATTRS:
-                        attrs.append((aname, ""))
+                    _push_attr(attrs, aname, "")
                     self.p = n
                     return ("start", name, attrs, selfclosing)
                 val, p2 = self._attr_value(p)
@@ -287,11 +298,9 @@ class Tokenizer:
                     self.p = n
                     return None
                 p = p2
-                if len(attrs) < MAX_ATTRS:
-                    attrs.append((aname, val))
+                _push_attr(attrs, aname, val)
             else:
-                if len(attrs) < MAX_ATTRS:
-                    attrs.append((aname, None))  # boolean attribute
+                _push_attr(attrs, aname, None)  # boolean attribute
 
     def _attr_value(self, p: int):
         """Parse an attribute value at p. Returns (value, next_p) — next_p None at EOF."""

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from . import dom
 from .dom import Doc
-from .tags import VOID_TAGS
+from .tags import KNOWN_TAGS, VOID_TAGS
 from .tokenizer import (
     DATA as TOK_DATA,
     PLAINTEXT as TOK_PLAINTEXT,
@@ -489,6 +489,21 @@ class HtmlTreeBuilder:
                 and self.doc.ns[self.stack[-1]] != dom.NS_HTML:
             if self._process_foreign(tok):
                 return
+        if tok[0] == "start" and tok[3]:
+            # self-closing non-void tag: process the start, then synthesize
+            # an end tag — known tags are force-closed (out-of-spec allow),
+            # unknown tags additionally remember self-closing for "<x />"
+            # output (HtmlTreeBuilder.insertElementFor, kt:265-287)
+            name = tok[1].lower()
+            if name not in VOID_TAGS:
+                _MODE_HANDLERS[self.mode](self, tok)
+                if name not in KNOWN_TAGS:
+                    d = self.doc
+                    if d.self_closing is None:
+                        d.self_closing = set()
+                    d.self_closing.add(name)
+                _MODE_HANDLERS[self.mode](self, ("end", name))
+                return
         _MODE_HANDLERS[self.mode](self, tok)
 
     def _dispatch(self, tok, mode: int) -> None:
@@ -554,6 +569,11 @@ class HtmlTreeBuilder:
             self._attach(nid)
             if not tok[3] and name not in VOID_TAGS:
                 self.stack.append(nid)
+            elif tok[3]:
+                # foreign self-closing (<image /> in svg): serialize "<x />"
+                if d.self_closing is None:
+                    d.self_closing = set()
+                d.self_closing.add(name)
             return True
         if kind == "end":
             name = tok[1].lower()
@@ -685,14 +705,12 @@ class HtmlTreeBuilder:
                 self.mode = IN_HEAD_NOSCRIPT
                 return
             if name == "script":
-                if tok[3]:
-                    self.insert_empty(name, attrs)
-                    return
                 self.insert_element(name, attrs)
-                self.tok.state = TOK_SCRIPT
-                self.tok.rawtext_tag = "script"
                 self.original_mode = self.mode
                 self.mode = TEXT
+                if not tok[3]:
+                    self.tok.state = TOK_SCRIPT
+                    self.tok.rawtext_tag = "script"
                 return
             if name == "template":
                 self.insert_element(name, attrs)
@@ -1394,26 +1412,23 @@ class HtmlTreeBuilder:
             return
 
     def _rcdata(self, name: str, attrs: dict, selfclosing: bool = False) -> None:
-        # self-closing: synthesized end tag, no tokenizer switch
-        # (HtmlTreeBuilder.kt:265-287 tokenizer unwedging)
-        if selfclosing:
-            self.insert_empty(name, attrs)
-            return
+        # self-closing: enter Text mode but leave the tokenizer in Data (the
+        # unwedging of HtmlTreeBuilder.kt:265-287); the synthesized end tag
+        # from process() pops the element and restores the mode
         self.insert_element(name, attrs)
-        self.tok.state = TOK_RCDATA
-        self.tok.rawtext_tag = name
         self.original_mode = self.mode
         self.mode = TEXT
+        if not selfclosing:
+            self.tok.state = TOK_RCDATA
+            self.tok.rawtext_tag = name
 
     def _rawtext(self, name: str, attrs: dict, selfclosing: bool = False) -> None:
-        if selfclosing:
-            self.insert_empty(name, attrs)
-            return
         self.insert_element(name, attrs)
-        self.tok.state = TOK_RAWTEXT
-        self.tok.rawtext_tag = name
         self.original_mode = self.mode
         self.mode = TEXT
+        if not selfclosing:
+            self.tok.state = TOK_RAWTEXT
+            self.tok.rawtext_tag = name
 
     # -- tables -------------------------------------------------------------------
 

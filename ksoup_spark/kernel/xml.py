@@ -73,6 +73,12 @@ def parse_xml(xml: str, base_uri: str = "") -> Doc:
             doc.append_child(stack[-1], nid)
             if not t[3]:  # not self-closing
                 stack.append(nid)
+            else:
+                # remember per tag name for <x /> serialization
+                # (Tag.setSelfClosing, parser/Tag.kt:102-105)
+                if doc.self_closing is None:
+                    doc.self_closing = set()
+                doc.self_closing.add(name)
         elif k == "end":
             name = t[1]
             # pop to nearest matching open element; ignore if none
