@@ -25,6 +25,10 @@ from .textops import _preserves_ws, normalise_whitespace
 # Set by outer_html for the duration of one serialization — the kernel is
 # single-threaded per document (Parser.kt:13-14), so a module slot is safe.
 _OUT_CHARSET: str | None = None
+# escape mode (Entities.EscapeMode, Entities.kt:36-63): "xhtml" = the 4 XML
+# entities only (nbsp goes numeric), "base" = HTML 4 core set (default),
+# "extended" = prefer a named entity for chars the charset can't encode
+_OUT_MODE: str = "base"
 
 
 # ascii control chars < 0x20 other than \t \n \r escape numerically for XML
@@ -36,10 +40,15 @@ def _escape_ctrl(s: str) -> str:
     return _CTRL_RE.sub(lambda m: f"&#x{ord(m.group()):x};", s)
 
 
+def _nbsp_ref() -> str:
+    # xhtml escape mode has no &nbsp; entity -> numeric (Entities.kt:40-44)
+    return "&#xa0;" if _OUT_MODE == "xhtml" else "&nbsp;"
+
+
 def _escape_text(s: str) -> str:
     s = (
         s.replace("&", "&amp;")
-        .replace("\xa0", "&nbsp;")
+        .replace("\xa0", _nbsp_ref())
         .replace("<", "&lt;")
         .replace(">", "&gt;")
     )
@@ -53,7 +62,7 @@ def _escape_text(s: str) -> str:
 def _escape_attr(s: str) -> str:
     s = (
         s.replace("&", "&amp;")
-        .replace("\xa0", "&nbsp;")
+        .replace("\xa0", _nbsp_ref())
         .replace('"', "&quot;")
     )
     if _CTRL_RE.search(s):
@@ -97,39 +106,74 @@ def _attrs_html(attrs: dict | None) -> str:
 
 
 def outer_html(doc: Doc, node: int = 0, pretty: bool = True,
-               charset: str | None = None) -> str:
-    """Serialize to HTML. ``charset``: when an output charset other than a
-    UTF family is requested, characters it cannot encode are escaped as
-    numeric references — the reference's charset-encodability fallback
-    (nodes/Entities.kt:206-302, canEncode + fallback ``&#x...;``)."""
-    global _OUT_CHARSET
+               charset: str | None = None,
+               escape_mode: str = "base") -> str:
+    """Serialize to HTML with OutputSettings semantics:
+
+    - ``charset``: for non-UTF output charsets, characters they cannot
+      encode escape as references — the charset-encodability fallback
+      (nodes/Entities.kt:206-302, canEncode + ``&#x...;``);
+    - ``escape_mode``: "xhtml" (4 XML entities, nbsp numeric), "base"
+      (HTML core set, default), or "extended" (prefer named entities for
+      unencodable chars) — Entities.EscapeMode (Entities.kt:36-63).
+    """
+    global _OUT_CHARSET, _OUT_MODE
     if charset and charset.lower().replace("_", "-") not in (
             "utf-8", "utf8", "utf-16", "utf-32"):
         _OUT_CHARSET = charset
+    _OUT_MODE = escape_mode
     out: list[str] = []
     try:
         _emit(doc, node, 0, out, pretty)
     finally:
         _OUT_CHARSET = None
+        _OUT_MODE = "base"
     return "".join(out).strip("\n")
 
 
 def _escape_unencodable(s: str, charset: str) -> str:
-    """Replace chars the target charset cannot encode with ``&#xN;``
-    (Entities.kt:262-276 fallback branch)."""
+    """Replace chars the target charset cannot encode with a named entity
+    (extended escape mode) or ``&#xN;`` (Entities.kt:246-276 fallback)."""
     try:
         s.encode(charset)
         return s
-    except (UnicodeEncodeError, LookupError):
+    except LookupError:
+        return s  # unknown charset name: no encodability constraint to apply
+    except UnicodeEncodeError:
         pass
+    rev = _extended_rev() if _OUT_MODE == "extended" else None
     out: list[str] = []
     for ch in s:
         try:
             ch.encode(charset)
             out.append(ch)
         except UnicodeEncodeError:
-            out.append(f"&#x{ord(ch):x};")
+            name = rev.get(ch) if rev else None
+            out.append(f"&{name};" if name else f"&#x{ord(ch):x};")
     return "".join(out)
+
+
+_EXTENDED_REV: dict[str, str] | None = None
+
+
+def _extended_rev() -> dict[str, str]:
+    """char -> entity name, from the full WHATWG table (the reference's
+    extended EscapeMode map, Entities.kt:393-408; 2125 names). Deterministic
+    choice: lexicographically smallest name per char."""
+    global _EXTENDED_REV
+    if _EXTENDED_REV is None:
+        from html.entities import html5
+
+        rev: dict[str, str] = {}
+        for name, value in html5.items():
+            if not name.endswith(";") or len(value) != 1:
+                continue
+            n = name[:-1]
+            if value not in rev or (not n.islower(), n) < \
+                    (not rev[value].islower(), rev[value]):
+                rev[value] = n
+        _EXTENDED_REV = rev
+    return _EXTENDED_REV
 
 
 def inner_html(doc: Doc, node: int, pretty: bool = True) -> str:

@@ -220,3 +220,15 @@ def test_main_content_link_density_penalty():
     d = parse(html)
     node = main_content_node(d)
     assert d.children[node] and d.kind[d.children[node][0]] == dom.TEXT
+
+
+def test_escape_modes():
+    # Entities.EscapeMode parity: xhtml -> nbsp numeric; extended -> named
+    # entities for unencodable chars (Entities.kt:36-63, test goldens
+    # xmlSyntaxSetsEscapeMode / relaxedBaseEntityMatchAndStrictExtendedMatch)
+    d = parse("<p>Foo ≻</p>")
+    assert outer_html(d, d.body(), pretty=False, charset="ascii",
+                      escape_mode="xhtml") == "<body><p>Foo&#xa0;&#x227b;</p></body>"
+    d2 = parse("<p>и \U0001d559</p>")
+    assert outer_html(d2, d2.body(), pretty=False, charset="ascii",
+                      escape_mode="extended") == "<body><p>&icy; &hopf;</p></body>"
