@@ -59,12 +59,16 @@ def _escape_text(s: str) -> str:
     return s
 
 
-def _escape_attr(s: str) -> str:
+def _escape_attr(s: str, xml: bool = False) -> str:
     s = (
         s.replace("&", "&amp;")
         .replace("\xa0", _nbsp_ref())
         .replace('"', "&quot;")
     )
+    if xml:
+        # XML syntax requires &lt; in attribute values (Entities.kt:33-42);
+        # HTML attribute values keep a literal '<'
+        s = s.replace("<", "&lt;")
     if _CTRL_RE.search(s):
         s = _escape_ctrl(s)
     if _OUT_CHARSET:
@@ -88,7 +92,7 @@ def _valid_key(k: str) -> str | None:
     return k
 
 
-def _attrs_html(attrs: dict | None) -> str:
+def _attrs_html(attrs: dict | None, xml: bool = False) -> str:
     if not attrs:
         return ""
     parts = []
@@ -101,7 +105,7 @@ def _attrs_html(attrs: dict | None) -> str:
         if v is None:
             parts.append(f" {k}")
         else:
-            parts.append(f' {k}="{_escape_attr(v)}"')
+            parts.append(f' {k}="{_escape_attr(v, xml)}"')
     return "".join(parts)
 
 
@@ -207,9 +211,12 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
             out.append(indent)
         elif pretty and out and tag in ("html", "head", "body", "title") :
             out.append(indent)
-        out.append(f"<{tag}{_attrs_html(doc.attrs[node])}")
+        out.append(f"<{tag}"
+                   f"{_attrs_html(doc.attrs[node], doc.ns[node] == dom.NS_XML)}")
         kids = doc.children[node]
-        if tag in VOID_TAGS:
+        if tag in VOID_TAGS and doc.ns[node] != dom.NS_XML:
+            # void semantics are an HTML-parser notion; XML elements named
+            # like voids (<link>One</link>) keep their children
             out.append(">" if doc.ns[node] == dom.NS_HTML else " />")
             return
         if not kids and doc.self_closing and tag in doc.self_closing:
@@ -252,7 +259,9 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
         name = a.get("name", "")
         pub = a.get("publicid", "")
         sysid = a.get("systemid", "")
-        s = f"<!doctype {name}" if name else "<!doctype"
+        # XML syntax preserves the DOCTYPE keyword form
+        kw = "<!DOCTYPE" if doc.ns[node] == dom.NS_XML else "<!doctype"
+        s = f"{kw} {name}" if name else kw
         if pub:
             s += f' PUBLIC "{pub}"'
         if sysid:
@@ -260,5 +269,13 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
         out.append(s + ">")
         return
     if k == dom.XMLDECL:
-        out.append(f"<?{doc.text[node] or ''}?>")
+        # <?name attrs?> or <!name attrs!> (XmlDeclaration.outerHtmlHead,
+        # nodes/XmlDeclaration.kt:58-70); legacy text payload as fallback
+        tag = doc.tag[node]
+        if tag:
+            a = doc.attrs[node] or {}
+            lead = "!" if "/bang" in a else "?"
+            out.append(f"<{lead}{tag}{_attrs_html(a, xml=True)}{lead}>")
+        else:
+            out.append(f"<?{doc.text[node] or ''}?>")
         return

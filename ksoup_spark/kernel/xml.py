@@ -32,32 +32,20 @@ def parse_xml(xml: str, base_uri: str = "") -> Doc:
             doc.append_child(stack[-1], nid)
         elif k == "comment":
             data, bogus = t[1], t[2]
-            if bogus and data.startswith("?") is False and data.endswith("?"):
-                # tokenizer strips '<?', keeps trailing '?'; e.g. '?xml ... ?'
-                pass
-            if bogus and data.endswith("?"):
-                # <?xml version="1.0"?> style declaration
-                nid = doc.new_node(dom.XMLDECL, text=data.rstrip("?"), ns=dom.NS_XML)
-                decl = data.rstrip("?")
-                parts = decl.split(None, 1)
-                name = parts[0] if parts else ""
-                attrs: dict = {}
-                if len(parts) > 1:
-                    import re as _re
-                    for m in _re.finditer(
-                        r'([^\s=]+)\s*=\s*("([^"]*)"|\'([^\']*)\'|(\S+))', parts[1]
-                    ):
-                        attrs[m.group(1)] = (
-                            m.group(3) if m.group(3) is not None
-                            else m.group(4) if m.group(4) is not None
-                            else m.group(5)
-                        )
-                doc.tag[nid] = name
-                doc.attrs[nid] = attrs
-                doc.append_child(stack[-1], nid)
-            else:
+            nid = -1
+            if bogus and len(data) > 1 and data[0] in "!?":
+                # xml-declaration recovery from a bogus comment: strip the
+                # lead and tail marker chars and re-parse "<content>" with
+                # the HTML parser; the first element's name/attrs become the
+                # declaration, else it stays a comment
+                # (XmlTreeBuilder.insertCommentFor + Comment.asXmlDeclaration,
+                # nodes/Comment.kt:53-88)
+                content = data[1:-1]
+                if not (len(content) > 1 and content[0] in "!?"):
+                    nid = _decl_from_content(doc, content, data[0] == "!")
+            if nid == -1:
                 nid = doc.new_node(dom.COMMENT, text=data, ns=dom.NS_XML)
-                doc.append_child(stack[-1], nid)
+            doc.append_child(stack[-1], nid)
         elif k == "doctype":
             nid = doc.new_node(dom.DOCTYPE, text=t[1] or "", ns=dom.NS_XML)
             doc.attrs[nid] = {"name": t[1] or "", "publicid": t[2] or "",
@@ -87,3 +75,26 @@ def parse_xml(xml: str, base_uri: str = "") -> Doc:
                     del stack[i:]
                     break
     return doc
+
+
+def _decl_from_content(doc, content: str, bang: bool) -> int:
+    """Parse declaration content as an HTML fragment and build an XMLDECL
+    node from the first element (Comment.asXmlDeclaration, Comment.kt:63-81).
+    Returns -1 when the content doesn't yield an element."""
+    if not content.strip():
+        return -1
+    from .treebuilder import parse as _hparse
+
+    hd = _hparse(f"<{content}>")
+    body = hd.body()
+    if body == -1:
+        return -1
+    el = next((c for c in hd.children[body] if hd.kind[c] == dom.ELEMENT), -1)
+    if el == -1:
+        return -1
+    attrs = dict(hd.attrs[el] or {})
+    if bang:
+        attrs["/bang"] = ""  # internal marker: "<!...!>" form
+    nid = doc.new_node(dom.XMLDECL, tag=hd.tag[el], attrs=attrs,
+                       ns=dom.NS_XML)
+    return nid

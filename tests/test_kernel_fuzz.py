@@ -122,3 +122,29 @@ def test_real_page_fixtures_extract():
         d = tb.parse(html)
         n_spans += len(extract_spans(d))
     assert n_spans > 100
+
+
+def test_reference_fuzz_corpus():
+    """The reference's 36 crash corpora (testResources/fuzztests/*.html.gz):
+    parse + span extraction must terminate without raising, within a bound
+    (the reference asserts timeout-bounded termination, ParseTest/fuzz)."""
+    import glob
+    import gzip
+    import time
+
+    files = sorted(
+        glob.glob("/root/reference/ksoup-test/testResources/fuzztests/*.html.gz")
+    )
+    if not files:  # reference corpus not present in this environment
+        return
+    t0 = time.time()
+    for f in files:
+        raw = open(f, "rb").read()
+        try:
+            data = gzip.decompress(raw)
+        except OSError:
+            data = raw  # a few fixtures are stored uncompressed
+        html = data.decode("utf-8", errors="replace")
+        d = tb.parse(html)
+        extract_spans(d)
+    assert time.time() - t0 < 120, "fuzz corpus took pathologically long"
