@@ -516,26 +516,54 @@ class HtmlTreeBuilder:
 
     # -- foreign content (SVG / MathML), simplified --------------------------
 
-    def _integration_point(self, nid: int) -> bool:
+    def _html_integration_point(self, nid: int) -> bool:
+        """HTML integration points only (HtmlTreeBuilder.isHtmlIntegration):
+        svg foreignObject/desc/title, html-encoded annotation-xml."""
         d = self.doc
         t = d.tag[nid]
         if d.ns[nid] == dom.NS_SVG and t in ("foreignObject", "desc", "title"):
             return True
-        if d.ns[nid] == dom.NS_MATHML:
-            if t in ("mi", "mo", "mn", "ms", "mtext"):
-                return True
-            if t == "annotation-xml":
-                enc = (d.get_attr(nid, "encoding") or "").lower()
-                return enc in ("text/html", "application/xhtml+xml")
+        if d.ns[nid] == dom.NS_MATHML and t == "annotation-xml":
+            enc = (d.get_attr(nid, "encoding") or "").lower()
+            return enc in ("text/html", "application/xhtml+xml")
         return False
 
+    def _integration_point(self, nid: int) -> bool:
+        """Any integration point (MathML text or HTML) — used by the
+        foreign-breakout pop loop."""
+        d = self.doc
+        if d.ns[nid] == dom.NS_MATHML and \
+                d.tag[nid] in ("mi", "mo", "mn", "ms", "mtext"):
+            return True
+        return self._html_integration_point(nid)
+
     def _process_foreign(self, tok) -> bool:
-        """Returns True if handled here; False to fall through to HTML modes."""
+        """Returns True if handled here; False to fall through to HTML modes.
+
+        Dispatch exceptions per HtmlTreeBuilder.useCurrentOrForeignInsert
+        (kt:126-171): integration points route START and CHARACTER tokens to
+        the HTML rules; END tags are always handled as foreign content (so
+        </mi> / </foreignObject> pop their foreign element).
+        """
         d = self.doc
         cur = self.current()
-        if self._integration_point(cur):
-            return False
         kind = tok[0]
+        if kind == "eof":
+            return False
+        t = d.tag[cur]
+        ns = d.ns[cur]
+        if ns == dom.NS_MATHML and t in ("mi", "mo", "mn", "ms", "mtext"):
+            if kind in ("text", "cdata"):
+                return False
+            if kind == "start" and tok[1].lower() not in ("mglyph",
+                                                          "malignmark"):
+                return False
+        if ns == dom.NS_MATHML and t == "annotation-xml" \
+                and kind == "start" and tok[1].lower() == "svg":
+            return False
+        if kind in ("start", "text", "cdata") and \
+                self._html_integration_point(cur):
+            return False
         if kind == "text":
             self.insert_char(tok[1], kind=dom.TEXT)
             if tok[1].strip(_WS):

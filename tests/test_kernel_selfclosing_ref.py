@@ -53,3 +53,52 @@ def test_selfclosing_golden(html, want):
     d = tb.parse(html)
     got = inner_html(d, d.body(), pretty=True)
     assert _norm(got) == _norm(want)
+
+
+FOREIGN_TEMPLATE_CASES = [
+    # end tags at integration points stay foreign (dispatch rule,
+    # HtmlTreeBuilder.kt:126-171): </foreignObject> closes it, the next
+    # <textPath> is svg-cased and a sibling
+    ('<svg viewBox="0 0 1 1"><foreignObject><p>hi</p></foreignObject>'
+     '<textPath>t</textPath></svg>',
+     '<svg viewBox="0 0 1 1"><foreignObject><p>hi</p></foreignObject>'
+     '<textPath>t</textPath></svg>'),
+    # </mi> pops the MathML text integration point; annotation-xml keeps
+    # the html-island children
+    ('<math><mi>x</mi><annotation-xml encoding="text/html"><p>i</p>'
+     '</annotation-xml></math>',
+     '<math><mi>x</mi><annotation-xml encoding="text/html"><p>i</p>'
+     '</annotation-xml></math>'),
+    # mglyph start at a MathML text integration point stays foreign
+    ('<math><mi><mglyph></mi></math>',
+     '<math><mi><mglyph></mglyph></mi></math>'),
+    # templateInHead (HtmlParserTest.kt:1868-1876)
+    ('<head><template id=1><meta name=tmpl></template><title>Test</title>'
+     '<style>One</style></head><body><p>Two</p>',
+     None),  # checked via full doc below
+]
+
+
+@pytest.mark.parametrize("html,want",
+                         [c for c in FOREIGN_TEMPLATE_CASES if c[1]])
+def test_foreign_dispatch_golden(html, want):
+    d = tb.parse(html)
+    got = inner_html(d, d.body(), pretty=True)
+    assert _norm(got) == _norm(want)
+
+
+def test_template_goldens():
+    from ksoup_spark.kernel.serialize import outer_html
+
+    d = tb.parse("<head><template id=1><meta name=tmpl></template>"
+                 "<title>Test</title><style>One</style></head><body><p>Two</p>")
+    assert _norm(outer_html(d, 0, pretty=True)) == _norm(
+        '<html><head><template id="1"><meta name="tmpl"></template>'
+        '<title>Test</title><style>One</style></head>'
+        '<body><p>Two</p></body></html>')
+    d2 = tb.parse("<body><template id=1><table><tr><template id=2>"
+                  "<td>One</td><td>Two</td></template></tr></template></body>")
+    assert _norm(outer_html(d2, 0, pretty=True)) == _norm(
+        '<html><head></head><body><template id="1"><table><tbody><tr>'
+        '<template id="2"><td>One</td><td>Two</td></template></tr></tbody>'
+        '</table></template></body></html>')
