@@ -52,6 +52,7 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 
 BENCH_QUERIES = [
     "html_text_roundtrip",
+    "main_content",
     "selector_class",
     "node_table",
     "spans_pipeline",
