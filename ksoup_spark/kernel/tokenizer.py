@@ -69,12 +69,19 @@ def _push_attr(attrs: list, aname: str, val) -> None:
 
 
 class Tokenizer:
-    __slots__ = ("s", "low", "n", "p", "state", "rawtext_tag", "pending",
+    __slots__ = ("s", "_low", "n", "p", "state", "rawtext_tag", "pending",
                  "has_null", "next_amp")
+
+    @property
+    def low(self) -> str:
+        lo = self._low
+        if lo is None:
+            lo = self._low = self.s.lower()
+        return lo
 
     def __init__(self, s: str):
         self.s = s
-        self.low = s.lower()
+        self._low = None  # lazy: only rawtext/script/doctype scans need it
         self.n = len(s)
         self.p = 0
         self.state = DATA
@@ -167,6 +174,8 @@ class Tokenizer:
             self.p = p + 1
             return None
         c = s[p + 1]
+        if c.isalpha():  # start tag: by far the most common case
+            return self._start_tag(p + 1)
         if c == "!":
             return self._markup_declaration(p + 2)
         if c == "?":
@@ -183,8 +192,6 @@ class Tokenizer:
                 self.p = p + 3
                 return []
             return self._bogus_comment(p + 2)
-        if c.isalpha():
-            return self._start_tag(p + 1)
         self.p = p + 1
         return None
 

@@ -251,12 +251,20 @@ class HtmlTreeBuilder:
     def insert_element(self, name: str, attrs: dict, ns: int = dom.NS_HTML,
                        push: bool = True) -> int:
         d = self.doc
-        nid = d.new_node(dom.ELEMENT, name, attrs, ns=ns)
+        # inlined d.new_node(ELEMENT, ...) — this is the hottest allocation
+        nid = len(d.kind)
+        d.kind.append(dom.ELEMENT)
+        d.tag.append(name)
+        d.attrs.append(attrs)
+        d.text.append(None)
+        d.ns.append(ns)
+        d.children.append([])
         if not self.foster_inserts:  # common case: append to current element
             parent = self.stack[-1] if self.stack else 0
             d.children[parent].append(nid)
-            d.parent[nid] = parent
+            d.parent.append(parent)
         else:
+            d.parent.append(-1)
             self._attach(nid)
         if push:
             self.stack.append(nid)
@@ -285,9 +293,16 @@ class HtmlTreeBuilder:
             if sibs and d.kind[sibs[-1]] == kind and kind != dom.CDATA:
                 d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
                 return
-            nid = d.new_node(kind, text=text)
+            # inlined d.new_node(kind, text=text)
+            nid = len(d.kind)
+            d.kind.append(kind)
+            d.tag.append(None)
+            d.attrs.append(None)
+            d.text.append(text)
+            d.ns.append(dom.NS_HTML)
+            d.children.append([])
+            d.parent.append(parent)
             sibs.append(nid)
-            d.parent[nid] = parent
             return
         parent, before = self._insertion_parent()
         sibs = d.children[parent]
