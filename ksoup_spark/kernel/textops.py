@@ -35,7 +35,6 @@ _TRIM = " \t\n\r\f\v"
 # regex forms of the isActuallyWhitespace (incl. nbsp) / isInvisibleChar sets
 _WS_RUN = re.compile("[ \t\n\f\r\u00a0]+")
 _INVIS_RE = re.compile("[\u200b\u00ad]")
-
 MEDIA_KIND = {"img": "image", "video": "video", "object": "object"}
 _MEDIA_REF_ATTR = {"img": "src", "video": "src", "object": "data"}
 
@@ -83,10 +82,15 @@ class _Accum:
             self.last_char = s[-1]
 
     def append_normalised(self, s: str) -> None:
-        chunk: list[str] = []
-        append_normalised(chunk, s, self.last_is_ws())
-        if chunk:
-            self.append(chunk[0])
+        # flattened hot path of append_normalised(chunk, s, last_is_ws())
+        if _INVIS_RE.search(s):
+            s = _INVIS_RE.sub("", s)
+        s = _WS_RUN.sub(" ", s)
+        if s and s[0] == " " and self.last_char in _ACTUAL_WS:
+            s = s[1:]
+        if s:
+            self.parts.append(s)
+            self.last_char = s[-1]
 
     def value(self) -> str:
         return "".join(self.parts)
