@@ -423,6 +423,14 @@ def q_ann_bruteforce(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN in the exact configuration (nprobe == n_centroids): the
+    coarse-quantizer machinery must reproduce brute-force cosine top-k
+    (value-hash-checked against the same SQL oracle)."""
+    return similarity.ivf_ann(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                              k=3, n_centroids=4, nprobe=4, iters=2)
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
@@ -466,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "cosine_near_dups": q_cosine_near_dups,
     }
@@ -607,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_bruteforce": similarity.cosine_topk_sql([0, 1, 2, 3, 4], k=3),
+        "ann_ivf": similarity.cosine_topk_sql([0, 1, 2, 3, 4], k=3),
         # ann_lsh: no oracle (bucketing is the approximation under test)
         "cosine_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -148,3 +148,101 @@ WITH scored AS (
 )
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_train_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
+                        id_col: str = "vec_id", vec_col: str = "embedding"
+                        ) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column.
+
+    Init = the n vectors with smallest xxhash64(id) (seeded, no RNG); each
+    iteration is one Spark job (assign JVM-side, per-dimension means via
+    posexplode groupBy). Centroids are tiny (n x dim) and live on the
+    driver / in broadcasts — the scale path: assignment scans are
+    embarrassingly parallel, the mean-reduce shuffles n_centroids x dim
+    cells regardless of corpus size.
+    """
+    init_rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [list(r[0]) for r in init_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("centroid", F.posexplode(vec_col))
+            .groupBy("centroid", "pos").agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["centroid"], {})[r["pos"]] = r["m"]
+        for cid, dims in by_c.items():
+            new[cid] = [dims[i] for i in range(len(dims))]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Nearest-centroid (by cosine) id per vector — pure JVM expressions:
+    argmax via array_max over (sim, idx) structs."""
+    v = F.col(vec_col)
+    cands = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in c])
+        sim = _dot(v, carr) / (_norm(v) * _norm(carr))
+        cands.append(F.struct(sim.alias("s"), F.lit(i).alias("i")))
+    best = F.array_max(F.array(*cands))["i"]
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      v.alias(vec_col),
+                      best.alias("centroid"))
+
+
+def ivf_ann(emb: DataFrame, query_ids: list[int], k: int = 3,
+            n_centroids: int = 8, nprobe: int = 2, iters: int = 3,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse quantizer buckets + exact cosine within the query's
+    nprobe nearest buckets. nprobe == n_centroids degenerates to exact
+    brute force (the oracle-checked configuration)."""
+    centroids = ivf_train_centroids(emb, n_centroids, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).cache()
+
+    # per-query probe list: top-nprobe centroids by cosine
+    v = F.col(vec_col)
+    sims = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in c])
+        sims.append(F.struct(
+            (_dot(v, carr) / (_norm(v) * _norm(carr))).alias("s"),
+            F.lit(i).alias("i")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, nprobe)
+    q = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"),
+                v.alias("qv"),
+                F.explode(F.transform(probes, lambda p: p["i"]))
+                .alias("probe"))
+    )
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"),
+                        F.col("centroid").alias("cb"))
+    joined = F.broadcast(q).join(c, F.col("probe") == F.col("cb")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = (_dot(F.col("qv"), F.col("cv"))
+           / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim")) \
+        .dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

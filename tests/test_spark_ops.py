@@ -233,3 +233,22 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     assert sum(r["n_docs"] for r in rows) == 40
     assert all(r["n_spans"] >= r["n_docs"] for r in rows)
     assert len(rows) >= 2  # multiple windows
+
+
+def test_ivf_ann_exact_and_recall(spark):
+    """IVF at nprobe==n_centroids equals brute force; approximate config
+    keeps nonzero recall (synthetic embeddings are near-uniform, so the
+    coarse quantizer's recall floor is modest here)."""
+    from ksoup_spark.operators import similarity
+    from tests.conftest import SF_ORACLE_DIR
+
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    bf = similarity.cosine_topk(emb, [0, 1, 2], k=3).collect()
+    full = similarity.ivf_ann(emb, [0, 1, 2], k=3, n_centroids=4, nprobe=4,
+                              iters=2).collect()
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, full))
+    approx = similarity.ivf_ann(emb, [0, 1, 2], k=3, n_centroids=8, nprobe=2,
+                                iters=3).collect()
+    bfset = {(r.query_id, r.neighbor_id) for r in bf}
+    apset = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(bfset & apset) / len(bfset) >= 0.2
