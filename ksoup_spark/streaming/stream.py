@@ -109,3 +109,58 @@ def span_metrics_stream(docs_stream: DataFrame,
             ).alias("n_media_spans"),
         )
     )
+
+
+# -- stateful streaming dedup (applyInPandasWithState) -----------------------
+
+FIRST_SEEN_OUT = "content_hash string, doc_id string"
+_FIRST_SEEN_STATE = "seen boolean"
+
+
+def _first_seen_fn(key, pdfs, state):
+    """Emit only the first document ever seen for this content hash.
+
+    State is one boolean per key; once set, every later occurrence (same
+    micro-batch or any future one) is suppressed — bounded state, the
+    streaming analogue of exact_dedup's first-wins semantics.
+    """
+    import pandas as pd  # executor-side import
+
+    if state.exists:
+        for _ in pdfs:  # drain (required by the contract)
+            pass
+        return
+    first_doc = None
+    for pdf in pdfs:
+        if len(pdf):
+            cand = pdf["doc_id"].min()
+            if first_doc is None or cand < first_doc:
+                first_doc = cand
+    state.update((True,))
+    if first_doc is not None:
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [first_doc]})
+
+
+def streaming_first_seen(docs_stream: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Stateful streaming exact-dedup over a document stream.
+
+    groupBy(md5(text)).applyInPandasWithState keeps a per-hash seen flag
+    across micro-batches, so a duplicate arriving hours later is still
+    suppressed. At 10^12-doc scale the state store shards by hash with the
+    shuffle; state size = one row per DISTINCT document.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,35 @@ def test_ivf_ann_exact_and_recall(spark):
     bfset = {(r.query_id, r.neighbor_id) for r in bf}
     apset = {(r.query_id, r.neighbor_id) for r in approx}
     assert len(bfset & apset) / len(bfset) >= 0.2
+
+
+def test_streaming_stateful_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: a duplicate arriving in a LATER
+    micro-batch is suppressed by the per-hash state."""
+    import glob
+    import shutil
+    import time
+
+    from ksoup_spark.streaming.stream import streaming_first_seen
+
+    base = str(tmp_path)
+    (tmp_path / "in").mkdir()
+    spark.createDataFrame([("A", "same text"), ("B", "other text")],
+                          ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(f"{base}/f1")
+    spark.createDataFrame([("C", "same text"), ("D", "third text")],
+                          ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(f"{base}/f2")
+    shutil.copy(glob.glob(f"{base}/f1/*.parquet")[0], f"{base}/in/0001.parquet")
+    time.sleep(1.1)  # distinct mtimes => file order => two micro-batches
+    shutil.copy(glob.glob(f"{base}/f2/*.parquet")[0], f"{base}/in/0002.parquet")
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(f"{base}/in")
+    q = streaming_first_seen(stream).writeStream.format("memory") \
+        .queryName("t_firstseen") \
+        .option("checkpointLocation", f"{base}/ckpt").outputMode("append") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    docs = sorted(r.doc_id
+                  for r in spark.sql("select * from t_firstseen").collect())
+    assert docs == ["A", "B", "D"]  # C = cross-batch duplicate, suppressed
