@@ -103,18 +103,90 @@ class Safelist:
 
     # -- checks -------------------------------------------------------------
 
+    # -- customization builder API (Safelist.kt:92-365) -------------------
+
+    def add_tags(self, *tags: str) -> "Safelist":
+        """Safelist.addTags (Safelist.kt:92-101)."""
+        self.tags.update(t.lower() for t in tags)
+        return self
+
+    def remove_tags(self, *tags: str) -> "Safelist":
+        """Safelist.removeTags (Safelist.kt:110-131)."""
+        for t in tags:
+            self.tags.discard(t.lower())
+        return self
+
+    def add_attributes(self, tag: str, *keys: str) -> "Safelist":
+        """Safelist.addAttributes; tag ':all' applies to every tag
+        (Safelist.kt:140-170)."""
+        self.attributes.setdefault(tag.lower(), set()).update(
+            k.lower() for k in keys)
+        return self
+
+    def remove_attributes(self, tag: str, *keys: str) -> "Safelist":
+        """Safelist.removeAttributes (Safelist.kt:178-218); removing via
+        ':all' drops the keys from every tag's allowance."""
+        tag = tag.lower()
+        targets = list(self.attributes) if tag == ":all" else [tag]
+        for t in targets:
+            allowed = self.attributes.get(t)
+            if allowed:
+                for k in keys:
+                    allowed.discard(k.lower())
+        return self
+
+    def add_enforced_attribute(self, tag: str, key: str,
+                               value: str) -> "Safelist":
+        """Safelist.addEnforcedAttribute (Safelist.kt:227-248)."""
+        self.enforced.setdefault(tag.lower(), {})[key.lower()] = value
+        return self
+
+    def remove_enforced_attribute(self, tag: str, key: str) -> "Safelist":
+        """Safelist.removeEnforcedAttribute (Safelist.kt:257-283)."""
+        self.enforced.get(tag.lower(), {}).pop(key.lower(), None)
+        return self
+
+    def add_protocols(self, tag: str, key: str,
+                      *protocols: str) -> "Safelist":
+        """Safelist.addProtocols (Safelist.kt:315-340)."""
+        self.protocols.setdefault((tag.lower(), key.lower()), set()).update(
+            p.lower() for p in protocols)
+        return self
+
+    def remove_protocols(self, tag: str, key: str,
+                         *protocols: str) -> "Safelist":
+        """Safelist.removeProtocols (Safelist.kt:347-365); removing the
+        last protocol removes the constraint entirely (all values pass)."""
+        k = (tag.lower(), key.lower())
+        protos = self.protocols.get(k)
+        if protos:
+            for p in protocols:
+                protos.discard(p.lower())
+            if not protos:
+                del self.protocols[k]
+        return self
+
+    def preserve_relative_links(self, preserve: bool = True) -> "Safelist":
+        """Safelist.preserveRelativeLinks (Safelist.kt:292-306)."""
+        self._preserve_relative = preserve
+        return self
+
+    # -- predicates --------------------------------------------------------
+
     def is_safe_tag(self, tag: str) -> bool:
         return tag in self.tags
 
     def is_safe_attr(self, tag: str, key: str, value: str | None) -> bool:
         allowed = self.attributes.get(tag, set())
-        if key not in allowed:
+        if key not in allowed and key not in self.attributes.get(":all", set()):
             return False
         protos = self.protocols.get((tag, key))
         if protos and value:
             scheme = urlparse(value.strip()).scheme.lower()
             if scheme:
                 return scheme in protos
+            if getattr(self, "_preserve_relative", False):
+                return True
             return value.strip().startswith("#")
         return True
 

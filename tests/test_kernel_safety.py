@@ -59,3 +59,62 @@ def test_is_valid():
     assert is_valid_html("<p>fine <b>text</b></p>", Safelist.basic())
     assert not is_valid_html("<p onclick=x>bad</p>", Safelist.basic())
     assert not is_valid_html("<script>x</script>", Safelist.basic())
+
+
+# -- customization API goldens (CleanerTest.kt:66-124, 80-105) ---------------
+
+import re as _re
+
+
+def _norm(s: str) -> str:
+    s = _re.sub(r"\s+<", "<", s)
+    s = _re.sub(r">\s+", ">", s)
+    return _re.sub(r"\s+", " ", s).strip()
+
+def test_remove_tags():
+    h = "<div><p><A HREF='HTTP://nice.com'>Nice</a></p><blockquote>Hello</blockquote>"
+    got = clean_html(h, Safelist.basic().remove_tags("a"))
+    assert _norm(got) == "<p>Nice</p><blockquote>Hello</blockquote>"
+
+
+def test_remove_attributes():
+    h = "<div><p>Nice</p><blockquote cite='http://example.com/quotations'>Hello</blockquote>"
+    got = clean_html(h, Safelist.basic().remove_attributes("blockquote", "cite"))
+    assert _norm(got) == "<p>Nice</p><blockquote>Hello</blockquote>"
+
+
+def test_remove_enforced_attributes():
+    h = "<div><p><A HREF='http://nice.com'>Nice</a></p><blockquote>Hello</blockquote>"
+    got = clean_html(h, Safelist.basic().remove_enforced_attribute("a", "rel"))
+    assert _norm(got) == \
+        '<p><a href="http://nice.com">Nice</a></p><blockquote>Hello</blockquote>'
+
+
+def test_remove_protocols():
+    h = "<p>Contact me <a href='mailto:info@example.com'>here</a></p>"
+    got = clean_html(h, Safelist.basic().remove_protocols("a", "href", "ftp", "mailto"))
+    assert _norm(got) == '<p>Contact me<a rel="nofollow">here</a></p>'
+
+
+def test_all_attributes_pseudo_tag():
+    h = ("<div class=foo data=true><p class=bar>Text</p></div>"
+         "<blockquote cite='https://example.com'>Foo</blockquote>")
+    sl = Safelist.relaxed().add_attributes(":all", "class") \
+        .add_attributes("div", "data")
+    got = clean_html(h, sl)
+    assert 'class="foo"' in got and 'class="bar"' in got and 'data="true"' in got
+
+
+def test_add_tags_and_protocols():
+    h = "<p><custom x=1>keep</custom><a href='ftp://x/f'>f</a></p>"
+    sl = Safelist.basic().add_tags("custom").add_attributes("custom", "x") \
+        .add_protocols("a", "href", "ftp")
+    got = clean_html(h, sl)
+    assert '<custom x="1">keep</custom>' in got and 'href="ftp://x/f"' in got
+
+
+def test_preserve_relative_links():
+    h = "<a href='/relative/path'>rel</a>"
+    assert "href" not in clean_html(h, Safelist.basic())
+    got = clean_html(h, Safelist.basic().preserve_relative_links(True))
+    assert 'href="/relative/path"' in got
