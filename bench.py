@@ -179,18 +179,19 @@ def main() -> None:
     # ±20%; the max is the least-contended measurement of the same work.
     n_small = SCALE_N
     n_big = SCALE_N * 4
-    thr = {}
-    for n in (n_small, n_big):
-        s = get_spark(app=f"ksoup-scale-{n}", master=f"local[{n}]",
-                      shuffle_partitions=n)
-        s.sparkContext.setLogLevel("ERROR")
-        s.read.parquet(f"{SF_DIR}/documents.parquet").count()
-        best = 0.0
-        for _rep in range(2):
+    # alternate the levels per round instead of sequential blocks: a
+    # co-tenant load burst then degrades BOTH levels of that round rather
+    # than poisoning only one side of the ratio; best-of-rounds per level.
+    thr = {n_small: 0.0, n_big: 0.0}
+    for _round in range(2):
+        for n in (n_small, n_big):
+            s = get_spark(app=f"ksoup-scale-{n}", master=f"local[{n}]",
+                          shuffle_partitions=n)
+            s.sparkContext.setLogLevel("ERROR")
+            s.read.parquet(f"{SF_DIR}/documents.parquet").count()
             dt, nd, _ = _run_extraction(s, SCALE_MULT, SCALE_REPEAT)
-            best = max(best, nd / dt)
-        thr[n] = best
-        s.stop()
+            thr[n] = max(thr[n], nd / dt)
+            s.stop()
     efficiency = thr[n_big] / ((n_big / n_small) * thr[n_small])
 
     result = {
