@@ -40,6 +40,15 @@ class SelectorError(ValueError):
     pass
 
 
+def _compile_re(pattern: str):
+    """Compile a :matches*/[a~=re] pattern; invalid patterns are query
+    errors, not raw re.error leaks."""
+    try:
+        return re.compile(pattern)
+    except re.error as e:
+        raise SelectorError(f"invalid regex {pattern!r}: {e}") from None
+
+
 # ---------------------------------------------------------------------------
 # token queue
 # ---------------------------------------------------------------------------
@@ -350,7 +359,7 @@ class AttrValueMatching(Evaluator):
 
     def __init__(self, key: str, pattern: str):
         self.key = key.lower()
-        self.re = re.compile(pattern)
+        self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
         v = ctx.doc.get_attr(el, self.key)
@@ -540,7 +549,7 @@ class Matches(Evaluator):
     cost = 8
 
     def __init__(self, pattern: str):
-        self.re = re.compile(pattern)
+        self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
         return self.re.search(ctx.text(el)) is not None
@@ -550,7 +559,7 @@ class MatchesOwn(Evaluator):
     cost = 7
 
     def __init__(self, pattern: str):
-        self.re = re.compile(pattern)
+        self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
         return self.re.search(ctx.own(el)) is not None
@@ -560,7 +569,7 @@ class MatchesWholeText(Evaluator):
     cost = 8
 
     def __init__(self, pattern: str):
-        self.re = re.compile(pattern)
+        self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
         return self.re.search(ctx.whole(el)) is not None
@@ -570,7 +579,7 @@ class MatchesWholeOwnText(Evaluator):
     cost = 7
 
     def __init__(self, pattern: str):
-        self.re = re.compile(pattern)
+        self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
         doc = ctx.doc

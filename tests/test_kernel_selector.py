@@ -154,3 +154,13 @@ def test_unknown_pseudo_raises():
 def test_namespaced_tags():
     h = "<svg><text id=t>x</text></svg>"
     assert q(h, "svg text") == ["t"]
+
+
+def test_invalid_regex_is_selector_error():
+    import pytest as _pytest
+
+    from ksoup_spark.kernel.selector import SelectorError, parse_query
+
+    for q in (":matches([)", ":matchesOwn(*)", "[a~=(]"):
+        with _pytest.raises(SelectorError):
+            parse_query(q)
