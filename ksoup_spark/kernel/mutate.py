@@ -36,6 +36,11 @@ def import_fragment(dst: Doc, html: str, context: str = "body") -> list[int]:
     from .treebuilder import parse_fragment  # local import: cycle avoidance
 
     src, roots = parse_fragment(html, context, base_uri=dst.base_uri)
+    if src.self_closing:
+        # adopted nodes keep their Tag.selfClosing flag for "<x />" output
+        if dst.self_closing is None:
+            dst.self_closing = set()
+        dst.self_closing.update(src.self_closing)
     return [_copy_subtree(dst, src, r) for r in roots]
 
 
@@ -64,6 +69,8 @@ def before(doc: Doc, node: int, new: int) -> None:
 def after(doc: Doc, node: int, new: int) -> None:
     """Node.after(node) (Node.kt:384-391)."""
     p = doc.parent[node]
+    if p == -1:
+        raise ValueError("after(): reference node has no parent")
     sibs = doc.children[p]
     i = sibs.index(node)
     doc.detach(new)

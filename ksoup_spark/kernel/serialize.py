@@ -83,13 +83,9 @@ _BAD_ATTR_KEY = re.compile("[\x00-\x1f\x7f-\x9f \"'/=]+")
 
 
 def _valid_key(k: str) -> str | None:
-    if not k:
-        return None
     if _BAD_ATTR_KEY.search(k):
         k = _BAD_ATTR_KEY.sub("_", k)
-        if not k or _BAD_ATTR_KEY.search(k):
-            return None
-    return k
+    return k or None
 
 
 def _attrs_html(attrs: dict | None, xml: bool = False) -> str:

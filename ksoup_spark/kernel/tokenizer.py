@@ -191,7 +191,9 @@ class Tokenizer:
             if c2 == ">":  # '</>' dropped entirely
                 self.p = p + 3
                 return []
-            return self._bogus_comment(p + 2)
+            # bogus end tag: the '/' is pushed back into the comment data
+            # (TokeniserState.EndTagOpen, kt:147-149)
+            return self._bogus_comment(p + 1)
         self.p = p + 1
         return None
 

@@ -27,16 +27,24 @@ def traverse(doc: Doc, root: int,
              tail: Callable[[int, int], None] | None = None) -> None:
     """NodeTraversor.traverse: head/tail visits in document order,
     tolerant of the visitor mutating the current node's children."""
-    stack: list[list] = [[root, 0]]
+    stack: list[list] = [[root, 0, False]]
     while stack:
         frame = stack[-1]
-        node, ci = frame
-        if ci == 0:
+        node, ci, visited = frame
+        if not visited:
+            frame[2] = True
             head(node, len(stack) - 1)
+            if node != root and doc.parent[node] == -1:
+                # visitor removed the current node: skip its subtree and
+                # tail, and pull the parent's cursor back over the gap
+                stack.pop()
+                if stack:
+                    stack[-1][1] -= 1
+                continue
         kids = doc.children[node]  # re-read: visitor may mutate
         if ci < len(kids):
             frame[1] = ci + 1
-            stack.append([kids[ci], 0])
+            stack.append([kids[ci], 0, False])
             continue
         if tail is not None:
             tail(node, len(stack) - 1)
@@ -51,24 +59,23 @@ def filter_traverse(doc: Doc, root: int,
     Returns the final FilterResult (STOP when aborted, else CONTINUE).
     REMOVE detaches the node from the doc after the walk moves past it.
     """
-    stack: list[list] = [[root, 0, CONTINUE]]
+    stack: list[list] = [[root, 0, CONTINUE, False]]
     while stack:
         frame = stack[-1]
-        node, ci, verdict = frame
-        if ci == 0:
+        node, ci, verdict, visited = frame
+        if not visited:
+            frame[3] = True
             verdict = head(node, len(stack) - 1)
             if verdict == STOP:
                 return STOP
             frame[2] = verdict
             if verdict in (SKIP_ENTIRELY, REMOVE, SKIP_CHILDREN):
                 frame[1] = len(doc.children[node])  # don't descend
-                if verdict == SKIP_CHILDREN:
-                    pass  # tail still runs below
             ci = frame[1]
         kids = doc.children[node]
         if ci < len(kids) and frame[2] == CONTINUE:
             frame[1] = ci + 1
-            stack.append([kids[ci], 0, CONTINUE])
+            stack.append([kids[ci], 0, CONTINUE, False])
             continue
         stack.pop()
         v = frame[2]

@@ -90,7 +90,8 @@ def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
 def lsh_ann(emb: DataFrame, dim: int, query_ids: list[int], k: int = 3,
             n_planes: int = 6, seed: int = 42) -> DataFrame:
     """Bucketed ANN: exact cosine, but only within the query's LSH bucket."""
-    bucketed = lsh_buckets(emb, dim, n_planes, seed).cache()
+    # no cache (leak per invocation); bucket ids are cheap JVM expressions
+    bucketed = lsh_buckets(emb, dim, n_planes, seed)
     q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -210,7 +211,10 @@ def ivf_ann(emb: DataFrame, query_ids: list[int], k: int = 3,
     nprobe nearest buckets. nprobe == n_centroids degenerates to exact
     brute force (the oracle-checked configuration)."""
     centroids = ivf_train_centroids(emb, n_centroids, iters, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col).cache()
+    # no cache: assignment is cheap JVM expressions over broadcast centroids,
+    # and a cache here would leak storage memory per invocation (the caller
+    # can't unpersist a lazily-returned DataFrame's lineage)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
     # per-query probe list: top-nprobe centroids by cosine
     v = F.col(vec_col)

@@ -232,3 +232,20 @@ def test_escape_modes():
     d2 = parse("<p>и \U0001d559</p>")
     assert outer_html(d2, d2.body(), pretty=False, charset="ascii",
                       escape_mode="extended") == "<body><p>&icy; &hopf;</p></body>"
+
+
+def test_fragment_keeps_selfclosing_marks():
+    # adopted nodes keep the "<x />" form (Tag.selfClosing travels)
+    d = parse("<div></div>")
+    M.append_html(d, S.select_first(d, "div"), "<foo /><foo>x</foo>")
+    assert _body_html(d) == "<div><foo /><foo>x</foo></div>"
+
+
+def test_after_on_detached_raises():
+    import pytest as _pytest
+
+    d = parse("<p>x</p>")
+    p = S.select_first(d, "p")
+    M.remove(d, p)
+    with _pytest.raises(ValueError):
+        M.after(d, p, d.new_node(dom.TEXT, text="y"))

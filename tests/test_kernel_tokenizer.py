@@ -221,3 +221,13 @@ def test_less_in_tag_as_new_tag():
     d = tb.parse("<p\n<p<div id=one <span>Two")
     got = inner_html(d, d.body(), pretty=False)
     assert got == '<p></p><p></p><div id="one"><span>Two</span></div>'
+
+
+def test_bogus_end_tag_comment_keeps_solidus():
+    # TokeniserState.EndTagOpen pushes the '/' back into the bogus comment
+    # (kt:147-149): '</ foo>' -> comment '/ foo'
+    from ksoup_spark.kernel.treebuilder import parse
+    from ksoup_spark.kernel.serialize import inner_html
+
+    d = parse("x</ foo>y")
+    assert inner_html(d, d.body(), pretty=False) == "x<!--/ foo-->y"

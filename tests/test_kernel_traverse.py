@@ -82,3 +82,30 @@ def test_filter_stop_aborts():
 
     assert filter_traverse(d, d.body(), head) == STOP
     assert "c" not in seen
+
+
+def test_filter_remove_first_child_heads_parent_once():
+    # regression: REMOVE on a first child must not re-run head on the parent
+    d = parse("<div><a>1</a><b>2</b></div>")
+    heads = []
+
+    def head(n, depth):
+        heads.append(d.tag[n] or "#t")
+        return REMOVE if d.tag[n] == "a" else CONTINUE
+
+    filter_traverse(d, d.body(), head)
+    assert heads.count("div") == 1 and "b" in heads
+
+
+def test_traverse_visitor_removing_current_keeps_siblings():
+    # regression: detaching the current node must not skip the next sibling
+    d = parse("<div><a>1</a><b>2</b><i>3</i></div>")
+    seen = []
+
+    def head(n, depth):
+        seen.append(d.tag[n] or "#t")
+        if d.tag[n] == "a":
+            d.detach(n)
+
+    traverse(d, d.body(), head)
+    assert "b" in seen and "i" in seen
