@@ -415,6 +415,12 @@ def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pretokenizer counts (same lookahead-free regex runs under
+    Java regex and DuckDB RE2, so counts are value-hash-checked)."""
+    return textstats.bpe_token_count(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -472,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
@@ -607,6 +614,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
                      AS n_distinct_tokens
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_pretokens,
+                   len(list_filter(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+                                   t -> NOT regexp_matches(t, '^\\s+$'))) AS n_bpe_nonspace,
+                   len(string_split(text, ' ')) AS n_ws_tokens
             FROM documents
         """,
         "fingerprint": """

@@ -171,3 +171,26 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM bit_votes GROUP BY doc_id
 """
+
+
+# GPT-2-style pretokenizer regex (no lookahead, so the same pattern runs
+# under Java regex AND DuckDB's RE2 for the oracle): contractions, optional
+# leading-space letter runs, digit runs, punctuation runs, whitespace runs
+BPE_SPLIT = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+
+def bpe_token_count(df: DataFrame) -> DataFrame:
+    """BPE-ish pretokenization count (the subword-tokenizer budget proxy a
+    training pipeline filters on), alongside the whitespace count."""
+    toks = F.regexp_extract_all("text", F.lit(BPE_SPLIT), F.lit(0))
+    w = _words()
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_pretokens"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^\\s+$")))
+        .alias("n_bpe_nonspace"),
+        F.size(w).alias("n_ws_tokens"),
+    )
