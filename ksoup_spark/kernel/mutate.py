@@ -152,13 +152,26 @@ def _fragment_context(doc: Doc, parent: int) -> str:
 
 # -- element ops (Element.kt:565-813) ---------------------------------------
 
+def _check_no_cycle(doc: Doc, el: int, child: int) -> None:
+    """Reject reparenting a node under its own subtree — a parent cycle
+    would make every traversal non-terminating."""
+    n = el
+    while n != -1:
+        if n == child:
+            raise ValueError(
+                "cannot insert a node into its own subtree")
+        n = doc.parent[n]
+
+
 def append_child(doc: Doc, el: int, child: int) -> None:
     """Element.appendChild (Element.kt:572-578)."""
+    _check_no_cycle(doc, el, child)
     doc.append_child(el, child)
 
 
 def prepend_child(doc: Doc, el: int, child: int) -> None:
     """Element.prependChild (Element.kt:610-616)."""
+    _check_no_cycle(doc, el, child)
     doc.detach(child)
     doc.children[el].insert(0, child)
     doc.parent[child] = el
@@ -368,3 +381,25 @@ def text_nodes(doc: Doc, nodes: list[int]) -> list[int]:
     for n in nodes:
         out.extend(c for c in doc.children[n] if doc.kind[c] == dom.TEXT)
     return out
+
+
+def clone(doc: Doc, node: int) -> int:
+    """Node.clone (Node.kt:770-791): standalone deep copy of the subtree
+    within the same Doc; returned root is unattached."""
+    return _copy_subtree(doc, doc, node)
+
+
+def insert_children(doc: Doc, el: int, index: int, children: list[int]) -> None:
+    """Element.insertChildren (Element.kt:630-668): insert at index among
+    el's child NODES; index -1 appends (jsoup semantics)."""
+    kids = doc.children[el]
+    if index < 0:
+        index = len(kids) + index + 1
+    if not 0 <= index <= len(kids):
+        raise ValueError(f"insert position {index} out of range")
+    for c in children:
+        _check_no_cycle(doc, el, c)
+    for off, c in enumerate(children):
+        doc.detach(c)
+        doc.children[el].insert(index + off, c)
+        doc.parent[c] = el

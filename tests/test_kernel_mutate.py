@@ -249,3 +249,25 @@ def test_after_on_detached_raises():
     M.remove(d, p)
     with _pytest.raises(ValueError):
         M.after(d, p, d.new_node(dom.TEXT, text="y"))
+
+
+def test_clone_and_insert_children_as_copy():
+    # insertChildrenAsCopy flow (ElementTest.kt:2157-2168): source keeps its
+    # children, target receives standalone deep copies
+    d = parse("<div id=1>Text<p>One</p>Text<p>Two</p></div><div id=2></div>")
+    a, b = S.select(d, "div")
+    copies = [M.clone(d, c) for c in d.children[a]]
+    M.insert_children(d, b, -1, copies)
+    assert _body_html(d) == (
+        '<div id="1">Text<p>One</p>Text<p>Two</p></div>'
+        '<div id="2">Text<p>One</p>Text<p>Two</p></div>')
+
+
+def test_insert_children_at_index():
+    d = parse("<ol><li>a</li><li>c</li></ol>")
+    ol = S.select_first(d, "ol")
+    M.insert_children(d, ol, 1, M.import_fragment(d, "<li>b</li>"))
+    assert _body_html(d) == "<ol><li>a</li><li>b</li><li>c</li></ol>"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        M.insert_children(d, ol, 99, [])
