@@ -284,3 +284,14 @@ def test_streaming_stateful_first_seen(spark, tmp_path):
     docs = sorted(r.doc_id
                   for r in spark.sql("select * from t_firstseen").collect())
     assert docs == ["A", "B", "D"]  # C = cross-batch duplicate, suppressed
+
+
+def test_html_main_spans_column_fn(spark):
+    import ksoup_spark.functions.html as H
+
+    html = ('<nav><a href=x>N</a></nav><article><p>Real content.</p>'
+            '<img src="i.png"></article><div class="ads">buy</div>')
+    df = spark.createDataFrame([("1", html)], ["doc_id", "html"])
+    r = df.select(H.html_main_spans("html").alias("s")).first()
+    assert [(x.kind, x.text, x.media_ref) for x in r.s] == [
+        ("text", "Real content.", None), ("image", None, "i.png")]
