@@ -191,57 +191,75 @@ class Doc:
 
     def to_table(self) -> dict[str, list]:
         """Preorder SoA node table (SURVEY.md §1.2 schema)."""
+        kind = self.kind
+        children = self.children
+        # inline preorder walk (generator + tuple per node is the hot cost)
         order: list[int] = []
         depth_of: list[int] = []
-        for n, d in self.preorder(0):
+        stack: list[tuple[int, int]] = [(0, 0)]
+        pop = stack.pop
+        push = stack.append
+        while stack:
+            n, d = pop()
             order.append(n)
             depth_of.append(d)
-        remap = {old: new for new, old in enumerate(order)}
+            kids = children[n]
+            if kids:
+                d1 = d + 1
+                for c in reversed(kids):
+                    push((c, d1))
         n_nodes = len(order)
+        # dense remap array beats a dict for int keys
+        remap = [0] * len(kind)
+        for new_id, old in enumerate(order):
+            remap[old] = new_id
+        parent = self.parent
         out = {
             "node_id": list(range(n_nodes)),
-            "parent_id": [0] * n_nodes,
+            "parent_id": [remap[parent[o]] if parent[o] != -1 else -1
+                          for o in order],
             "depth": depth_of,
-            "kind": [0] * n_nodes,
-            "tag": [None] * n_nodes,
-            "ns": [0] * n_nodes,
+            "kind": [kind[o] for o in order],
+            "tag": [self.tag[o] for o in order],
+            "ns": [self.ns[o] for o in order],
             "sibling_index": [0] * n_nodes,
             "elem_sibling_index": [-1] * n_nodes,
             "first_child": [-1] * n_nodes,
             "next_sibling": [-1] * n_nodes,
             "subtree_end": [0] * n_nodes,
-            "text": [None] * n_nodes,
-            "attrs": [None] * n_nodes,
+            "text": [self.text[o] for o in order],
+            "attrs": [self.attrs[o] for o in order],
         }
+        sib = out["sibling_index"]
+        esib = out["elem_sibling_index"]
+        first = out["first_child"]
+        nxt = out["next_sibling"]
         for new_id, old in enumerate(order):
-            p = self.parent[old]
-            out["parent_id"][new_id] = remap[p] if p != -1 else -1
-            out["kind"][new_id] = self.kind[old]
-            out["tag"][new_id] = self.tag[old]
-            out["ns"][new_id] = self.ns[old]
-            out["text"][new_id] = self.text[old]
-            out["attrs"][new_id] = self.attrs[old]
-            kids = self.children[old]
-            if kids:
-                out["first_child"][new_id] = remap[kids[0]]
+            kids = children[old]
+            if not kids:
+                continue
+            first[new_id] = remap[kids[0]]
             elem_i = 0
+            prev_rc = -1
             for si, c in enumerate(kids):
                 rc = remap[c]
-                out["sibling_index"][rc] = si
-                if si + 1 < len(kids):
-                    out["next_sibling"][rc] = remap[kids[si + 1]]
-                if self.kind[c] == ELEMENT:
-                    out["elem_sibling_index"][rc] = elem_i
+                sib[rc] = si
+                if prev_rc != -1:
+                    nxt[prev_rc] = rc
+                prev_rc = rc
+                if kind[c] == ELEMENT:
+                    esib[rc] = elem_i
                     elem_i += 1
         # subtree_end: last preorder id in the subtree (inclusive interval)
-        stack: list[int] = []
+        send = out["subtree_end"]
+        dstack: list[int] = []
         for new_id in range(n_nodes):
             d = depth_of[new_id]
-            while len(stack) > d:
-                out["subtree_end"][stack.pop()] = new_id - 1
-            stack.append(new_id)
-        while stack:
-            out["subtree_end"][stack.pop()] = n_nodes - 1
+            while len(dstack) > d:
+                send[dstack.pop()] = new_id - 1
+            dstack.append(new_id)
+        while dstack:
+            send[dstack.pop()] = n_nodes - 1
         return out
 
 
