@@ -112,3 +112,63 @@ def test_reference_sweep(name, html, want, kind):
         assert _norm(got) == _norm(want)
     else:
         assert element_text(d, 0) == want
+
+
+# -- selector sweep: assertSelectedIds replays -------------------------------
+
+def _extract_selector_cases():
+    path = _REF / "select/SelectorTest.kt"
+    if not path.exists():
+        return []
+    src = path.read_text()
+    cases = []
+    for t in re.split(r"@Test\s*\n\s*fun ", src)[1:]:
+        name = t.split("(", 1)[0]
+        vars_ = dict(re.findall(r"val (\w+)(?::\s*String)? = " + _KSTR, t))
+        n_parse = len(re.findall(r"Ksoup\.parse\(", t))
+        if n_parse != 1:
+            # also allow the inline parse(...).select(...) form repeated N
+            # times with literal args — handled below per statement
+            pass
+        # statement form: val X = Ksoup.parse("H").select("Q") ... asserts
+        env = {}
+        for m in re.finditer(
+            r"val (\w+)(?::\s*Elements)? =\s*\n?\s*Ksoup\.parse\(\s*" + _KSTR +
+            r"\s*\)\s*\.select\(\s*" + _KSTR + r"\s*\)"
+            r"|val (\w+)(?::\s*Elements)? =\s*\n?\s*(?:doc|document)\.select\(\s*"
+            + _KSTR + r"\s*\)"
+            r"|assertSelectedIds\(\s*(\w+)\s*((?:,\s*\"(?:[^\"\\\n]|\\.)*\"\s*)*)\)",
+            t):
+            if m.group(1):
+                env[m.group(1)] = (_unkotlin(m.group(2)), _unkotlin(m.group(3)))
+            elif m.group(4):
+                if n_parse == 1:
+                    mp = re.search(r"Ksoup\.parse\(\s*" + _KSTR + r"\s*[,)]", t)
+                    html = _unkotlin(mp.group(1)) if mp else vars_.get(
+                        (re.search(r"Ksoup\.parse\((\w+)", t) or [None, ""])[1])
+                    if html:
+                        env[m.group(4)] = (html if mp else _unkotlin(html),
+                                           _unkotlin(m.group(5)))
+            elif m.group(6) and m.group(6) in env:
+                html, query = env.pop(m.group(6))
+                want = [_unkotlin(i) for i in re.findall(_KSTR, m.group(7) or "")]
+                cases.append((f"{name}:{query}", html, query, want))
+    return cases
+
+
+_SEL_CASES = _extract_selector_cases()
+
+
+@pytest.mark.skipif(not _SEL_CASES, reason="reference checkout not available")
+def test_selector_sweep_count():
+    assert len(_SEL_CASES) >= 8
+
+
+@pytest.mark.parametrize("name,html,query,want", _SEL_CASES,
+                         ids=[c[0] for c in _SEL_CASES])
+def test_selector_sweep(name, html, query, want):
+    from ksoup_spark.kernel import selector as S
+
+    d = tb.parse(html)
+    got = [d.get_attr(n, "id") or "" for n in S.select(d, query)]
+    assert got == want
