@@ -331,18 +331,39 @@ def q_match_text(spark, sf_dir):
 
 
 def q_pdf_layout(spark, sf_dir):
-    """PDF/layout-parse stage (stubbed parser, real plumbing): binary
-    payloads -> ordered layout blocks. Rows-only check (the stub derives
-    structure from sha256, not SQL-expressible)."""
+    """PDF/layout-parse stage backed by the real minimal text-PDF parser
+    (ksoup_spark/kernel/pdf.py): the corpus text is typeset into a two-page
+    PDF (catalog -> pages -> page -> content stream, uncompressed) via SQL
+    concat, and the parser recovers pages, text blocks with bbox geometry,
+    and a cm/Do-placed image. Exact DuckDB oracle: the block geometry
+    formula (0.6 * fontsize * chars) is mirrored in SQL."""
     from ksoup_spark.operators import multimodal
 
     d = _docs(spark, sf_dir)
-    pdfs = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.encode(F.concat(F.lit("%PDF-1.4 "), F.col("text")), "utf-8")
-        .alias("payload"),
+    sid = F.col("doc_id").cast("string")
+    c1 = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td (Doc "), sid, F.lit(") Tj ET\n"),
+        F.lit("BT /F1 10 Tf 72 700 Td ("), F.col("text"), F.lit(") Tj ET\n"),
+        F.lit("q 100 0 0 50 30 40 cm /Im0 Do Q\n"),
     )
-    return multimodal.pdf_layout(pdfs).orderBy("media_id", "page", "block")
+    c2 = F.concat(F.lit("BT /F1 12 Tf 72 720 Td (p2 of "), sid,
+                  F.lit(") Tj ET\n"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj <</Type /Catalog /Pages 2 0 R>> endobj\n"
+              "2 0 obj <</Type /Pages /Kids [3 0 R 5 0 R] /Count 2>> endobj\n"
+              "3 0 obj <</Type /Page /Parent 2 0 R /Contents 4 0 R>> endobj\n"
+              "4 0 obj <</Length "),
+        F.length(c1).cast("string"), F.lit(">>\nstream\n"), c1,
+        F.lit("endstream endobj\n"
+              "5 0 obj <</Type /Page /Parent 2 0 R /Contents 6 0 R>> endobj\n"
+              "6 0 obj <</Length "),
+        F.length(c2).cast("string"), F.lit(">>\nstream\n"), c2,
+        F.lit("endstream endobj\n%%EOF\n"),
+    )
+    pdfs = d.select(sid.alias("media_id"),
+                    F.encode(pdf, "utf-8").alias("payload"))
+    return multimodal.pdf_layout(pdfs, strict=True)
 
 
 def q_nodequery_compiled(spark, sf_dir):
@@ -593,6 +614,27 @@ def oracle_sql() -> dict[str, str]:
                      || '/media/' || printf('doc-%08d', doc_id) || '.bin'
                      AS media_ref,
                    'tail of ' || printf('doc-%08d', doc_id) AS tail_text
+            FROM documents
+        """,
+        "pdf_layout": """
+            SELECT doc_id::VARCHAR AS media_id, 0 AS page, 0 AS block,
+                   'text' AS kind, 72.0::DOUBLE AS x0, 720.0::DOUBLE AS y0,
+                   round(72.0::DOUBLE + 0.6::DOUBLE*12*length('Doc ' || doc_id), 2) AS x1,
+                   732.0::DOUBLE AS y1, 'Doc ' || doc_id AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id::VARCHAR, 0, 1, 'text', 72.0::DOUBLE, 700.0::DOUBLE,
+                   round(72.0::DOUBLE + 0.6::DOUBLE*10*length(text), 2),
+                   710.0::DOUBLE, text
+            FROM documents
+            UNION ALL
+            SELECT doc_id::VARCHAR, 0, 2, 'image', 30.0::DOUBLE, 40.0::DOUBLE,
+                   130.0::DOUBLE, 90.0::DOUBLE, NULL
+            FROM documents
+            UNION ALL
+            SELECT doc_id::VARCHAR, 1, 0, 'text', 72.0::DOUBLE, 720.0::DOUBLE,
+                   round(72.0::DOUBLE + 0.6::DOUBLE*12*length('p2 of ' || doc_id), 2),
+                   732.0::DOUBLE, 'p2 of ' || doc_id
             FROM documents
         """,
         "dedup_exact": dedup.exact_dedup_sql(),

@@ -67,13 +67,15 @@ def before(doc: Doc, node: int, new: int) -> None:
 
 
 def after(doc: Doc, node: int, new: int) -> None:
-    """Node.after(node) (Node.kt:384-391)."""
+    """Node.after(node) (Node.kt:384-391): detach `new` BEFORE resolving the
+    reference index — when `new` is an earlier sibling of the same parent the
+    pre-detach index would be stale by one."""
     p = doc.parent[node]
     if p == -1:
         raise ValueError("after(): reference node has no parent")
+    doc.detach(new)
     sibs = doc.children[p]
     i = sibs.index(node)
-    doc.detach(new)
     sibs.insert(i + 1, new)
     doc.parent[new] = p
 
@@ -392,14 +394,17 @@ def clone(doc: Doc, node: int) -> int:
 def insert_children(doc: Doc, el: int, index: int, children: list[int]) -> None:
     """Element.insertChildren (Element.kt:630-668): insert at index among
     el's child NODES; index -1 appends (jsoup semantics)."""
+    for c in children:
+        _check_no_cycle(doc, el, c)
+    # detach before resolving/validating the index: a child already earlier
+    # in el's own list would shift positions under us (stale-index class)
+    for c in children:
+        doc.detach(c)
     kids = doc.children[el]
     if index < 0:
         index = len(kids) + index + 1
     if not 0 <= index <= len(kids):
         raise ValueError(f"insert position {index} out of range")
-    for c in children:
-        _check_no_cycle(doc, el, c)
     for off, c in enumerate(children):
-        doc.detach(c)
         doc.children[el].insert(index + off, c)
         doc.parent[c] = el

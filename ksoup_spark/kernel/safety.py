@@ -11,10 +11,12 @@ always kept, data nodes (script/style payloads) never are.
 
 from __future__ import annotations
 
-from urllib.parse import urlparse
+import re
 
 from . import dom
 from .dom import Doc
+
+_WS_ANY = re.compile(r"\s")
 
 
 class Safelist:
@@ -176,18 +178,32 @@ class Safelist:
     def is_safe_tag(self, tag: str) -> bool:
         return tag in self.tags
 
-    def is_safe_attr(self, tag: str, key: str, value: str | None) -> bool:
+    def is_safe_attr(self, tag: str, key: str, value: str | None,
+                     abs_value: str | None = None) -> bool:
+        """Reference Safelist.isSafeAttribute + testValidProtocol
+        (Safelist.kt:393-451): the protocol test runs against the
+        abs-resolved URL when resolvable, else the raw value, and matches by
+        lowercase ``proto:`` PREFIX — never by parsed scheme, so values like
+        ``\\x01javascript:alert(1)`` (no parseable scheme, but executable in
+        browsers that strip C0 controls) cannot sneak through. The ``#``
+        pseudo-protocol admits whitespace-free anchors. Unresolvable relative
+        links are dropped regardless of preserveRelativeLinks (that flag only
+        controls output rewriting, see clean())."""
         allowed = self.attributes.get(tag, set())
         if key not in allowed and key not in self.attributes.get(":all", set()):
             return False
         protos = self.protocols.get((tag, key))
-        if protos and value:
-            scheme = urlparse(value.strip()).scheme.lower()
-            if scheme:
-                return scheme in protos
-            if getattr(self, "_preserve_relative", False):
-                return True
-            return value.strip().startswith("#")
+        if protos and value is not None:
+            test = abs_value if abs_value else value
+            low = test.lower()
+            for prot in protos:
+                if prot == "#":
+                    if test.startswith("#") and not _WS_ANY.search(test):
+                        return True
+                    continue
+                if low.startswith(prot + ":"):
+                    return True
+            return False
         return True
 
 
@@ -220,9 +236,18 @@ def clean(doc: Doc, safelist: Safelist, root: int | None = None) -> Doc:
                 tag = doc.tag[c] or ""
                 if safelist.is_safe_tag(tag):
                     attrs = {}
+                    preserve_rel = getattr(safelist, "_preserve_relative", False)
                     for ak, av in (doc.attrs[c] or {}).items():
-                        if safelist.is_safe_attr(tag, ak, av):
-                            attrs[ak] = av
+                        protos = safelist.protocols.get((tag, ak))
+                        abs_v = doc.abs_url(c, ak) if protos else None
+                        if safelist.is_safe_attr(tag, ak, av, abs_v):
+                            # testValidProtocol (Safelist.kt:435): unless
+                            # preserveRelativeLinks, the kept value is the
+                            # resolved one
+                            if protos and not preserve_rel and abs_v:
+                                attrs[ak] = abs_v
+                            else:
+                                attrs[ak] = av
                         else:
                             num_discarded += 1
                     attrs.update(safelist.enforced.get(tag, {}))

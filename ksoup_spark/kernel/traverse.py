@@ -26,25 +26,37 @@ def traverse(doc: Doc, root: int,
              head: Callable[[int, int], None],
              tail: Callable[[int, int], None] | None = None) -> None:
     """NodeTraversor.traverse: head/tail visits in document order,
-    tolerant of the visitor mutating the current node's children."""
-    stack: list[list] = [[root, 0, False]]
+    tolerant of the visitor mutating the current node's children.
+
+    The cursor is tracked by sibling IDENTITY (the set of already-visited
+    child ids), not a raw index, mirroring the intent of the reference's
+    sibling-pointer walk (NodeTraversor.kt:22-65): a visitor that detaches
+    earlier siblings (e.g. merging adjacent text nodes), the current node,
+    or any combination shifts indices but not identities, so no surviving
+    sibling is silently skipped. Each child present when the parent's cursor
+    reaches it is visited exactly once, in document order.
+    """
+    # frame: [node, visited_child_ids, head_done]
+    stack: list[list] = [[root, set(), False]]
     while stack:
         frame = stack[-1]
-        node, ci, visited = frame
-        if not visited:
+        node = frame[0]
+        if not frame[2]:
             frame[2] = True
             head(node, len(stack) - 1)
             if node != root and doc.parent[node] == -1:
-                # visitor removed the current node: skip its subtree and
-                # tail, and pull the parent's cursor back over the gap
+                # visitor removed the current node: skip subtree and tail;
+                # the parent frame re-locates by identity, no fixup needed
                 stack.pop()
-                if stack:
-                    stack[-1][1] -= 1
                 continue
-        kids = doc.children[node]  # re-read: visitor may mutate
-        if ci < len(kids):
-            frame[1] = ci + 1
-            stack.append([kids[ci], 0, False])
+        nxt = -1
+        for k in doc.children[node]:  # re-read: visitor may mutate
+            if k not in frame[1]:
+                nxt = k
+                break
+        if nxt != -1:
+            frame[1].add(nxt)
+            stack.append([nxt, set(), False])
             continue
         if tail is not None:
             tail(node, len(stack) - 1)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -194,39 +195,12 @@ PDF_LAYOUT_SCHEMA = StructType([
     StructField("page", IntegerType()),
     StructField("block", IntegerType()),
     StructField("kind", StringType()),        # text | image
-    StructField("bbox", ArrayType(FloatType())),  # x0,y0,x1,y1 (page units)
+    StructField("x0", DoubleType()),          # bbox, page units (points)
+    StructField("y0", DoubleType()),
+    StructField("x1", DoubleType()),
+    StructField("y1", DoubleType()),
     StructField("text", StringType()),
 ])
-
-
-def _parse_pdf_layout(data: bytes, strict: bool = False) -> list[dict]:
-    """STUB layout parser. Real impl: pdfminer.six / PyMuPDF ``page.get_text
-    ("blocks")``. Deterministic fake: pages/blocks derived from a content
-    hash so the Spark plumbing (schema, explode shape, partitioning) is
-    exercised end-to-end with stable outputs."""
-    if strict:
-        raise NotImplementedError(
-            "PDF parser unavailable in this environment; swap "
-            "_parse_pdf_layout for a pdfminer.six/PyMuPDF-backed implementation"
-        )
-    h = hashlib.sha256(data).digest()
-    n_pages = 1 + h[0] % 3
-    rows: list[dict] = []
-    for page in range(n_pages):
-        n_blocks = 1 + h[1 + page] % 4
-        for block in range(n_blocks):
-            b = h[(page * 7 + block) % 24]
-            kind = "image" if (b % 5 == 0 and block > 0) else "text"
-            y0 = float(block * 100)
-            rows.append({
-                "page": page,
-                "block": block,
-                "kind": kind,
-                "bbox": [0.0, y0, 612.0, y0 + 90.0],
-                "text": (None if kind == "image"
-                         else f"block-{page}-{block}-{b:02x}"),
-            })
-    return rows
 
 
 def pdf_layout(df: DataFrame, id_col: str = "media_id",
@@ -235,7 +209,14 @@ def pdf_layout(df: DataFrame, id_col: str = "media_id",
     """binary PDF payload -> one row per layout block (exploded shape),
     ordered (page, block) within each document — the layout-parse stage of
     the north-rule extraction pipeline. Output feeds the same span model as
-    HTML: text blocks -> text spans, image blocks -> media spans."""
+    HTML: text blocks -> text spans, image blocks -> media spans.
+
+    Backed by the real minimal text-PDF parser in
+    :mod:`ksoup_spark.kernel.pdf` (object scan, /Type /Page mapping,
+    Flate streams, BT/ET text operators, cm+Do images). Non-PDF payloads
+    yield no rows (or raise under strict=True)."""
+    from ..kernel.pdf import parse_pdf_layout
+
     df = df.select(F.col(id_col).alias("media_id"),
                    F.col(payload_col).alias("payload"))
 
@@ -243,7 +224,7 @@ def pdf_layout(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["payload"]):
-                for blk in _parse_pdf_layout(bytes(data or b""), strict):
+                for blk in parse_pdf_layout(bytes(data or b""), strict):
                     rows.append({"media_id": mid, **blk})
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_LAYOUT_SCHEMA])
 

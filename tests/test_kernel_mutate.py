@@ -271,3 +271,23 @@ def test_insert_children_at_index():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         M.insert_children(d, ol, 99, [])
+
+
+def test_after_with_existing_earlier_sibling():
+    # regression (Node.kt:384-390): after(b, a) where a precedes b in the
+    # same parent must yield [b, a, c], not [b, c, a]
+    d = parse("<div><a>1</a><b>2</b><i>3</i></div>")
+    div = d.children[d.body()][0]
+    a, b, _i = d.children[div]
+    M.after(d, b, a)
+    assert [d.tag[c] for c in d.children[div]] == ["b", "a", "i"]
+
+
+def test_insert_children_with_existing_earlier_child():
+    # moving an existing earlier child to a later index must not land one
+    # slot right of the requested position (stale-index regression)
+    d = parse("<ol><li>a</li><li>b</li><li>c</li></ol>")
+    ol = d.children[d.body()][0]
+    first = d.children[ol][0]
+    M.insert_children(d, ol, 2, [first])
+    assert [element_text(d, c) for c in d.children[ol]] == ["b", "c", "a"]

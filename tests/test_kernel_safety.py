@@ -114,7 +114,32 @@ def test_add_tags_and_protocols():
 
 
 def test_preserve_relative_links():
+    # Reference semantics (Safelist.kt:423-451): the protocol test always
+    # runs against the abs-resolved value; preserveRelativeLinks only
+    # controls whether the OUTPUT keeps the relative form. Unresolvable
+    # relative links (no base URI) are dropped either way.
     h = "<a href='/relative/path'>rel</a>"
     assert "href" not in clean_html(h, Safelist.basic())
-    got = clean_html(h, Safelist.basic().preserve_relative_links(True))
+    assert "href" not in clean_html(
+        h, Safelist.basic().preserve_relative_links(True))
+    # with a base URI: kept relative when preserving, rewritten to abs when not
+    got = clean_html(h, Safelist.basic().preserve_relative_links(True),
+                     base_uri="http://example.com/dir/")
     assert 'href="/relative/path"' in got
+    got = clean_html(h, Safelist.basic(), base_uri="http://example.com/dir/")
+    assert 'href="http://example.com/relative/path"' in got
+
+
+def test_clean_control_char_protocol_bypass():
+    # C0-prefixed javascript: has no urlparse-able scheme but executes in
+    # browsers; prefix matching must reject it (preserve flag or not)
+    h = "<a href='\x01javascript:alert(1)'>x</a>"
+    assert "javascript" not in clean_html(h, Safelist.basic())
+    assert "javascript" not in clean_html(
+        h, Safelist.basic().preserve_relative_links(True))
+
+
+def test_clean_anchor_protocol():
+    sl = Safelist.basic().add_protocols("a", "href", "#")
+    assert 'href="#frag"' in clean_html("<a href='#frag'>x</a>", sl)
+    assert "href" not in clean_html("<a href='#fr ag'>x</a>", sl)

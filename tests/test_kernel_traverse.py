@@ -109,3 +109,38 @@ def test_traverse_visitor_removing_current_keeps_siblings():
 
     traverse(d, d.body(), head)
     assert "b" in seen and "i" in seen
+
+
+def test_traverse_visitor_removing_earlier_sibling_keeps_cursor():
+    # regression (identity cursor): while visiting <b>, detach the already-
+    # visited <a>; the index-based cursor would then skip <i>
+    d = parse("<div><a>1</a><b>2</b><i>3</i><u>4</u></div>")
+    body = d.body()
+    div = d.children[body][0]
+    a = d.children[div][0]
+    seen = []
+
+    def head(n, depth):
+        seen.append(d.tag[n] or "#t")
+        if d.tag[n] == "b":
+            d.detach(a)  # merge-adjacent-text-nodes style mutation
+
+    traverse(d, d.body(), head)
+    assert "i" in seen and "u" in seen
+
+
+def test_traverse_removing_current_and_earlier_together():
+    d = parse("<div><a>1</a><b>2</b><i>3</i></div>")
+    body = d.body()
+    div = d.children[body][0]
+    a = d.children[div][0]
+    seen = []
+
+    def head(n, depth):
+        seen.append(d.tag[n] or "#t")
+        if d.tag[n] == "b":
+            d.detach(a)
+            d.detach(n)
+
+    traverse(d, d.body(), head)
+    assert "i" in seen
