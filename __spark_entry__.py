@@ -8,7 +8,9 @@ oracle_sql()   -> DuckDB twins. For the HTML-engine queries the documents
                   text kernels are value-hash-checked against an independent
                   engine, not just row-counted.
 
-Non-SQL-expressible ops (LSH candidate generation) omit the oracle.
+Every queries() entry has an oracle_sql() twin — including the LSH paths
+(md5-derived hyperplanes / md5 minhash family are deterministic, so the
+banding and bucketing are reproduced exactly in SQL).
 """
 
 from __future__ import annotations
@@ -411,8 +413,12 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32,
-                                   bands=8, threshold=0.3)
+    """Banded MinHash-LSH candidate pairs, md5 hash family: the full LSH
+    path (banding, bucket join, agreement estimate) is value-hash-checked
+    against a DuckDB twin. The xxhash64 production variant
+    (dedup.minhash_lsh_pairs) shares the identical plan shape."""
+    return dedup.minhash_lsh_pairs_md5(_docs(spark, sf_dir), num_hashes=8,
+                                       bands=4, threshold=0.25)
 
 
 def q_simhash(spark, sf_dir):
@@ -458,14 +464,28 @@ def q_ann_ivf(spark, sf_dir):
                               k=3, n_centroids=4, nprobe=4, iters=2)
 
 
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md contract)
+
+
 def q_ann_lsh(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    return similarity.lsh_ann(emb, dim, query_ids=[0, 1, 2, 3, 4], k=3)
+    """LSH-bucketed ANN: md5-derived hyperplanes are deterministic, so the
+    bucket ids and the within-bucket top-k have an exact DuckDB twin."""
+    return similarity.lsh_ann(_emb(spark, sf_dir), EMB_DIM,
+                              query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Measured LSH recall vs brute-force top-k, per query (the quality
+    meter the approximate path ships with), oracle-checked."""
+    return similarity.lsh_recall(_emb(spark, sf_dir), EMB_DIM,
+                                 query_ids=[0, 1, 2, 3, 4], k=3)
 
 
 def q_cosine_near_dups(spark, sf_dir):
-    return similarity.cosine_near_dups(_emb(spark, sf_dir), threshold=0.8)
+    """Bucketed plan (LSH candidates + exact verify, no cartesian) checked
+    against the all-pairs SQL oracle."""
+    return similarity.cosine_near_dups(_emb(spark, sf_dir), threshold=0.8,
+                                       dim=EMB_DIM)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -504,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_near_dups": q_cosine_near_dups,
     }
 
@@ -640,7 +661,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
         "minhash_signatures": dedup.minhash_signatures_md5_sql(num_hashes=8),
-        # dedup_minhash_lsh: no oracle (probabilistic candidate generation)
         "simhash": textstats.simhash_sql(),
         "simhash_near_dups": f"""
             WITH sh AS ({textstats.simhash_sql()})
@@ -672,9 +692,13 @@ def oracle_sql() -> dict[str, str]:
                      AS fingerprint
             FROM documents
         """,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_md5_sql(
+            num_hashes=8, bands=4, threshold=0.25),
         "ann_bruteforce": similarity.cosine_topk_sql([0, 1, 2, 3, 4], k=3),
         "ann_ivf": similarity.cosine_topk_sql([0, 1, 2, 3, 4], k=3),
-        # ann_lsh: no oracle (bucketing is the approximation under test)
+        "ann_lsh": similarity.lsh_ann_sql(EMB_DIM, [0, 1, 2, 3, 4], k=3),
+        "ann_lsh_recall": similarity.lsh_recall_sql(EMB_DIM, [0, 1, 2, 3, 4],
+                                                    k=3),
         "cosine_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim

@@ -150,8 +150,20 @@ def _single_doc_anchor() -> dict | None:
     }
 
 
+def _q_minhash_lsh_prod(spark, sf_dir):
+    """Production MinHash-LSH path (xxhash64 family) — benched instead of
+    the md5-family oracle twin in queries() so per-round timings stay
+    comparable (same hash family as round 1) and measure the hash the 100 TB
+    job would actually run."""
+    from ksoup_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
+
+
 def main() -> None:
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    queries["dedup_minhash_lsh"] = _q_minhash_lsh_prod
     timings: dict[str, float] = {}
 
     spark = get_spark(app="ksoup-bench", master=f"local[{CPUS}]",
@@ -218,8 +230,26 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _read_extra_sections() -> str:
+    """Hand-written trailing sections of BENCH/BASELINE.md (e.g. the
+    run-to-run variance note) that a regeneration must not truncate:
+    everything from the first '## ' heading not produced by this writer."""
+    generated = {"## Two-cluster-size scaling", "## Single-doc anchor"}
+    try:
+        lines = open("BENCH/BASELINE.md").readlines()
+    except OSError:
+        return ""
+    start = None
+    for i, ln in enumerate(lines):
+        if ln.startswith("## ") and not any(ln.startswith(g) for g in generated):
+            start = i
+            break
+    return "" if start is None else "".join(lines[start:])
+
+
 def _write_baseline_md(r: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    extra = _read_extra_sections()
     s = r["scaling"]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -247,6 +277,7 @@ def _write_baseline_md(r: dict) -> None:
             + "Per-query wall seconds (sf dir above):\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in r["queries"].items())
+            + ("\n" + extra if extra else "")
         )
 
 

@@ -4,8 +4,8 @@ pandas UDFs.
 Each function compiles its CSS query once on the driver (broadcast with the
 closure; QueryParser caches per executor) and evaluates vectorized over
 Arrow batches — the Spark analogue of Element.select/text/attr
-(/root/reference/ksoup/src/com/fleeksoft/ksoup/ksoup/src/com/fleeksoft/ksoup
-nodes/Element.kt:459-499, Ksoup.kt:192-288 for metadata).
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/nodes/Element.kt:459-499,
+Ksoup.kt:192-288 for metadata).
 
 These are the convenience path; the bulk pipeline uses
 operators.extract (mapInArrow) which avoids pandas Series overhead.

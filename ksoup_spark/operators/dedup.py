@@ -50,19 +50,29 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                  df_cut: int | None = None) -> DataFrame:
+                  df_cut: int | None = 1000) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via inverted-index join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    df_cut (ON by default): shingles appearing in more than df_cut documents
+    are dropped before the self-join — one hot shingle otherwise contributes
+    O(df²) join rows, the classic skew-killer on a web corpus. Size it at
+    roughly 0.1% of corpus doc count; report what was dropped with
+    jaccard_hot_shingles (same cut, counts per shingle). Note the cut makes
+    the jaccard estimate slightly conservative for pairs sharing hot
+    shingles — exactly the trade every production near-dup pipeline makes.
+
+    No cache on the shingle table: its three consumers (sizes, join a/b)
+    recompute a cheap split+explode, while a cache on a lazily-returned
+    DataFrame could never be unpersisted by the caller (storage leak) and
+    at 100 TB would not fit executor storage anyway.
     """
-    sh = shingles(df, n).cache()
+    sh = shingles(df, n)
     if df_cut:
-        hot = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > df_cut)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(
+            F.broadcast(jaccard_hot_shingles(df, n, df_cut).select("shingle")),
+            "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -87,6 +97,17 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_hot_shingles(df: DataFrame, n: int = 3,
+                         df_cut: int = 1000) -> DataFrame:
+    """(shingle, df) rows the df-cut drops — the skew report a pipeline
+    logs/persists alongside jaccard_pairs output ("no silent caps")."""
+    return (
+        shingles(df, n)
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cut)
     )
 
 
@@ -286,6 +307,107 @@ def shingles_raw(df: DataFrame, n: int = 3, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
+
+
+def minhash_lsh_pairs_md5(df: DataFrame, num_hashes: int = 8, bands: int = 4,
+                          n: int = 3, threshold: float | None = None
+                          ) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs over the md5 hash family —
+    deterministic and portable, so the WHOLE LSH path (banding, bucket
+    join, signature-agreement estimate) is oracle-checkable in any SQL
+    engine, not just the signature stage.
+
+    Bucket key = the concatenated band values themselves (exact string
+    join): at 100 TB you'd hash the key down to 8 bytes (xxhash64, see
+    minhash_lsh_pairs) — the join cardinality and shuffle shape are
+    identical, only the key width differs.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b; est_jaccard =
+    fraction of equal signature positions, rounded to 4.
+    """
+    rows = num_hashes // bands
+    hcols = [f"h{s}" for s in range(num_hashes)]
+    sig = minhash_signatures_md5(df, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        *hcols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{b * rows + r}").cast("string")
+                          for r in range(rows)],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", *hcols, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{h}").alias(f"a_{h}") for h in hcols],
+            *[F.col(f"b.{h}").alias(f"b_{h}") for h in hcols],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    eq = sum((F.col(f"a_h{s}") == F.col(f"b_h{s}")).cast("int")
+             for s in range(num_hashes))
+    est = cand.select(
+        "doc_a", "doc_b",
+        F.round(eq / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+    )
+    if threshold is not None:
+        est = est.filter(F.col("est_jaccard") >= threshold)
+    return est
+
+
+def minhash_lsh_pairs_md5_sql(table: str = "documents", num_hashes: int = 8,
+                              bands: int = 4, n: int = 3,
+                              threshold: float | None = None) -> str:
+    """DuckDB oracle twin of minhash_lsh_pairs_md5 (same banding, same
+    bucket-key construction, same agreement estimate)."""
+    rows = num_hashes // bands
+    band_cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(f"(sa.h{s} = sb.h{s})::INT" for s in range(num_hashes))
+    thr = (f"WHERE round(({eq}) / {float(num_hashes)}, 4) >= {threshold}"
+           if threshold is not None else "")
+    return f"""
+WITH sig AS ({minhash_signatures_md5_sql(table, num_hashes, n)}),
+banded AS (
+  SELECT doc_id, CASE b.band {band_cases} END AS bucket, b.band
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({eq}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+{thr}
+"""
 
 
 def minhash_signatures_md5_sql(table: str = "documents", num_hashes: int = 8,

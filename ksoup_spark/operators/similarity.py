@@ -89,7 +89,11 @@ def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
 
 def lsh_ann(emb: DataFrame, dim: int, query_ids: list[int], k: int = 3,
             n_planes: int = 6, seed: int = 42) -> DataFrame:
-    """Bucketed ANN: exact cosine, but only within the query's LSH bucket."""
+    """Bucketed ANN: exact cosine, but only within the query's LSH bucket.
+
+    Deterministic end to end (md5-derived hyperplanes), so the bucket
+    computation has an exact SQL twin — see lsh_ann_sql. Output shape
+    matches cosine_topk (query_id, rank, neighbor_id)."""
     # no cache (leak per invocation); bucket ids are cheap JVM expressions
     bucketed = lsh_buckets(emb, dim, n_planes, seed)
     q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
@@ -114,16 +118,134 @@ def lsh_ann(emb: DataFrame, dim: int, query_ids: list[int], k: int = 3,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .select("query_id", "rank", "neighbor_id")
     )
 
 
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def lsh_bucket_sql_expr(dim: int, n_planes: int = 6, seed: int = 42,
+                        vec_col: str = "embedding") -> str:
+    """DuckDB expression reproducing lsh_buckets' bucket id exactly: the
+    hyperplanes come from the same md5 chain, embedded as full-precision
+    literals."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = [
+        f"((list_dot_product({vec_col}, {_plane_sql_literal(p)}) > 0)::INT"
+        f" * {1 << b})"
+        for b, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_sql(dim: int, query_ids: list[int], k: int = 3,
+                n_planes: int = 6, seed: int = 42,
+                table: str = "embeddings") -> str:
+    """DuckDB oracle twin of lsh_ann: same buckets, same within-bucket
+    exact-cosine top-k."""
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = lsh_bucket_sql_expr(dim, n_planes, seed)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_recall(emb: DataFrame, dim: int, query_ids: list[int], k: int = 3,
+               n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """Measured LSH recall vs brute force, per query: |LSH∩BF| / |BF|.
+    The quality meter the approximate path ships with."""
+    bf = cosine_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    ls = lsh_ann(emb, dim, query_ids, k, n_planes, seed) \
+        .select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ls, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bf"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_bf"), 4)
+        .alias("recall"),
+    )
+
+
+def lsh_recall_sql(dim: int, query_ids: list[int], k: int = 3,
+                   n_planes: int = 6, seed: int = 42,
+                   table: str = "embeddings") -> str:
+    return f"""
+WITH bf AS ({cosine_topk_sql(query_ids, k, table)}),
+lsh AS ({lsh_ann_sql(dim, query_ids, k, n_planes, seed, table)}),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hit
+  FROM bf JOIN lsh ON bf.query_id = lsh.query_id
+                  AND bf.neighbor_id = lsh.neighbor_id
+  GROUP BY bf.query_id
+), base AS (
+  SELECT query_id, count(*) AS n_bf FROM bf GROUP BY query_id
+)
+SELECT base.query_id,
+       round(coalesce(n_hit, 0) / n_bf, 4) AS recall
+FROM base LEFT JOIN hits USING (query_id)
+"""
+
+
+def cosine_near_dup_candidates(emb: DataFrame, dim: int, n_planes: int = 4,
+                               n_seeds: int = 6, base_seed: int = 101,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """LSH candidate pairs for cosine near-dup: union of per-seed bucket
+    self-joins. Multiple independent plane seeds recover the recall a
+    single b-bit bucketing loses (miss prob ≈ (1 - p^b)^seeds with
+    p = 1 - acos(sim)/π). The shuffle key is (seed, bucket) — cardinality
+    n_seeds × 2^n_planes — so no cartesian anywhere."""
+    cands = None
+    for s in range(n_seeds):
+        b = lsh_buckets(emb, dim, n_planes, base_seed + s, id_col, vec_col)
+        a = b.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"),
+                     F.col("bucket").alias("bk"))
+        c = b.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("vb"),
+                     F.col("bucket").alias("bk"))
+        p = (a.join(c, "bk")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "va", "vb"))
+        cands = p if cands is None else cands.unionByName(p)
+    return cands.dropDuplicates(["id_a", "id_b"])
+
+
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a<b)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None, n_planes: int = 4,
+                     n_seeds: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a<b).
+
+    With dim set (the scale path): LSH-bucketed candidate generation +
+    exact cosine verify — no cartesian product anywhere in the plan. With
+    dim=None: exact all-pairs crossJoin, kept ONLY as the small-corpus
+    oracle twin / recall baseline."""
+    if dim is not None:
+        joined = cosine_near_dup_candidates(
+            emb, dim, n_planes, n_seeds, id_col=id_col, vec_col=vec_col)
+    else:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         joined.select("id_a", "id_b", sim.alias("sim"))

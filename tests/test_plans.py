@@ -42,3 +42,29 @@ def test_extraction_plan_no_extra_shuffle(spark):
     out = extract.extract_spans_from_html_df(df)
     plan = _plan(out)
     assert plan.count("Exchange") == 1  # only the explicit salted repartition
+
+
+def test_cosine_near_dups_bucketed_no_cartesian(spark):
+    """Scale path: LSH-bucketed candidates + exact verify — the plan must
+    contain no cartesian/unconditional cross join anywhere."""
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    df = similarity.cosine_near_dups(emb, threshold=0.8, dim=64)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_df_cut_anti_join_in_plan(spark):
+    """Default df-cut materializes as a broadcast anti-join on shingle."""
+    from ksoup_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    plan = _plan(dedup.jaccard_pairs(docs, n=3, threshold=0.2))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_jaccard_no_cache_in_lineage(spark):
+    """No InMemoryTableScan: the shingle table must not be cached (leak)."""
+    from ksoup_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    plan = _plan(dedup.jaccard_pairs(docs, n=3, threshold=0.2))
+    assert "InMemoryTableScan" not in plan

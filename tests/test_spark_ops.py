@@ -295,3 +295,39 @@ def test_html_main_spans_column_fn(spark):
     r = df.select(H.html_main_spans("html").alias("s")).first()
     assert [(x.kind, x.text, x.media_ref) for x in r.s] == [
         ("text", "Real content.", None), ("image", None, "i.png")]
+
+
+def test_cosine_near_dups_bucketed_finds_dups(spark):
+    """Bucketed near-dup (LSH candidates + exact verify) recovers planted
+    exact and near-exact duplicates; every emitted pair is exact-verified
+    so it is a subset of the all-pairs result."""
+    from ksoup_spark.operators import similarity
+
+    base = [[((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(16)]
+            for i in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, list(base[3])))                      # exact dup of 3
+    near = list(base[5])
+    near[0] += 0.01                                        # near dup of 5
+    rows.append((101, near))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bucketed = {(r.id_a, r.id_b)
+                for r in similarity.cosine_near_dups(
+                    emb, threshold=0.95, dim=16).collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in similarity.cosine_near_dups(
+                 emb, threshold=0.95).collect()}
+    assert (3, 100) in bucketed          # identical vectors always collide
+    assert bucketed <= exact             # exact verify: no false positives
+    assert len(bucketed) >= len(exact) - 1  # recall: at most one miss here
+
+
+def test_lsh_recall_bounds(spark):
+    from ksoup_spark.operators import similarity
+    from tests.conftest import SF_ORACLE_DIR
+
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    rows = similarity.lsh_recall(emb, 64, [0, 1, 2, 3, 4], k=3).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
