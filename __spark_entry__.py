@@ -368,6 +368,25 @@ def q_pdf_layout(spark, sf_dir):
     return multimodal.pdf_layout(pdfs, strict=True)
 
 
+def q_parse_errors(spark, sf_dir):
+    """Parse-error tracking (Parser.setTrackErrors semantics): every space
+    becomes an unterminated `&amp ` entity (one charref error each) and the
+    end tag carries attributes (one more). Count and the formatted last
+    error (with its <line:col> position) are value-hash-checked in SQL."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<p>"),
+        F.regexp_replace(F.col("text"), " ", "&amp "),
+        F.lit("</p id='x'>"),
+    )
+    errs = H.html_parse_errors(html, 1000)
+    return d.select(
+        "doc_id",
+        F.size(errs).alias("n_errors"),
+        F.element_at(errs, -1).alias("last_error"),
+    )
+
+
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
     query itself — only the parse kernel that builds the table)."""
@@ -508,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_rewrite": q_html_rewrite,
         "match_text": q_match_text,
         "pdf_layout": q_pdf_layout,
+        "parse_errors": q_parse_errors,
         "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -656,6 +676,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR, 1, 0, 'text', 72.0::DOUBLE, 720.0::DOUBLE,
                    round(72.0::DOUBLE + 0.6::DOUBLE*12*length('p2 of ' || doc_id), 2),
                    732.0::DOUBLE, 'p2 of ' || doc_id
+            FROM documents
+        """,
+        "parse_errors": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS INT) AS n_errors,
+                   '<1:' || CAST(3 + length(replace(text, ' ', '&amp ')) + 12
+                                 AS VARCHAR)
+                   || '>: Attributes incorrectly present on end tag [/p]'
+                     AS last_error
             FROM documents
         """,
         "dedup_exact": dedup.exact_dedup_sql(),

@@ -374,3 +374,31 @@ def html_unwrap(col: Column | str, css: str) -> Column:
         mutate.bulk_unwrap(d, sel.select(d, css))
 
     return _rewrite_udf(op)(col)
+
+
+def html_parse_errors(col: Column | str, max_errors: int = 100) -> Column:
+    """Formatted parse errors per document ("<line:col>: message"), up to
+    max_errors (Parser.setTrackErrors / ParseErrorList semantics,
+    /root/reference/ksoup/src/com/fleeksoft/ksoup/parser/Parser.kt:92-107).
+    The crawl-hygiene column: filter/inspect malformed documents at scale."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            _parse(h or "", track_errors=max_errors).parse_errors for h in s
+        ])
+
+    return _f(col)
+
+
+def html_parse_error_count(col: Column | str, max_errors: int = 10000) -> Column:
+    """Number of parse errors per document (bounded by max_errors)."""
+
+    @F.pandas_udf(IntegerType())
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            len(_parse(h or "", track_errors=max_errors).parse_errors)
+            for h in s
+        ])
+
+    return _f(col)

@@ -51,6 +51,7 @@ class Doc:
     __slots__ = (
         "kind", "tag", "attrs", "text", "parent", "children", "ns",
         "base_uri", "quirks", "errors", "pseudo", "self_closing",
+        "parse_errors", "tag_display",
     )
 
     def __init__(self) -> None:
@@ -64,6 +65,13 @@ class Doc:
         self.base_uri: str = ""
         self.quirks: int = 0
         self.errors: int = 0
+        # formatted "<line:col>: msg" strings when track_errors was set at
+        # parse time (Parser.setTrackErrors / ParseErrorList semantics)
+        self.parse_errors: list[str] = []
+        # ParseSettings.preserveCase: sparse {nid: source-cased tag name};
+        # doc.tag stays NORMALIZED (the Tag.name vs normalName split) so the
+        # tree algorithm and selectors match unchanged
+        self.tag_display: dict[int, str] | None = None
         # ids of PseudoTextElements created by :matchText (nodes/
         # PseudoTextElement.kt); None until prepare_match_text runs
         self.pseudo: set[int] | None = None

@@ -56,10 +56,15 @@ def consume_charref(
     i: int,
     additional_allowed: str | None = None,
     in_attribute: bool = False,
+    err=None,
 ) -> tuple[str, int] | None:
     """Try to decode a character reference at s[i] (i points AFTER '&').
 
     Returns (decoded_text, next_index) or None if '&' is literal.
+
+    `err(msg, pos)` (optional) receives the reference's
+    characterReferenceError messages (Tokeniser.kt:150-230) with `pos` the
+    index in `s` where the reference's reader would sit when erroring.
     """
     n = len(s)
     if i >= n:
@@ -76,18 +81,28 @@ def consume_charref(
             j += 1
         m = (_HEX if hex_mode else _DEC).match(s, j)
         if m is None:
-            return None  # numeric reference with no numerals -> literal '&'
+            if err is not None:
+                err("numeric reference with no numerals", j)
+            return None  # -> literal '&'
         num = m.group()
         j = m.end()
         if j < n and s[j] == ";":
             j += 1
+        elif err is not None:
+            err(f"missing semicolon on [&#{num}]", j)
         try:
             cp = int(num, 16 if hex_mode else 10)
         except ValueError:
             cp = -1
+        if cp > 0x7FFFFFFF:
+            cp = -1  # reference parses into a 32-bit Int: overflow -> -1
         if cp == -1 or cp > 0x10FFFF:
+            if err is not None:
+                err(f"character [{cp}] outside of valid range", j)
             return REPLACEMENT, j
         if WIN1252_START <= cp < WIN1252_START + len(WIN1252_EXTENSIONS):
+            if err is not None:
+                err(f"character [{cp}] is not a valid unicode code point", j)
             cp = WIN1252_EXTENSIONS[cp - WIN1252_START]
         if 0xD800 <= cp <= 0xDFFF or cp == 0:
             return REPLACEMENT, j
@@ -100,6 +115,8 @@ def consume_charref(
     looks_legit = j < n and s[j] == ";"
     found = name in BASE_ENTITIES or (looks_legit and name in ALL_ENTITIES)
     if not found:
+        if looks_legit and err is not None:
+            err(f"invalid named reference [{name}]", i)
         return None
     if in_attribute and not looks_legit and j < n and s[j] in "=-_":
         return None  # e.g. href="?a=1&not=2" keeps "&not" literal
@@ -108,6 +125,8 @@ def consume_charref(
         value = BASE_ENTITIES.get(name) or ALL_ENTITIES[name]
     if looks_legit:
         j += 1
+    elif err is not None:
+        err(f"missing semicolon on [&{name}]", j)
     return value, j
 
 

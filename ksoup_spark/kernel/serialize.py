@@ -201,21 +201,26 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
             for c in doc.children[node]:
                 _emit(doc, c, depth, out, pretty)
             return
-        tag = doc.tag[node] or ""
-        block = pretty and format_as_block(tag)
+        norm_tag = doc.tag[node] or ""
+        tag = norm_tag
+        if doc.tag_display is not None:
+            # ParseSettings.preserveCase: serialize source-cased names;
+            # matching/layout/void decisions still use the normalized name
+            tag = doc.tag_display.get(node, tag)
+        block = pretty and format_as_block(norm_tag)
         if block and out and not (out and out[-1].endswith("\n" + " " * depth)):
             out.append(indent)
-        elif pretty and out and tag in ("html", "head", "body", "title") :
+        elif pretty and out and norm_tag in ("html", "head", "body", "title"):
             out.append(indent)
         out.append(f"<{tag}"
                    f"{_attrs_html(doc.attrs[node], doc.ns[node] == dom.NS_XML)}")
         kids = doc.children[node]
-        if tag in VOID_TAGS and doc.ns[node] != dom.NS_XML:
+        if norm_tag in VOID_TAGS and doc.ns[node] != dom.NS_XML:
             # void semantics are an HTML-parser notion; XML elements named
             # like voids (<link>One</link>) keep their children
             out.append(">" if doc.ns[node] == dom.NS_HTML else " />")
             return
-        if not kids and doc.self_closing and tag in doc.self_closing:
+        if not kids and doc.self_closing and norm_tag in doc.self_closing:
             # tag name seen self-closing (unknown/foreign/XML):
             # "<x />" (Element.outerHtmlHead, Element.kt:1666-1674)
             out.append(" />")

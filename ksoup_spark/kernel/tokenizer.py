@@ -70,7 +70,7 @@ def _push_attr(attrs: list, aname: str, val) -> None:
 
 class Tokenizer:
     __slots__ = ("s", "_low", "n", "p", "state", "rawtext_tag", "pending",
-                 "has_null", "next_amp")
+                 "has_null", "next_amp", "errors", "_cref")
 
     @property
     def low(self) -> str:
@@ -79,7 +79,7 @@ class Tokenizer:
             lo = self._low = self.s.lower()
         return lo
 
-    def __init__(self, s: str):
+    def __init__(self, s: str, errors=None):
         self.s = s
         self._low = None  # lazy: only rawtext/script/doctype scans need it
         self.n = len(s)
@@ -92,6 +92,17 @@ class Tokenizer:
         # text segment would rescan to the next amp (possibly EOF), turning
         # amp-free documents quadratic
         self.next_amp = -2
+        # optional ParseErrorList (Parser.setTrackErrors); None = no tracking,
+        # zero overhead on the hot path beyond a None check
+        self.errors = errors
+        self._cref = None if errors is None else (
+            lambda msg, pos: self._perr(
+                pos, "Invalid character reference: " + msg))
+
+    def _perr(self, pos: int, msg: str) -> None:
+        el = self.errors
+        if el is not None and el.can_add():
+            el.add_at(pos, msg)
 
     # -- public API -------------------------------------------------------
 
@@ -129,7 +140,7 @@ class Tokenizer:
                 break
             if amp != -1 and (lt == -1 or amp < lt):
                 buf.append(s[p:amp])
-                res = consume_charref(s, amp + 1, None, False)
+                res = consume_charref(s, amp + 1, None, False, self._cref)
                 if res is None:
                     buf.append("&")
                     p = amp + 1
@@ -208,6 +219,11 @@ class Tokenizer:
         if tok is None:
             return []
         if tok[0] == "start":  # end tags carry no attrs / self-closing flag
+            if tok[2]:  # Tokeniser.kt:78
+                self._perr(
+                    self.p,
+                    "Attributes incorrectly present on end tag "
+                    f"[/{tok[1].lower()}]")
             return [("end", tok[1])]
         return [tok]
 
@@ -232,6 +248,7 @@ class Tokenizer:
                 name_parts.append(m.group())
                 p = m.end()
         name = "".join(name_parts)
+        name_end = p
         attrs: list = []
         selfclosing = False
         while True:
@@ -244,6 +261,16 @@ class Tokenizer:
                 p = m.end()
                 continue
             if p >= n:
+                if self.errors is not None:
+                    if p == name_end:
+                        st = "TagName"
+                    elif s[p - 1] in _WS:
+                        st = "BeforeAttributeName"
+                    else:
+                        st = "AttributeName"
+                    # reference reader reports EOF one past the last char
+                    self._perr(n + 1, "Unexpectedly reached end of file "
+                                      f"(EOF) in input state [{st}]")
                 self.p = n
                 return None  # EOF inside tag: drop it
             c = s[p]
@@ -304,6 +331,15 @@ class Tokenizer:
                     return ("start", name, attrs, selfclosing)
                 val, p2 = self._attr_value(p)
                 if p2 is None:
+                    if self.errors is not None:
+                        if p < n and s[p] == '"':
+                            st = "AttributeValue_doubleQuoted"
+                        elif p < n and s[p] == "'":
+                            st = "AttributeValue_singleQuoted"
+                        else:
+                            st = "BeforeAttributeValue"
+                        self._perr(n + 1, "Unexpectedly reached end of "
+                                          f"file (EOF) in input state [{st}]")
                     self.p = n
                     return None
                 p = p2
@@ -329,7 +365,7 @@ class Tokenizer:
                 chunk = s[p:stop]
                 # handle & and NULL inside the chunk
                 if "&" in chunk or (self.has_null and "\x00" in chunk):
-                    out.append(self._decode_value(chunk, quote))
+                    out.append(self._decode_value(chunk, quote, p))
                 else:
                     out.append(chunk)
                 if q == -1:
@@ -351,7 +387,7 @@ class Tokenizer:
                 out.append("�")
                 p += 1
             elif c == "&":
-                res = consume_charref(s, p + 1, ">", True)
+                res = consume_charref(s, p + 1, ">", True, self._cref)
                 if res is None:
                     out.append("&")
                     p += 1
@@ -360,13 +396,17 @@ class Tokenizer:
                     p = res[1]
         return "".join(out), p
 
-    def _decode_value(self, chunk: str, quote: str) -> str:
+    def _decode_value(self, chunk: str, quote: str, base: int = 0) -> str:
+        err = None
+        if self._cref is not None:
+            err = (lambda msg, pos:
+                   self._perr(base + pos, "Invalid character reference: " + msg))
         out: list[str] = []
         i, m = 0, len(chunk)
         while i < m:
             c = chunk[i]
             if c == "&":
-                res = consume_charref(chunk, i + 1, quote, True)
+                res = consume_charref(chunk, i + 1, quote, True, err)
                 if res is None:
                     out.append("&")
                     i += 1

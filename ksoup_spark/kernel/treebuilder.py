@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from . import dom
 from .dom import Doc
+from .parse_errors import ParseErrorList
+from .parse_settings import HTML_DEFAULT, ParseSettings
 from .tags import KNOWN_TAGS, VOID_TAGS
 from .tokenizer import (
     DATA as TOK_DATA,
@@ -105,6 +107,46 @@ _INBODY_SPECIAL_START = frozenset(
 
 MARKER = -1  # active-formatting-list scope marker
 
+# reference HtmlTreeBuilderState names, indexed by insertion-mode constant
+_MODE_NAMES = (
+    "Initial", "BeforeHtml", "BeforeHead", "InHead", "InHeadNoscript",
+    "AfterHead", "InBody", "Text", "InTable", "InTableText", "InCaption",
+    "InColumnGroup", "InTableBody", "InRow", "InCell", "InSelect",
+    "InSelectInTable", "InTemplate", "AfterBody", "InFrameset",
+    "AfterFrameset", "AfterAfterBody", "AfterAfterFrameset",
+    "ForeignContent",
+)
+
+# reference Token.tokenType() names (Token.kt:19-21)
+_TOK_TYPE = {
+    "text": "Character", "cdata": "Character", "start": "StartTag",
+    "end": "EndTag", "comment": "Comment", "doctype": "Doctype",
+    "eof": "EOF",
+}
+
+
+def _tok_str(tok) -> str:
+    """Token.toString() formats (Token.kt:78-481) for error messages."""
+    k = tok[0]
+    if k == "doctype":
+        return f"<!doctype {tok[1] or ''}>"
+    if k == "start":
+        name = tok[1].lower()
+        if tok[2]:
+            attrs = " ".join(
+                k2 if v is None else f'{k2}="{v}"' for k2, v in tok[2])
+            return f"<{name} {attrs}{'/>' if tok[3] else '>'}"
+        return f"<{name}{'/>' if tok[3] else '>'}"
+    if k == "end":
+        return f"</{tok[1].lower()}>"
+    if k == "comment":
+        return f"<!--{tok[1]}-->"
+    if k == "cdata":
+        return f"<![CDATA[{tok[1]}]]>"
+    if k == "text":
+        return tok[1]
+    return ""
+
 MAX_SCOPE_SEARCH = 100          # HtmlTreeBuilder.kt:1095-1097
 MAX_ADOPTION_STACK_SCAN = 64    # HtmlTreeBuilderState.kt:974
 MAX_QUEUE_DEPTH = 256           # li/dd-dt stack walk cap
@@ -128,28 +170,47 @@ class HtmlTreeBuilder:
         self.base_latched = False
         self.fragment_context: str | None = None
         self.has_foreign = False
+        # parse-error tracking (Parser.kt:92-107): None = disabled
+        self.perrs = None
+        self._cur_tok = None
+        # case handling (ParseSettings.kt): HTML default lower-cases
+        self.settings: ParseSettings = HTML_DEFAULT
 
     # ------------------------------------------------------------------ util
 
-    def parse(self, html: str, base_uri: str = "") -> Doc:
+    def parse(self, html: str, base_uri: str = "",
+              track_errors: int = 0,
+              settings: ParseSettings | None = None) -> Doc:
         self.doc.base_uri = base_uri
         if base_uri:
             self.base_latched = False
-        self.tok = Tokenizer(html)
+        if track_errors > 0:
+            self.perrs = ParseErrorList(track_errors, html)
+        if settings is not None:
+            self.settings = settings
+        self.tok = Tokenizer(html, self.perrs)
         while True:
             tok = self.tok.next_token()
             self.process(tok)
             if tok[0] == "eof":
                 break
+        if self.perrs is not None:
+            self.doc.parse_errors = list(self.perrs)
         return self.doc
 
     def parse_fragment(self, html: str, context: str = "body",
-                       base_uri: str = "") -> list[int]:
+                       base_uri: str = "",
+                       track_errors: int = 0,
+                       settings: ParseSettings | None = None) -> list[int]:
         """Fragment parse (Parser.parseFragment semantics): returns the
         child node ids of the synthetic context root."""
         self.fragment_context = context
         self.doc.base_uri = base_uri
-        self.tok = Tokenizer(html)
+        if track_errors > 0:
+            self.perrs = ParseErrorList(track_errors, html)
+        if settings is not None:
+            self.settings = settings
+        self.tok = Tokenizer(html, self.perrs)
         html_el = self.doc.new_node(dom.ELEMENT, "html", {})
         self.doc.append_child(0, html_el)
         root = self.doc.new_node(dom.ELEMENT, context, {})
@@ -173,6 +234,8 @@ class HtmlTreeBuilder:
             self.process(tok)
             if tok[0] == "eof":
                 break
+        if self.perrs is not None:
+            self.doc.parse_errors = list(self.perrs)
         return list(self.doc.children[root])
 
     def reset_insertion_mode_for_fragment(self, context: str) -> None:
@@ -206,18 +269,41 @@ class HtmlTreeBuilder:
         return self.doc.tag[self.stack[-1]]
 
     def error(self) -> None:
+        """Count a parse error; when tracking (Parser.setTrackErrors), also
+        record the reference's formatted message for the current token
+        (HtmlTreeBuilder.kt:220-228: "Unexpected <type> token [<tok>] when
+        in state [<state>]") at the tokenizer's cursor position."""
         self.doc.errors += 1
+        el = self.perrs
+        tok = self._cur_tok
+        if el is not None and el.can_add() and tok is not None \
+                and self.tok is not None:
+            el.add_at(
+                self.tok.p,
+                f"Unexpected {_TOK_TYPE[tok[0]]} token [{_tok_str(tok)}] "
+                f"when in state [{_MODE_NAMES[self.mode]}]")
 
     # -- attribute normalization (HtmlTreeBuilder.kt:231-262) ---------------
 
-    @staticmethod
-    def norm_attrs(attrs: list, lower: bool = True) -> dict:
+    def norm_attrs(self, attrs: list, lower: bool = True) -> dict:
+        if self.settings.preserve_attribute_case:
+            lower = False  # ParseSettings.normalizeAttributes no-op
         out: dict = {}
+        dropped = False
         for k, v in attrs:
             if lower:
                 k = k.lower()
             if k and k not in out:  # first duplicate kept
                 out[k] = v
+            elif k:
+                dropped = True
+        if dropped and self.perrs is not None and self.perrs.can_add() \
+                and self.tok is not None:
+            tok = self._cur_tok
+            name = tok[1].lower() if tok and tok[0] == "start" else ""
+            # HtmlTreeBuilder.kt:242
+            self.perrs.add_at(
+                self.tok.p, f"Dropped duplicate attribute(s) in tag [{name}]")
         return out
 
     # -- insertion ------------------------------------------------------------
@@ -248,6 +334,18 @@ class HtmlTreeBuilder:
         else:
             self.doc.append_child(parent, nid)
 
+    def _record_display_case(self, nid: int, name: str) -> None:
+        """ParseSettings.preserveCase: stash the source-cased tag name when
+        it differs from the normalized one the algorithm matched on."""
+        tok = self._cur_tok
+        if tok is not None and tok[0] == "start":
+            raw = self.settings.normalize_tag(tok[1])
+            if raw != name and raw.lower() == name:
+                d = self.doc
+                if d.tag_display is None:
+                    d.tag_display = {}
+                d.tag_display[nid] = raw
+
     def insert_element(self, name: str, attrs: dict, ns: int = dom.NS_HTML,
                        push: bool = True) -> int:
         d = self.doc
@@ -255,6 +353,8 @@ class HtmlTreeBuilder:
         nid = len(d.kind)
         d.kind.append(dom.ELEMENT)
         d.tag.append(name)
+        if self.settings.preserve_tag_case:
+            self._record_display_case(nid, name)
         d.attrs.append(attrs)
         d.text.append(None)
         d.ns.append(ns)
@@ -272,6 +372,8 @@ class HtmlTreeBuilder:
 
     def insert_empty(self, name: str, attrs: dict) -> int:
         nid = self.doc.new_node(dom.ELEMENT, name, attrs)
+        if self.settings.preserve_tag_case:
+            self._record_display_case(nid, name)
         self._attach(nid)
         if name == "base" and not self.base_latched:
             href = attrs.get("href")
@@ -498,6 +600,7 @@ class HtmlTreeBuilder:
     # -- main dispatch -------------------------------------------------------
 
     def process(self, tok) -> None:
+        self._cur_tok = tok
         # foreign-content dispatch (simplified adjusted-current-node rules);
         # has_foreign is a one-way latch so HTML-only docs skip the ns check
         if self.has_foreign and self.stack \
@@ -511,6 +614,13 @@ class HtmlTreeBuilder:
             # output (HtmlTreeBuilder.insertElementFor, kt:265-287)
             name = tok[1].lower()
             if name not in VOID_TAGS:
+                if name in KNOWN_TAGS and self.perrs is not None \
+                        and self.perrs.can_add() and self.tok is not None:
+                    # HtmlTreeBuilder.kt:273
+                    self.perrs.add_at(
+                        self.tok.p,
+                        f"Tag [{name}] cannot be self closing; "
+                        "not a void tag")
                 _MODE_HANDLERS[self.mode](self, tok)
                 if name not in KNOWN_TAGS:
                     d = self.doc
@@ -2238,19 +2348,29 @@ _MODE_HANDLERS = {
 }
 
 
-def parse(html: str, base_uri: str = "") -> Doc:
-    """Parse an HTML string into a Doc (Ksoup.parse semantics)."""
-    return HtmlTreeBuilder().parse(html, base_uri)
+def parse(html: str, base_uri: str = "", track_errors: int = 0,
+          settings: ParseSettings | None = None) -> Doc:
+    """Parse an HTML string into a Doc (Ksoup.parse semantics).
+
+    track_errors > 0 enables Parser.setTrackErrors semantics: up to that
+    many formatted parse errors land in doc.parse_errors. `settings`
+    selects case handling (parse_settings.PRESERVE_CASE keeps source
+    casing of tags/attributes)."""
+    return HtmlTreeBuilder().parse(html, base_uri, track_errors, settings)
 
 
-def parse_fragment(html: str, context: str = "body", base_uri: str = ""):
+def parse_fragment(html: str, context: str = "body", base_uri: str = "",
+                   track_errors: int = 0,
+                   settings: ParseSettings | None = None):
     """Fragment parse; returns (Doc, list of top-level node ids)."""
     tb = HtmlTreeBuilder()
-    nodes = tb.parse_fragment(html, context, base_uri)
+    nodes = tb.parse_fragment(html, context, base_uri, track_errors, settings)
     return tb.doc, nodes
 
 
-def parse_body_fragment(html: str, base_uri: str = "") -> Doc:
+def parse_body_fragment(html: str, base_uri: str = "",
+                        track_errors: int = 0,
+                        settings: ParseSettings | None = None) -> Doc:
     """Ksoup.parseBodyFragment semantics: fragment hosted in a fresh body."""
-    doc, nodes = parse_fragment(html, "body", base_uri)
+    doc, nodes = parse_fragment(html, "body", base_uri, track_errors, settings)
     return doc

@@ -93,8 +93,14 @@ def run_extraction_pipeline(
         )
         spans.write.mode("append").partitionBy("part").parquet(out_path)
         wall = time.time() - t0
+        # metrics from the files just written, NOT from `spans`: re-using the
+        # lazy `spans` plan here would re-execute the extraction kernel a
+        # second time per batch (its most expensive stage). The parquet
+        # read-back is partition-pruned to this batch's dirs and touches
+        # only cheap columnar scans.
+        written = spark.read.parquet(out_path).filter(F.col("part").isin(batch))
         stats = (
-            spans.groupBy("part")
+            written.groupBy("part")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.size("spans")).alias("n_spans"),

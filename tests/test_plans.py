@@ -68,3 +68,13 @@ def test_jaccard_no_cache_in_lineage(spark):
     docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
     plan = _plan(dedup.jaccard_pairs(docs, n=3, threshold=0.2))
     assert "InMemoryTableScan" not in plan
+
+
+def test_simhash_single_pass_no_shuffle(spark):
+    """SimHash folds bit votes per-row (higher-order aggregate): the plan
+    must contain no exchange and no explode/Generate."""
+    from ksoup_spark.operators import textstats
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    plan = _plan(textstats.simhash(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode anywhere

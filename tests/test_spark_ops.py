@@ -331,3 +331,36 @@ def test_lsh_recall_bounds(spark):
     rows = similarity.lsh_recall(emb, 64, [0, 1, 2, 3, 4], k=3).collect()
     assert len(rows) == 5
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
+
+
+def test_pipeline_kernel_runs_once_per_doc(spark, tmp_path):
+    """Regression: metrics are computed from the written parquet, so the
+    extraction kernel executes exactly once per document per batch (the
+    old spans.groupBy re-ran the whole lineage a second time)."""
+    import pyspark.sql.types as T
+
+    from ksoup_spark.plans import pipeline as pl
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.StringType())
+    def _tick(doc_id):
+        acc.add(1)
+        return doc_id
+
+    real = pl.extract_spans_df
+
+    def spy(df):
+        return real(df.withColumn("doc_id", _tick("doc_id")))
+
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans").limit(40)
+    n = docs.count()
+    old = pl.extract_spans_df
+    pl.extract_spans_df = spy
+    try:
+        pl.run_extraction_pipeline(
+            spark, docs, str(tmp_path / "spans"), str(tmp_path / "metrics"),
+            num_parts=4, parts_per_batch=2)
+    finally:
+        pl.extract_spans_df = old
+    assert acc.value == n, f"kernel executed {acc.value}x for {n} docs"
