@@ -387,6 +387,20 @@ def q_parse_errors(spark, sf_dir):
     )
 
 
+def q_src_positions(spark, sf_dir):
+    """Source-position tracking: each matched element's start offset in the
+    raw HTML (span -> source provenance). Offsets are text-length-dependent,
+    so the oracle computes them exactly in SQL."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(F.col("text"), F.lit("<p>x</p><i>y</i>"))
+    pos = H.html_src_positions(html, "p, i")
+    return d.select(
+        "doc_id",
+        F.element_at(pos, 1).alias("p_pos"),
+        F.element_at(pos, 2).alias("i_pos"),
+    )
+
+
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
     query itself — only the parse kernel that builds the table)."""
@@ -528,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_text": q_match_text,
         "pdf_layout": q_pdf_layout,
         "parse_errors": q_parse_errors,
+        "src_positions": q_src_positions,
         "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -676,6 +691,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR, 1, 0, 'text', 72.0::DOUBLE, 720.0::DOUBLE,
                    round(72.0::DOUBLE + 0.6::DOUBLE*12*length('p2 of ' || doc_id), 2),
                    732.0::DOUBLE, 'p2 of ' || doc_id
+            FROM documents
+        """,
+        "src_positions": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS p_pos,
+                   CAST(length(text) + 8 AS INT) AS i_pos
             FROM documents
         """,
         "parse_errors": """

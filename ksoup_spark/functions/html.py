@@ -61,9 +61,14 @@ def html_whole_text(col: Column | str) -> Column:
 
 
 def html_title(col: Column | str) -> Column:
+    """Document.title() via the early-exit StreamParser: tokenization stops
+    at the first </title>, so metadata extraction over huge documents does
+    not pay for parsing their bodies (StreamParser.kt:45 semantics)."""
+    from ..kernel.stream_parser import stream_title
+
     @F.pandas_udf(StringType())
     def _f(s: pd.Series) -> pd.Series:
-        return pd.Series([tx.doc_title(_parse(h or "")) for h in s])
+        return pd.Series([stream_title(h or "") for h in s])
 
     return _f(col)
 
@@ -400,5 +405,24 @@ def html_parse_error_count(col: Column | str, max_errors: int = 10000) -> Column
             len(_parse(h or "", track_errors=max_errors).parse_errors)
             for h in s
         ])
+
+    return _f(col)
+
+
+def html_src_positions(col: Column | str, css: str) -> Column:
+    """Source start offsets of elements matching the CSS query, in document
+    order (Parser.setTrackPosition start semantics,
+    /root/reference/ksoup/src/com/fleeksoft/ksoup/parser/TreeBuilder.kt:295-333)
+    — the span -> source provenance column for training-data pipelines."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "", track_positions=True)
+            out.append([d.src_pos.get(n, -1) for n in sel.select(d, q)])
+        return pd.Series(out)
 
     return _f(col)

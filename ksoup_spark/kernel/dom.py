@@ -51,7 +51,7 @@ class Doc:
     __slots__ = (
         "kind", "tag", "attrs", "text", "parent", "children", "ns",
         "base_uri", "quirks", "errors", "pseudo", "self_closing",
-        "parse_errors", "tag_display",
+        "parse_errors", "tag_display", "src_pos",
     )
 
     def __init__(self) -> None:
@@ -72,6 +72,8 @@ class Doc:
         # doc.tag stays NORMALIZED (the Tag.name vs normalName split) so the
         # tree algorithm and selectors match unchanged
         self.tag_display: dict[int, str] | None = None
+        # Parser.setTrackPosition: {nid: source start offset} when enabled
+        self.src_pos: dict[int, int] | None = None
         # ids of PseudoTextElements created by :matchText (nodes/
         # PseudoTextElement.kt); None until prepare_match_text runs
         self.pseudo: set[int] | None = None

@@ -1,0 +1,111 @@
+"""Within-document incremental parsing: the StreamParser surface.
+
+Reimplements the reference's StreamParser semantics
+(/root/reference/ksoup/src/com/fleeksoft/ksoup/parser/StreamParser.kt:16-140):
+the parse advances token by token and SUSPENDS as soon as a requested
+element is available, so metadata-only queries ("give me the <title>")
+never tokenize the rest of the document. Elements are emitted when they
+COMPLETE (their end tag is processed, or they are void), in completion
+order, with their full subtree parsed — matching the reference's
+emitted-when-closed contract.
+
+Differences from the reference, documented: emission is pull-based
+(select_next) rather than sequence-based, and the partially-built DOM is
+retained (no pruning) — documents here are web pages, not unbounded
+streams; the across-document streaming path is Structured Streaming
+(ksoup_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+from . import dom
+from . import selector as sel
+from .dom import Doc
+from .treebuilder import HtmlTreeBuilder
+
+
+class StreamParser:
+    """Incremental document parse with early-exit element selection."""
+
+    def __init__(self, html: str, base_uri: str = "", **parse_kwargs):
+        self._tb = HtmlTreeBuilder().parse_setup(html, base_uri,
+                                                 **parse_kwargs)
+        self.doc: Doc = self._tb.doc
+        self._scan_from = 1    # node ids below this already collected
+        self._candidates: list[int] = []  # elements awaiting completion
+        self._eof = False
+        self._stopped = False
+
+    # -- core pump ---------------------------------------------------------
+
+    def _collect_new(self) -> None:
+        d = self.doc
+        hi = len(d.kind)
+        for nid in range(self._scan_from, hi):
+            if d.kind[nid] == dom.ELEMENT:
+                self._candidates.append(nid)
+        self._scan_from = hi
+
+    def _pop_complete(self, ev) -> int:
+        """First candidate (in creation order) that is complete and matches."""
+        d = self.doc
+        open_set = set(self._tb.stack)
+        for i, nid in enumerate(self._candidates):
+            if nid in open_set:
+                continue
+            if d.parent[nid] == -1 and nid != 0:
+                continue  # discarded by the builder (e.g. dropped tag)
+            ctx = sel.EvalCtx(d, 0)
+            if ev.matches(ctx, nid):
+                del self._candidates[i]
+                return nid
+        return -1
+
+    def select_next(self, css: str | sel.Evaluator) -> int:
+        """Advance the parse until the next COMPLETE element matching `css`
+        exists; returns its node id, or -1 at document end. The tail of the
+        input past the match is left untokenized (the early-exit payoff)."""
+        if self._stopped:
+            return -1
+        ev = sel.parse_query(css) if isinstance(css, str) else css
+        while True:
+            got = self._pop_complete(ev)
+            if got != -1:
+                return got
+            if self._eof:
+                return -1
+            self._eof = not self._tb.parse_step()
+            self._collect_new()
+
+    def select_first(self, css: str | sel.Evaluator) -> int:
+        """Parse just far enough for the first match (StreamParser.kt:45)."""
+        return self.select_next(css)
+
+    def stop(self) -> None:
+        """Abandon the rest of the input (StreamParser.stop)."""
+        self._stopped = True
+
+    def complete(self) -> Doc:
+        """Run the parse to EOF and return the full document."""
+        while not self._eof:
+            self._eof = not self._tb.parse_step()
+        self._collect_new()
+        return self.doc
+
+    @property
+    def consumed(self) -> int:
+        """Characters of input tokenized so far (early-exit meter)."""
+        return self._tb.tok.p if self._tb.tok else 0
+
+
+def stream_title(html: str) -> str:
+    """Early-exit Document.title(): stops tokenizing at `</title>` —
+    the metadata-only fast path for huge documents. Normalization matches
+    textops.doc_title exactly."""
+    from .textops import _TRIM, element_text, normalise_whitespace
+
+    sp = StreamParser(html)
+    nid = sp.select_first("title")
+    if nid == -1:
+        return ""
+    return normalise_whitespace(element_text(sp.doc, nid)).strip(_TRIM)

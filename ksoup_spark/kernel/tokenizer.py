@@ -70,7 +70,8 @@ def _push_attr(attrs: list, aname: str, val) -> None:
 
 class Tokenizer:
     __slots__ = ("s", "_low", "n", "p", "state", "rawtext_tag", "pending",
-                 "has_null", "next_amp", "errors", "_cref")
+                 "has_null", "next_amp", "errors", "_cref", "tok_start",
+                 "pending_start")
 
     @property
     def low(self) -> str:
@@ -98,6 +99,11 @@ class Tokenizer:
         self._cref = None if errors is None else (
             lambda msg, pos: self._perr(
                 pos, "Invalid character reference: " + msg))
+        # source offset where the token just returned by next_token began
+        # (Token.startPos analogue; pending batches share their construct's
+        # start). Consumed by the tree builder's position tracking.
+        self.tok_start = 0
+        self.pending_start = 0
 
     def _perr(self, pos: int, msg: str) -> None:
         el = self.errors
@@ -108,7 +114,9 @@ class Tokenizer:
 
     def next_token(self):
         if self.pending:
+            self.tok_start = self.pending_start
             return self.pending.pop()
+        self.tok_start = self.p
         if self.p >= self.n:
             return ("eof",)
         st = self.state
@@ -151,6 +159,7 @@ class Tokenizer:
             # '<' first
             buf.append(s[p:lt])
             self.p = lt
+            self.pending_start = lt
             toks = self._markup()
             if toks is None:  # literal '<'
                 buf.append("<")
@@ -161,6 +170,7 @@ class Tokenizer:
             if text:
                 return ("text", text)
             if self.pending:
+                self.tok_start = self.pending_start
                 return self.pending.pop()
             p = self.p  # dropped token (e.g. '</>'); keep scanning
             buf = []
@@ -627,9 +637,11 @@ class Tokenizer:
                     out.append(res[0])
                     i = res[1]
             text = "".join(out)
+        self.pending_start = self.p
         self.pending.extend(reversed(tail_tokens))
         if text:
             return ("text", text)
+        self.tok_start = self.pending_start
         return self.pending.pop()
 
     # -- script data (with <!-- escape / double-escape handling) -------------

@@ -175,12 +175,21 @@ class HtmlTreeBuilder:
         self._cur_tok = None
         # case handling (ParseSettings.kt): HTML default lower-cases
         self.settings: ParseSettings = HTML_DEFAULT
+        # source-position tracking (Parser.setTrackPosition /
+        # TreeBuilder.trackNodePosition, TreeBuilder.kt:295-333): when on,
+        # each created node records the START offset of the token that
+        # produced it; implicit opens get the triggering token's start
+        # (the reference's collapsed-range start semantics)
+        self.src_track = False
 
     # ------------------------------------------------------------------ util
 
-    def parse(self, html: str, base_uri: str = "",
-              track_errors: int = 0,
-              settings: ParseSettings | None = None) -> Doc:
+    def parse_setup(self, html: str, base_uri: str = "",
+                    track_errors: int = 0,
+                    settings: ParseSettings | None = None,
+                    track_positions: bool = False) -> "HtmlTreeBuilder":
+        """Prepare an incremental parse (StreamParser support): state is
+        initialized but no tokens are consumed. Drive with parse_step()."""
         self.doc.base_uri = base_uri
         if base_uri:
             self.base_latched = False
@@ -188,14 +197,32 @@ class HtmlTreeBuilder:
             self.perrs = ParseErrorList(track_errors, html)
         if settings is not None:
             self.settings = settings
+        if track_positions:
+            self.src_track = True
+            self.doc.src_pos = {}
         self.tok = Tokenizer(html, self.perrs)
-        while True:
-            tok = self.tok.next_token()
-            self.process(tok)
-            if tok[0] == "eof":
-                break
-        if self.perrs is not None:
-            self.doc.parse_errors = list(self.perrs)
+        return self
+
+    def parse_step(self) -> bool:
+        """Process ONE token; returns False once EOF has been processed.
+        The within-doc incremental surface (reference StreamParser.kt:16-140
+        suspension points map to the caller's step loop)."""
+        tok = self.tok.next_token()
+        self.process(tok)
+        if tok[0] == "eof":
+            if self.perrs is not None:
+                self.doc.parse_errors = list(self.perrs)
+            return False
+        return True
+
+    def parse(self, html: str, base_uri: str = "",
+              track_errors: int = 0,
+              settings: ParseSettings | None = None,
+              track_positions: bool = False) -> Doc:
+        self.parse_setup(html, base_uri, track_errors, settings,
+                         track_positions)
+        while self.parse_step():
+            pass
         return self.doc
 
     def parse_fragment(self, html: str, context: str = "body",
@@ -334,6 +361,11 @@ class HtmlTreeBuilder:
         else:
             self.doc.append_child(parent, nid)
 
+    def _track(self, nid: int) -> None:
+        """Record the current token's start offset for nid (collapsed-start
+        semantics for implicit elements, TreeBuilder.kt:295-333)."""
+        self.doc.src_pos[nid] = self.tok.tok_start if self.tok else 0
+
     def _record_display_case(self, nid: int, name: str) -> None:
         """ParseSettings.preserveCase: stash the source-cased tag name when
         it differs from the normalized one the algorithm matched on."""
@@ -355,6 +387,8 @@ class HtmlTreeBuilder:
         d.tag.append(name)
         if self.settings.preserve_tag_case:
             self._record_display_case(nid, name)
+        if self.src_track:
+            self._track(nid)
         d.attrs.append(attrs)
         d.text.append(None)
         d.ns.append(ns)
@@ -374,6 +408,8 @@ class HtmlTreeBuilder:
         nid = self.doc.new_node(dom.ELEMENT, name, attrs)
         if self.settings.preserve_tag_case:
             self._record_display_case(nid, name)
+        if self.src_track:
+            self._track(nid)
         self._attach(nid)
         if name == "base" and not self.base_latched:
             href = attrs.get("href")
@@ -405,6 +441,8 @@ class HtmlTreeBuilder:
             d.children.append([])
             d.parent.append(parent)
             sibs.append(nid)
+            if self.src_track:
+                self._track(nid)
             return
         parent, before = self._insertion_parent()
         sibs = d.children[parent]
@@ -418,6 +456,8 @@ class HtmlTreeBuilder:
                 d.text[sibs[i - 1]] = (d.text[sibs[i - 1]] or "") + text
                 return
         nid = d.new_node(kind, text=text)
+        if self.src_track:
+            self._track(nid)
         if before != -1:
             d.insert_before(before, nid)
         else:
@@ -434,6 +474,8 @@ class HtmlTreeBuilder:
 
     def insert_comment(self, data: str, parent: int | None = None) -> None:
         nid = self.doc.new_node(dom.COMMENT, text=data)
+        if self.src_track:
+            self._track(nid)
         if parent is not None:
             self.doc.append_child(parent, nid)
         else:
@@ -2349,14 +2391,18 @@ _MODE_HANDLERS = {
 
 
 def parse(html: str, base_uri: str = "", track_errors: int = 0,
-          settings: ParseSettings | None = None) -> Doc:
+          settings: ParseSettings | None = None,
+          track_positions: bool = False) -> Doc:
     """Parse an HTML string into a Doc (Ksoup.parse semantics).
 
     track_errors > 0 enables Parser.setTrackErrors semantics: up to that
     many formatted parse errors land in doc.parse_errors. `settings`
     selects case handling (parse_settings.PRESERVE_CASE keeps source
-    casing of tags/attributes)."""
-    return HtmlTreeBuilder().parse(html, base_uri, track_errors, settings)
+    casing of tags/attributes). track_positions=True records each node's
+    source start offset in doc.src_pos (Parser.setTrackPosition start
+    semantics) for span -> source provenance."""
+    return HtmlTreeBuilder().parse(html, base_uri, track_errors, settings,
+                                   track_positions)
 
 
 def parse_fragment(html: str, context: str = "body", base_uri: str = "",
