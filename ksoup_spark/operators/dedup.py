@@ -55,32 +55,43 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
 
-    df_cut (ON by default): shingles appearing in more than df_cut documents
-    are dropped before the self-join — one hot shingle otherwise contributes
-    O(df²) join rows, the classic skew-killer on a web corpus. Size it at
-    roughly 0.1% of corpus doc count; report what was dropped with
-    jaccard_hot_shingles (same cut, counts per shingle). Note the cut makes
-    the jaccard estimate slightly conservative for pairs sharing hot
-    shingles — exactly the trade every production near-dup pipeline makes.
+    df_cut (ON by default): shingles shared by more than df_cut documents
+    are dropped — one hot shingle otherwise contributes O(df²) candidate
+    rows, the classic skew-killer on a web corpus. Size it at roughly 0.1%
+    of corpus doc count; report what was dropped with jaccard_hot_shingles.
+    Note the cut makes the jaccard estimate slightly conservative for pairs
+    sharing hot shingles — the trade every production near-dup pipeline
+    makes.
 
-    No cache on the shingle table: its three consumers (sizes, join a/b)
-    recompute a cheap split+explode, while a cache on a lazily-returned
-    DataFrame could never be unpersisted by the caller (storage leak) and
-    at 100 TB would not fit executor storage anyway.
+    Plan shape (cache-free by construction — nothing to leak, nothing that
+    must fit executor storage at 100 TB): the shingle table is consumed
+    exactly twice (per-doc sizes; per-shingle posting lists). The inverted
+    index is ONE groupBy(shingle) with a sorted posting list, on which the
+    df-cut is a free filter (no extra counting pass, no anti-join), and
+    candidate pairs come from exploding the i<j combinations of each
+    posting list — the same df² candidate volume a self-join would shuffle,
+    minus the second scan and the join hash table.
     """
     sh = shingles(df, n)
-    if df_cut:
-        sh = sh.join(
-            F.broadcast(jaccard_hot_shingles(df, n, df_cut).select("shingle")),
-            "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    if df_cut:
+        posting = posting.filter(F.size("docs") <= df_cut)
+    nd = F.size("docs")
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda a, i: F.transform(
+                F.slice("docs", i + 2, nd - i - 1),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))

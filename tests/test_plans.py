@@ -54,12 +54,14 @@ def test_cosine_near_dups_bucketed_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_jaccard_df_cut_anti_join_in_plan(spark):
-    """Default df-cut materializes as a broadcast anti-join on shingle."""
+def test_jaccard_df_cut_filter_in_plan(spark):
+    """Default df-cut materializes as a posting-list size filter (free —
+    no extra counting pass, no anti-join, no cartesian)."""
     from ksoup_spark.operators import dedup
     docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
     plan = _plan(dedup.jaccard_pairs(docs, n=3, threshold=0.2))
-    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "1000" in plan and "size(docs" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_jaccard_no_cache_in_lineage(spark):
