@@ -24,7 +24,12 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input",
+                   help="path or iceberg table of (doc_id, spans)")
+    g.add_argument("--synth-sf-dir",
+                   help="testdata sf dir: build the deterministic "
+                        "interleaved corpus in-memory (sandbox runs)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--num-parts", type=int, default=256)
@@ -42,11 +47,17 @@ def main(argv: list[str]) -> None:
     )
     from ksoup_spark.plans.pipeline import run_extraction_pipeline
 
-    docs = (
-        spark.read.format("iceberg").load(args.input)
-        if not args.input.startswith(("/", "file:", "s3:", "hdfs:")) and "." in args.input
-        else spark.read.parquet(args.input)
-    )
+    if args.synth_sf_dir:
+        from ksoup_spark.sources.corpus import build_docs_table
+
+        docs = build_docs_table(spark, args.synth_sf_dir)
+    else:
+        docs = (
+            spark.read.format("iceberg").load(args.input)
+            if not args.input.startswith(("/", "file:", "s3:", "hdfs:"))
+            and "." in args.input
+            else spark.read.parquet(args.input)
+        )
     summary = run_extraction_pipeline(
         spark, docs, args.output, args.metrics,
         num_parts=args.num_parts, parts_per_batch=args.parts_per_batch,
