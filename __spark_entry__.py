@@ -387,6 +387,37 @@ def q_parse_errors(spark, sf_dir):
     )
 
 
+def _id3_payload():
+    # ASCII audio magic so the byte stream is valid UTF-8 — DuckDB's
+    # sha256/md5 take VARCHAR, so the oracle hashes the identical bytes
+    return F.encode(F.concat(F.lit("ID3"), F.col("text")), "utf-8")
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata plumbing, oracle-checked end-to-end: the stub
+    decoder derives duration from sha256(payload) bytes, which DuckDB
+    reproduces exactly (sha256 + hex-byte arithmetic in SQL)."""
+    from ksoup_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir)
+    media = d.select(F.col("doc_id").cast("string").alias("media_id"),
+                     _id3_payload().alias("payload"))
+    return multimodal.media_metadata(media)
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing (byte-window stub): exploded rows, each
+    frame fingerprinted (md5) so the SQL twin can slice the same windows."""
+    from ksoup_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir)
+    media = d.select(F.col("doc_id").cast("string").alias("media_id"),
+                     _id3_payload().alias("payload"))
+    frames = multimodal.sample_frames(media, every_n_bytes=128, max_frames=3)
+    return frames.select("media_id", "frame_index",
+                         F.md5("frame").alias("frame_md5"))
+
+
 def q_src_positions(spark, sf_dir):
     """Source-position tracking: each matched element's start offset in the
     raw HTML (span -> source provenance). Offsets are text-length-dependent,
@@ -543,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout": q_pdf_layout,
         "parse_errors": q_parse_errors,
         "src_positions": q_src_positions,
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "nodequery_compiled": q_nodequery_compiled,
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -692,6 +725,36 @@ def oracle_sql() -> dict[str, str]:
                    round(72.0::DOUBLE + 0.6::DOUBLE*12*length('p2 of ' || doc_id), 2),
                    732.0::DOUBLE, 'p2 of ' || doc_id
             FROM documents
+        """,
+        "media_meta": """
+            WITH m AS (
+              SELECT doc_id::VARCHAR AS media_id, 'ID3' || text AS payload
+              FROM documents
+            )
+            SELECT media_id, 'audio' AS kind,
+                   CAST(length(payload) AS INT) AS n_bytes,
+                   'mp3' AS format,
+                   NULL AS width, NULL AS height,
+                   CAST(('0x' || substr(sha256(payload), 5, 4))::BIGINT
+                        AS INT) AS duration_ms,
+                   sha256(payload) AS sha256
+            FROM m
+        """,
+        "media_frames": """
+            WITH m AS (
+              SELECT doc_id::VARCHAR AS media_id, 'ID3' || text AS payload
+              FROM documents
+            ), f AS (
+              SELECT media_id, payload,
+                     unnest(generate_series(
+                       0, least(3, greatest(1, length(payload) // 128)) - 1
+                     )) AS frame_index
+              FROM m
+            )
+            SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+                   md5(substring(payload, frame_index * 128 + 1, 128))
+                     AS frame_md5
+            FROM f
         """,
         "src_positions": """
             SELECT doc_id,
