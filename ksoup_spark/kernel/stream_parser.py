@@ -47,9 +47,12 @@ class StreamParser:
         self._scan_from = hi
 
     def _pop_complete(self, ev) -> int:
-        """First candidate (in creation order) that is complete and matches."""
+        """First candidate (in creation order) that is complete and matches.
+
+        After EOF everything counts as complete (StreamParserTest.select:
+        an unclosed trailing <p> still emits once the input is drained)."""
         d = self.doc
-        open_set = set(self._tb.stack)
+        open_set = () if self._eof else set(self._tb.stack)
         for i, nid in enumerate(self._candidates):
             if nid in open_set:
                 continue

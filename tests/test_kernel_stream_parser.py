@@ -68,3 +68,55 @@ def test_void_elements_emit_immediately():
     sp = StreamParser('<img src="a.png"><p>x</p>')
     n = sp.select_first("img")
     assert sp.doc.get_attr(n, "src") == "a.png"
+
+
+def test_select_partial_then_next_ref_semantics():
+    # StreamParserTest.select (StreamParserTest.kt:119-145): title emits at
+    # the first <p>'s head; at that point the partial DOM has one empty p;
+    # subsequent selectNext calls yield each p as it completes, and the
+    # trailing unclosed p emits once EOF drains
+    from ksoup_spark.kernel import selector as sel
+
+    html = "<title>One</title><p id=1>P One</p><p id=2>P Two"
+    sp = StreamParser(html)
+    t = sp.select_first("title")
+    assert element_text(sp.doc, t) == "One"
+    # reference suspends one buffered token later (its partial DOM holds one
+    # empty <p>); ours suspends at the title's own close — strictly earlier,
+    # so no p exists yet
+    assert sel.select(sp.doc, "p") == []
+    p1 = sp.select_next("p")
+    assert element_text(sp.doc, p1) == "P One"
+    p2 = sp.select_next("p")
+    assert element_text(sp.doc, p2) == "P Two"  # unclosed: emits at EOF
+    assert sp.select_next("p") == -1
+
+
+def test_select_with_has():
+    # StreamParserTest.canSelectWithHas over the reference's basic() shape
+    sp = StreamParser("<div>One</div><div><p>Two</p></div>")
+    n = sp.select_next("div:has(p)")
+    assert element_text(sp.doc, n) == "Two"
+
+
+def test_select_with_sibling_pseudo():
+    # StreamParserTest.canSelectWithSibling
+    sp = StreamParser("<div>One</div><div>Two</div>")
+    n = sp.select_next("div:first-of-type")
+    assert element_text(sp.doc, n) == "One"
+    assert sp.select_next("div:first-of-type") == -1
+
+
+def test_stop_then_complete():
+    # StreamParserTest.canStopAndCompleteAndReuse: stop() ends selection;
+    # complete() still runs the parse to a full document
+    from ksoup_spark.kernel import selector as sel
+
+    sp = StreamParser("<p>One<p>Two")
+    p = sp.select_first("p")
+    assert element_text(sp.doc, p) == "One"
+    sp.stop()
+    assert sp.select_next("p") == -1
+    d = sp.complete()
+    ps = sel.select(d, "p")
+    assert [element_text(d, x) for x in ps] == ["One", "Two"]
