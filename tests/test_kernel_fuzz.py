@@ -148,3 +148,32 @@ def test_reference_fuzz_corpus():
         d = tb.parse(html)
         extract_spans(d)
     assert time.time() - t0 < 120, "fuzz corpus took pathologically long"
+
+
+@given(_markup)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+def test_tracking_options_do_not_alter_tree(s):
+    """Error tracking and position tracking are pure observers: enabling
+    them must never change the parsed tree or extracted spans."""
+    plain = tb.parse(s)
+    tracked = tb.parse(s, track_errors=100, track_positions=True)
+    assert extract_spans(plain) == extract_spans(tracked)
+    assert outer_html(plain, pretty=False) == outer_html(tracked, pretty=False)
+    # every recorded position is a valid offset into the source
+    for pos in (tracked.src_pos or {}).values():
+        assert 0 <= pos <= len(s)
+
+
+@given(_markup)
+@settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+def test_stream_parser_complete_equals_batch(s):
+    """Driving the parse token-by-token through the StreamParser must yield
+    the same document as the batch parse."""
+    from ksoup_spark.kernel.stream_parser import StreamParser
+
+    batch = tb.parse(s)
+    streamed = StreamParser(s).complete()
+    assert extract_spans(batch) == extract_spans(streamed)
+    assert outer_html(batch, pretty=False) == outer_html(streamed, pretty=False)
