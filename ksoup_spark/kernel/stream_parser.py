@@ -25,11 +25,21 @@ from .treebuilder import HtmlTreeBuilder
 
 
 class StreamParser:
-    """Incremental document parse with early-exit element selection."""
+    """Incremental document parse with early-exit element selection.
 
-    def __init__(self, html: str, base_uri: str = "", **parse_kwargs):
-        self._tb = HtmlTreeBuilder().parse_setup(html, base_uri,
-                                                 **parse_kwargs)
+    xml=True drives the XML tree builder instead (reference
+    StreamParserTest.worksWithXmlParser)."""
+
+    def __init__(self, html: str, base_uri: str = "", xml: bool = False,
+                 **parse_kwargs):
+        if xml:
+            from .xml import XmlTreeBuilder
+
+            self._tb = XmlTreeBuilder().parse_setup(html, base_uri,
+                                                    **parse_kwargs)
+        else:
+            self._tb = HtmlTreeBuilder().parse_setup(html, base_uri,
+                                                     **parse_kwargs)
         self.doc: Doc = self._tb.doc
         self._scan_from = 1    # node ids below this already collected
         self._candidates: list[int] = []  # elements awaiting completion

@@ -14,67 +14,98 @@ from .dom import Doc
 from .tokenizer import Tokenizer
 
 
-def parse_xml(xml: str, base_uri: str = "") -> Doc:
-    doc = Doc()
-    doc.base_uri = base_uri
-    tok = Tokenizer(xml)
-    stack: list[int] = [0]
-    while True:
-        t = tok.next_token()
-        k = t[0]
-        if k == "eof":
-            break
-        if k == "text":
-            nid = doc.new_node(dom.TEXT, text=t[1], ns=dom.NS_XML)
-            doc.append_child(stack[-1], nid)
-        elif k == "cdata":
-            nid = doc.new_node(dom.CDATA, text=t[1], ns=dom.NS_XML)
-            doc.append_child(stack[-1], nid)
-        elif k == "comment":
-            data, bogus = t[1], t[2]
-            nid = -1
-            if bogus and len(data) > 1 and data[0] in "!?":
-                # xml-declaration recovery from a bogus comment: strip the
-                # lead and tail marker chars and re-parse "<content>" with
-                # the HTML parser; the first element's name/attrs become the
-                # declaration, else it stays a comment
-                # (XmlTreeBuilder.insertCommentFor + Comment.asXmlDeclaration,
-                # nodes/Comment.kt:53-88)
-                content = data[1:-1]
-                if not (len(content) > 1 and content[0] in "!?"):
-                    nid = _decl_from_content(doc, content, data[0] == "!")
-            if nid == -1:
-                nid = doc.new_node(dom.COMMENT, text=data, ns=dom.NS_XML)
-            doc.append_child(stack[-1], nid)
-        elif k == "doctype":
-            nid = doc.new_node(dom.DOCTYPE, text=t[1] or "", ns=dom.NS_XML)
-            doc.attrs[nid] = {"name": t[1] or "", "publicid": t[2] or "",
-                              "systemid": t[3] or ""}
-            doc.append_child(stack[-1], nid)
-        elif k == "start":
-            name = t[1]  # case preserved in XML mode
-            attrs: dict = {}
-            for ak, av in t[2]:
-                if ak not in attrs:
-                    attrs[ak] = av
-            nid = doc.new_node(dom.ELEMENT, name, attrs, ns=dom.NS_XML)
-            doc.append_child(stack[-1], nid)
-            if not t[3]:  # not self-closing
-                stack.append(nid)
-            else:
-                # remember per tag name for <x /> serialization
-                # (Tag.setSelfClosing, parser/Tag.kt:102-105)
-                if doc.self_closing is None:
-                    doc.self_closing = set()
-                doc.self_closing.add(name)
-        elif k == "end":
-            name = t[1]
-            # pop to nearest matching open element; ignore if none
-            for i in range(len(stack) - 1, 0, -1):
-                if doc.tag[stack[i]] == name:
-                    del stack[i:]
-                    break
-    return doc
+class XmlTreeBuilder:
+    """Steppable XML builder (reference parser/XmlTreeBuilder.kt): drives
+    the same tokenizer in case-preserving mode with a simple open-element
+    stack. parse_setup/parse_step mirror the HTML builder's incremental
+    surface so StreamParser can early-exit XML documents too."""
+
+    def __init__(self) -> None:
+        self.doc = Doc()
+        self.tok: Tokenizer | None = None
+        self.stack: list[int] = [0]
+        self.perrs = None
+
+    def parse_setup(self, xml: str, base_uri: str = "",
+                    track_errors: int = 0) -> "XmlTreeBuilder":
+        from .parse_errors import ParseErrorList
+
+        self.doc.base_uri = base_uri
+        if track_errors > 0:
+            self.perrs = ParseErrorList(track_errors, xml)
+        self.tok = Tokenizer(xml, self.perrs)
+        return self
+
+    def parse_step(self) -> bool:
+        t = self.tok.next_token()
+        if t[0] == "eof":
+            if self.perrs is not None:
+                self.doc.parse_errors = list(self.perrs)
+            return False
+        _xml_process(self.doc, self.stack, t)
+        return True
+
+
+def parse_xml(xml: str, base_uri: str = "",
+              track_errors: int = 0) -> Doc:
+    b = XmlTreeBuilder().parse_setup(xml, base_uri, track_errors)
+    while b.parse_step():
+        pass
+    return b.doc
+
+
+def _xml_process(doc: Doc, stack: list[int], t) -> None:
+    k = t[0]
+    if k == "text":
+        nid = doc.new_node(dom.TEXT, text=t[1], ns=dom.NS_XML)
+        doc.append_child(stack[-1], nid)
+    elif k == "cdata":
+        nid = doc.new_node(dom.CDATA, text=t[1], ns=dom.NS_XML)
+        doc.append_child(stack[-1], nid)
+    elif k == "comment":
+        data, bogus = t[1], t[2]
+        nid = -1
+        if bogus and len(data) > 1 and data[0] in "!?":
+            # xml-declaration recovery from a bogus comment: strip the
+            # lead and tail marker chars and re-parse "<content>" with
+            # the HTML parser; the first element's name/attrs become the
+            # declaration, else it stays a comment
+            # (XmlTreeBuilder.insertCommentFor + Comment.asXmlDeclaration,
+            # nodes/Comment.kt:53-88)
+            content = data[1:-1]
+            if not (len(content) > 1 and content[0] in "!?"):
+                nid = _decl_from_content(doc, content, data[0] == "!")
+        if nid == -1:
+            nid = doc.new_node(dom.COMMENT, text=data, ns=dom.NS_XML)
+        doc.append_child(stack[-1], nid)
+    elif k == "doctype":
+        nid = doc.new_node(dom.DOCTYPE, text=t[1] or "", ns=dom.NS_XML)
+        doc.attrs[nid] = {"name": t[1] or "", "publicid": t[2] or "",
+                          "systemid": t[3] or ""}
+        doc.append_child(stack[-1], nid)
+    elif k == "start":
+        name = t[1]  # case preserved in XML mode
+        attrs: dict = {}
+        for ak, av in t[2]:
+            if ak not in attrs:
+                attrs[ak] = av
+        nid = doc.new_node(dom.ELEMENT, name, attrs, ns=dom.NS_XML)
+        doc.append_child(stack[-1], nid)
+        if not t[3]:  # not self-closing
+            stack.append(nid)
+        else:
+            # remember per tag name for <x /> serialization
+            # (Tag.setSelfClosing, parser/Tag.kt:102-105)
+            if doc.self_closing is None:
+                doc.self_closing = set()
+            doc.self_closing.add(name)
+    elif k == "end":
+        name = t[1]
+        # pop to nearest matching open element; ignore if none
+        for i in range(len(stack) - 1, 0, -1):
+            if doc.tag[stack[i]] == name:
+                del stack[i:]
+                break
 
 
 def _decl_from_content(doc, content: str, bang: bool) -> int:

@@ -67,3 +67,13 @@ def test_error_cap_respected():
     html = "&arrgh; " * 50
     doc = parse(html, track_errors=7)
     assert len(doc.parse_errors) == 7
+
+
+def test_xml_parse_tracks_tokenizer_errors():
+    from ksoup_spark.kernel.xml import parse_xml
+
+    doc = parse_xml("<root>&arrgh; ok</p bad='1'></root>", track_errors=10)
+    assert any("invalid named reference [arrgh]" in e
+               for e in doc.parse_errors)
+    assert any("Attributes incorrectly present on end tag [/p]" in e
+               for e in doc.parse_errors)

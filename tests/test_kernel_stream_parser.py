@@ -120,3 +120,24 @@ def test_stop_then_complete():
     d = sp.complete()
     ps = sel.select(d, "p")
     assert [element_text(d, x) for x in ps] == ["One", "Two"]
+
+
+def test_works_with_xml_parser():
+    # StreamParserTest.worksWithXmlParser: iterate p elements in XML mode
+    sp = StreamParser("<doc><p>One</p><p>Two</p><p>Thr</p></doc>", xml=True)
+    seen = []
+    while True:
+        n = sp.select_next("p")
+        if n == -1:
+            break
+        seen.append(element_text(sp.doc, n))
+    assert seen == ["One", "Two", "Thr"]
+
+
+def test_xml_stream_early_exit():
+    tail = "<item>x</item>" * 5000
+    xml = f"<feed><title>T</title>{tail}</feed>"
+    sp = StreamParser(xml, xml=True)
+    n = sp.select_first("title")
+    assert element_text(sp.doc, n) == "T"
+    assert sp.consumed < 60 < len(xml)
