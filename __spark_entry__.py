@@ -485,6 +485,31 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                        bands=4, threshold=0.25)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText-style quality filter flags (word-count bounds,
+    mean word length, symbol ratio, alphabetic-word ratio)."""
+    return textstats.gopher_quality(_docs(spark, sf_dir), min_words=30)
+
+
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition metrics (dup-bigram fraction, top-bigram
+    coverage) — the Gopher repetition rule family, per-row, no shuffle."""
+    return textstats.repetition(_docs(spark, sf_dir), n=2)
+
+
+def q_passage_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus passage dedup: an 8-word banner prepended
+    to every document becomes a corpus-wide duplicate passage and must be
+    stripped from all of them; document-unique passages survive in order."""
+    d = _docs(spark, sf_dir)
+    banner = "common banner eight words repeated across all docs "
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.lit(banner), F.col("text")).alias("text"),
+    )
+    return dedup.passage_dedup(seeded, size=8, max_df=1)
+
+
 def q_simhash(spark, sf_dir):
     return textstats.simhash(_docs(spark, sf_dir))
 
@@ -580,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "gopher_quality": q_gopher_quality,
+        "repetition": q_repetition,
+        "passage_dedup": q_passage_dedup,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
@@ -774,6 +802,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        "gopher_quality": textstats.gopher_quality_sql(min_words=30),
+        "repetition": textstats.repetition_sql(n=2),
+        "passage_dedup": dedup.passage_dedup_sql(
+            table="(SELECT doc_id, 'common banner eight words repeated "
+                  "across all docs ' || text AS text FROM documents)",
+            size=8, max_df=1),
         "minhash_signatures": dedup.minhash_signatures_md5_sql(num_hashes=8),
         "simhash": textstats.simhash_sql(),
         "simhash_near_dups": f"""

@@ -111,6 +111,116 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
+def passages(df: DataFrame, size: int = 8, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Non-overlapping word chunks ("passages") per document, with their
+    in-doc index and md5 — the unit of CCNet-style cross-corpus passage
+    dedup. One row per passage (exploded)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.ceil(F.size(words) / size).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("passage_idx", "passage"),
+    ).select("doc_id", "passage_idx", F.md5("passage").alias("passage_md5"))
+
+
+def passage_dedup(df: DataFrame, size: int = 8, max_df: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """CCNet-style cross-corpus passage dedup: passages appearing in more
+    than max_df documents are dropped from every document; the survivors
+    are re-joined in order.
+
+    Returns (doc_id, n_passages, n_removed, clean_text).
+
+    Scale shape: ONE groupBy on the 16-byte passage md5 with map-side
+    partial aggregation finds the corpus-wide duplicate set (volume ∝
+    distinct passages); the duplicate list joins back per-passage and a
+    groupBy(doc_id) with sort_array re-assembles documents. All keys are
+    fixed-width hashes; at 10^12 docs the duplicate side is the natural
+    broadcast candidate once filtered to df > max_df.
+    """
+    p = passages(df, size, text_col, id_col)
+    dup = (
+        p.groupBy("passage_md5")
+        .agg(F.count_distinct("doc_id").alias("pdf"))
+        .filter(F.col("pdf") > max_df)
+        .select("passage_md5")
+    )
+    flagged = p.join(F.broadcast(dup.withColumn("is_dup", F.lit(True))),
+                     "passage_md5", "left")
+    words = F.split(F.col(text_col), " ")
+    k = F.ceil(F.size(words) / size).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+    )
+    texts = df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+    agg = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_passages"),
+            F.sum(F.col("is_dup").cast("int")).alias("dup_cnt"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(~F.coalesce(F.col("is_dup"), F.lit(False)),
+                           F.struct("passage_idx"))
+                )
+            ).alias("keep_idx"),
+        )
+    )
+    return (
+        agg.join(texts, "doc_id")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce(F.col("dup_cnt"), F.lit(0)).cast("int")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("keep_idx"),
+                            lambda s: F.col("chunks")[s["passage_idx"]]),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def passage_dedup_sql(table: str = "documents", size: int = 8,
+                      max_df: int = 1) -> str:
+    """DuckDB oracle twin of passage_dedup."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, i - 1 AS passage_idx,
+         md5(array_to_string(list_slice(string_split(text, ' '),
+             (i - 1) * {size} + 1, i * {size}), ' ')) AS passage_md5,
+         array_to_string(list_slice(string_split(text, ' '),
+             (i - 1) * {size} + 1, i * {size}), ' ') AS passage
+  FROM {table},
+       unnest(generate_series(1,
+         cast(ceil(len(string_split(text, ' ')) / {size}.0) AS BIGINT))) AS t(i)
+), dup AS (
+  SELECT passage_md5 FROM p GROUP BY passage_md5
+  HAVING count(DISTINCT doc_id) > {max_df}
+)
+SELECT p.doc_id,
+       CAST(count(*) AS INT) AS n_passages,
+       CAST(sum(CASE WHEN d.passage_md5 IS NOT NULL THEN 1 ELSE 0 END)
+            AS INT) AS n_removed,
+       coalesce(array_to_string(
+         list_transform(
+           list_sort(list([lpad(p.passage_idx::VARCHAR, 6, '0'), p.passage])
+                     FILTER (WHERE d.passage_md5 IS NULL)),
+           x -> x[2]),
+         ' '), '') AS clean_text
+FROM p LEFT JOIN dup d USING (passage_md5)
+GROUP BY p.doc_id
+"""
+
+
 def jaccard_hot_shingles(df: DataFrame, n: int = 3,
                          df_cut: int = 1000) -> DataFrame:
     """(shingle, df) rows the df-cut drops — the skew report a pipeline

@@ -167,6 +167,133 @@ FROM bit_votes GROUP BY doc_id
 """
 
 
+def gopher_quality(df: DataFrame,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_word_ratio: float = 0.8) -> DataFrame:
+    """Gopher-style document quality flags (the rule family from the
+    published Gopher/MassiveText filtering recipe): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ... stand-ins),
+    fraction of words containing an alphabetic char. Pure JVM expressions —
+    per-row, no shuffle, the cheapest pre-filter in a training pipeline."""
+    w = _words()
+    n_words = F.size(w)
+    mean_len = (F.aggregate(w, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+                / n_words)
+    n_sym = (F.length("text")
+             - F.length(F.regexp_replace(F.col("text"), "[#…]", "")))
+    alpha_ratio = (F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+                   / n_words)
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = ((mean_len >= min_mean_word_len)
+               & (mean_len <= max_mean_word_len))
+    ok_sym = (n_sym / n_words) <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_words & ok_mean & ok_sym & ok_alpha).alias("keep"),
+    )
+
+
+def gopher_quality_sql(table: str = "documents",
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       min_alpha_word_ratio: float = 0.8) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n_words
+  FROM {table}
+), m AS (
+  SELECT doc_id, n_words,
+         list_sum(list_transform(ws, x -> length(x)))::DOUBLE / n_words
+           AS mean_len,
+         (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
+           / n_words AS sym_ratio,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / n_words AS alpha_ratio
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(mean_len, 4) AS mean_word_len,
+       round(alpha_ratio, 4) AS alpha_word_ratio,
+       n_words >= {min_words} AND n_words <= {max_words} AS ok_word_count,
+       mean_len >= {min_mean_word_len} AND mean_len <= {max_mean_word_len}
+         AS ok_mean_word_len,
+       sym_ratio <= {max_symbol_ratio} AS ok_symbol_ratio,
+       alpha_ratio >= {min_alpha_word_ratio} AS ok_alpha_words,
+       (n_words >= {min_words} AND n_words <= {max_words})
+         AND (mean_len >= {min_mean_word_len}
+              AND mean_len <= {max_mean_word_len})
+         AND sym_ratio <= {max_symbol_ratio}
+         AND alpha_ratio >= {min_alpha_word_ratio} AS keep
+FROM m
+"""
+
+
+def repetition(df: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document repetition metrics (Gopher repetition rules family):
+    fraction of duplicate word n-grams, and the fraction of words covered
+    by the single most frequent n-gram. Computed per-row with higher-order
+    array expressions — no explode, no shuffle (same scale posture as
+    simhash): the n-gram counts fold inside one projection."""
+    w = _words()
+    k = F.size(w) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    # occurrences of the most frequent gram: max over distinct grams of
+    # count-in-list (O(d*g) per row — bounded by doc length, still no shuffle)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_grams.alias("n_ngrams"),
+        F.round((n_grams - n_distinct) / n_grams, 4).alias("dup_ngram_frac"),
+        F.round(top_count / n_grams, 4).alias("top_ngram_frac"),
+    )
+
+
+def repetition_sql(table: str = "documents", n: int = 2) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i + {n - 1}), ' ')
+         ) AS grams
+  FROM {table}
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_ngrams,
+       round((len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams), 4)
+         AS dup_ngram_frac,
+       round(list_max(list_transform(list_distinct(grams),
+               d -> len(list_filter(grams, x -> x = d))))::DOUBLE
+             / len(grams), 4) AS top_ngram_frac
+FROM g
+"""
+
+
 # GPT-2-style pretokenizer regex (no lookahead, so the same pattern runs
 # under Java regex AND DuckDB's RE2 for the oracle): contractions, optional
 # leading-space letter runs, digit runs, punctuation runs, whitespace runs

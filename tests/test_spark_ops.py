@@ -364,3 +364,45 @@ def test_pipeline_kernel_runs_once_per_doc(spark, tmp_path):
     finally:
         pl.extract_spans_df = old
     assert acc.value == n, f"kernel executed {acc.value}x for {n} docs"
+
+
+def test_passage_dedup_removes_cross_doc_banner(spark):
+    """Passages shared across documents are stripped; unique ones survive
+    in order (CCNet-style passage dedup)."""
+    from ksoup_spark.operators import dedup
+
+    banner = "one two three four"  # 4-word passage at size=4
+    rows = [(i, f"{banner} unique{i} text{i} here{i} now{i}")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.passage_dedup(docs, size=4, max_df=1).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[i]
+        assert r.n_passages == 2 and r.n_removed == 1
+        assert r.clean_text == f"unique{i} text{i} here{i} now{i}"
+
+
+def test_gopher_quality_flags(spark):
+    from ksoup_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, " ".join(f"w{i:02d}" for i in range(60)))],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textstats.gopher_quality(docs, min_words=50).collect()}
+    assert not rows[1].keep and not rows[1].ok_word_count
+    assert rows[2].ok_word_count and rows[2].ok_alpha_words
+
+
+def test_repetition_metrics(spark):
+    from ksoup_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in textstats.repetition(docs, n=2).collect()}
+    assert rows[1].dup_ngram_frac > 0.5       # "a b"/"b a" repeat
+    assert rows[2].dup_ngram_frac == 0.0      # all bigrams distinct
+    assert rows[2].top_ngram_frac == 0.2      # 1 of 5 bigrams
