@@ -510,6 +510,37 @@ def q_passage_dedup(spark, sf_dir):
     return dedup.passage_dedup(seeded, size=8, max_df=1)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition: boilerplate-wrapped HTML ->
+    main-content extraction (kernel) -> Gopher quality flags -> content
+    fingerprint + exact-dup group size — the whole filter chain a
+    training-data pipeline runs per document, value-checked in SQL."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><script>t()</script></head><body>'
+              '<nav><a href="/">Home</a></nav><article><p>'),
+        F.col("text"),
+        F.lit('</p></article><footer>(c)</footer></body></html>'),
+    )
+    main = d.select("doc_id", H.html_main_text(html).alias("main_text"))
+    flags = textstats.gopher_quality(
+        main.select("doc_id", F.col("main_text").alias("text")),
+        min_words=30)
+    fp = main.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("main_text", "\\s+", " "))))
+        .alias("fingerprint"),
+    )
+    dup_sz = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dups"))
+    return (
+        flags.select("doc_id", "n_words", "keep")
+        .join(fp, "doc_id")
+        .join(dup_sz, "fingerprint")
+        .select("doc_id", "n_words", "keep", "fingerprint", "n_dups")
+    )
+
+
 def q_simhash(spark, sf_dir):
     return textstats.simhash(_docs(spark, sf_dir))
 
@@ -605,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "curation_pipeline": q_curation_pipeline,
         "gopher_quality": q_gopher_quality,
         "repetition": q_repetition,
         "passage_dedup": q_passage_dedup,
@@ -802,6 +834,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        "curation_pipeline": f"""
+            WITH flags AS ({textstats.gopher_quality_sql(min_words=30)}),
+            fp AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+              FROM documents
+            ), dup AS (
+              SELECT fingerprint, CAST(count(*) AS INT) AS n_dups
+              FROM fp GROUP BY fingerprint
+            )
+            SELECT flags.doc_id, flags.n_words, flags.keep,
+                   fp.fingerprint, dup.n_dups
+            FROM flags JOIN fp USING (doc_id) JOIN dup USING (fingerprint)
+        """,
         "gopher_quality": textstats.gopher_quality_sql(min_words=30),
         "repetition": textstats.repetition_sql(n=2),
         "passage_dedup": dedup.passage_dedup_sql(
