@@ -319,7 +319,48 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
                         pre_depths.append(len(stack) - 1)
         if ci < len(kids):
             frame[1] = ci + 1
-            stack.append([kids[ci], 0])
+            child = kids[ci]
+            if not children[child]:
+                # leaf fast path: head+tail inline, no frame push (half of
+                # all nodes are text leaves — saves an alloc + 2 iterations
+                # each). Semantics identical: childless nodes can't be
+                # preserve-ws ancestors, and a childless media element's
+                # skip_under set/clear is a no-op.
+                if skip_under == -1:
+                    ck = kind[child]
+                    if ck == dom.TEXT:
+                        t = textv[child] or ""
+                        if pre_depths and \
+                                (len(stack) - 1) - pre_depths[-1] < 6:
+                            accum.append(t)
+                        else:
+                            accum.append_normalised(t)
+                    elif ck == dom.CDATA:
+                        accum.append(textv[child] or "")
+                    elif ck == dom.ELEMENT:
+                        tag = tagv[child] or ""
+                        mk = MEDIA_KIND.get(tag)
+                        if mk is not None:
+                            flush()
+                            ref = doc.abs_url(child, _MEDIA_REF_ATTR[tag])
+                            spans.append((mk, None, ref or "", len(spans)))
+                        else:
+                            if accum.parts and (tag in BLOCK_TAGS
+                                                or tag == "br") \
+                                    and not accum.last_is_ws():
+                                accum.append(" ")
+                            if tag in BLOCK_TAGS \
+                                    and not accum.last_is_ws() \
+                                    and ci + 1 < len(kids):
+                                nxt = kids[ci + 1]
+                                nk = kind[nxt]
+                                if nk in is_text or (
+                                    nk == dom.ELEMENT
+                                    and not format_as_block(tagv[nxt] or "")
+                                ):
+                                    accum.append(" ")
+                continue
+            stack.append([child, 0])
             continue
         # tail
         stack.pop()
