@@ -60,7 +60,10 @@ class Safelist:
             protocols={
                 ("a", "href"): ["ftp", "http", "https", "mailto"],
                 ("blockquote", "cite"): ["http", "https"],
-                ("q", "cite"): ["http", "https"],
+                # reference quirk preserved (Safelist.kt:595): the protocol
+                # constraint is registered for the `cite` TAG's cite attr,
+                # not q's — q[cite] values are unconstrained
+                ("cite", "cite"): ["http", "https"],
             },
             enforced={"a": {"rel": "nofollow"}},
         )
@@ -98,6 +101,7 @@ class Safelist:
             protocols={
                 ("a", "href"): ["ftp", "http", "https", "mailto"],
                 ("blockquote", "cite"): ["http", "https"],
+                ("cite", "cite"): ["http", "https"],
                 ("q", "cite"): ["http", "https"],
                 ("img", "src"): ["http", "https"],
             },

@@ -143,3 +143,14 @@ def test_clean_anchor_protocol():
     sl = Safelist.basic().add_protocols("a", "href", "#")
     assert 'href="#frag"' in clean_html("<a href='#frag'>x</a>", sl)
     assert "href" not in clean_html("<a href='#fr ag'>x</a>", sl)
+
+
+def test_basic_q_cite_unconstrained_reference_quirk():
+    # Safelist.kt:595 registers the cite-protocol constraint on the `cite`
+    # TAG, not on q — so q[cite] passes any value in basic()
+    got = clean_html("<q cite='ftp://weird/x'>t</q>", Safelist.basic())
+    assert 'cite="ftp://weird/x"' in got
+    # blockquote[cite] IS constrained to http/https
+    got2 = clean_html("<blockquote cite='ftp://w/x'>t</blockquote>",
+                      Safelist.basic())
+    assert "cite" not in got2.replace("blockquote", "bq")
