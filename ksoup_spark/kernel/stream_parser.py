@@ -18,10 +18,44 @@ streams; the across-document streaming path is Structured Streaming
 
 from __future__ import annotations
 
+import re
+
 from . import dom
 from . import selector as sel
 from .dom import Doc
 from .treebuilder import HtmlTreeBuilder
+
+# Evaluators whose verdict on a COMPLETED element can still flip as later
+# siblings arrive. Everything else is decided the moment the element's end
+# tag is processed (its subtree, ancestors, and preceding siblings are
+# final), so it is safe to evaluate once and discard on a miss.
+_FUTURE_SIBLING_DEPENDENT = (
+    sel.IsLastChild,
+    sel.IsOnlyChild,
+    sel.IsOnlyOfType,
+    sel.MatchText,   # whole-doc pre-pass; conservative
+)
+
+
+def _inner_evals(ev: sel.Evaluator) -> list[sel.Evaluator]:
+    out = []
+    v = getattr(ev, "inner", None)
+    if isinstance(v, sel.Evaluator):
+        out.append(v)
+    for attr in ("evals", "chain"):
+        vs = getattr(ev, attr, None)
+        if isinstance(vs, list):
+            out.extend(x for x in vs if isinstance(x, sel.Evaluator))
+    return out
+
+
+def _is_stable(ev: sel.Evaluator) -> bool:
+    """True if a completed element's match result can never change later."""
+    if isinstance(ev, _FUTURE_SIBLING_DEPENDENT):
+        return False
+    if isinstance(ev, sel.IsNth) and ev.last:
+        return False
+    return all(_is_stable(c) for c in _inner_evals(ev))
 
 
 class StreamParser:
@@ -56,19 +90,42 @@ class StreamParser:
                 self._candidates.append(nid)
         self._scan_from = hi
 
-    def _pop_complete(self, ev) -> int:
+    def _pop_complete(self, ev, stable: bool) -> int:
         """First candidate (in creation order) that is complete and matches.
 
         After EOF everything counts as complete (StreamParserTest.select:
-        an unclosed trailing <p> still emits once the input is drained)."""
+        an unclosed trailing <p> still emits once the input is drained).
+
+        For stable selectors (the common case) each candidate is evaluated
+        exactly ONCE, at completion, and dropped on a miss — matching the
+        reference's emitted-once stream contract and keeping the whole parse
+        linear in element count. Only future-sibling-dependent pseudos
+        (:last-child, :only-child, ...) keep the re-check-every-pump path.
+        """
         d = self.doc
         open_set = () if self._eof else set(self._tb.stack)
+        ctx = sel.EvalCtx(d, 0)
+        if stable:
+            keep: list[int] = []
+            cands = self._candidates
+            for i, nid in enumerate(cands):
+                if nid in open_set:
+                    keep.append(nid)  # not complete yet; check next pump
+                    continue
+                if d.parent[nid] == -1 and nid != 0:
+                    continue  # discarded by the builder (e.g. dropped tag)
+                if ev.matches(ctx, nid):
+                    keep.extend(cands[i + 1:])
+                    self._candidates = keep
+                    return nid
+                # complete, evaluated once, no match: consumed by the stream
+            self._candidates = keep
+            return -1
         for i, nid in enumerate(self._candidates):
             if nid in open_set:
                 continue
             if d.parent[nid] == -1 and nid != 0:
-                continue  # discarded by the builder (e.g. dropped tag)
-            ctx = sel.EvalCtx(d, 0)
+                continue
             if ev.matches(ctx, nid):
                 del self._candidates[i]
                 return nid
@@ -81,8 +138,9 @@ class StreamParser:
         if self._stopped:
             return -1
         ev = sel.parse_query(css) if isinstance(css, str) else css
+        stable = _is_stable(ev)
         while True:
-            got = self._pop_complete(ev)
+            got = self._pop_complete(ev, stable)
             if got != -1:
                 return got
             if self._eof:
@@ -117,6 +175,11 @@ def stream_title(html: str) -> str:
     textops.doc_title exactly."""
     from .textops import _TRIM, element_text, normalise_whitespace
 
+    # Cheap bail-out: a <title> element can only arise from a literal
+    # "<title" in the source (any case). Title-less giant documents skip
+    # the parse entirely instead of tokenizing to EOF.
+    if not re.search(r"<[tT][iI][tT][lL][eE]", html):
+        return ""
     sp = StreamParser(html)
     nid = sp.select_first("title")
     if nid == -1:

@@ -141,3 +141,46 @@ def test_xml_stream_early_exit():
     n = sp.select_first("title")
     assert element_text(sp.doc, n) == "T"
     assert sp.consumed < 60 < len(xml)
+
+
+def test_no_match_large_doc_is_linear():
+    # Regression (round-3 advice): completed non-matching candidates used to
+    # be re-evaluated on every pump, making a selector with no match O(n^2)
+    # in element count (51s on this input). Must complete in linear time.
+    import time
+
+    body = "<p>word here</p>" * 4000
+    html = f"<html><head></head><body>{body}</body></html>"
+    sp = StreamParser(html)
+    t0 = time.perf_counter()
+    assert sp.select_first("title") == -1
+    assert time.perf_counter() - t0 < 5.0  # was ~51s pre-fix
+
+
+def test_stream_title_titleless_bails_without_parsing():
+    body = "<p>word here</p>" * 4000
+    html = f"<html><head></head><body>{body}</body></html>"
+    import time
+
+    t0 = time.perf_counter()
+    assert stream_title(html) == ""
+    assert time.perf_counter() - t0 < 0.1
+
+
+def test_stable_selector_consumes_nonmatching_candidates():
+    # Stream contract: elements pass by once; a stable selector evaluates
+    # each completed element exactly once and discards misses.
+    sp = StreamParser("<div>One</div><div class=x>Two</div><div>Three</div>")
+    n = sp.select_next("div.x")
+    assert element_text(sp.doc, n) == "Two"
+    assert sp.select_next("div.x") == -1
+
+
+def test_unstable_selector_still_rechecked():
+    # Future-sibling-dependent pseudos keep the re-check path.
+    sp = StreamParser("<ul><li>a</li><li>b</li></ul><p>tail</p>")
+    n = sp.select_next("p")
+    assert element_text(sp.doc, n) == "tail"
+    sp2 = StreamParser("<div>One</div><span>x</span>")
+    m = sp2.select_next("div:only-of-type")
+    assert element_text(sp2.doc, m) == "One"
