@@ -61,23 +61,34 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     of corpus doc count; report what was dropped with jaccard_hot_shingles.
     Note the cut makes the jaccard estimate slightly conservative for pairs
     sharing hot shingles — the trade every production near-dup pipeline
-    makes.
+    makes. Doc sizes are computed BEFORE the cut (the denominator stays the
+    true shingle count); the SQL oracle twin (jaccard_pairs_sql) mirrors
+    both the cut and the pre-cut size semantics.
 
     Plan shape (cache-free by construction — nothing to leak, nothing that
-    must fit executor storage at 100 TB): the shingle table is consumed
-    exactly twice (per-doc sizes; per-shingle posting lists). The inverted
-    index is ONE groupBy(shingle) with a sorted posting list, on which the
-    df-cut is a free filter (no extra counting pass, no anti-join), and
-    candidate pairs come from exploding the i<j combinations of each
-    posting list — the same df² candidate volume a self-join would shuffle,
-    minus the second scan and the join hash table.
+    must fit executor storage at 100 TB): the df-cut runs as a cheap
+    count(1)-per-shingle pass (map-side combined: (16-byte digest, long)
+    pairs) whose HOT survivors — a tiny, zipf-tail set — anti-join the
+    shingle stream BEFORE any posting list is built, so a df=10⁹ stop-word
+    shingle never materializes a 10⁹-element aggregation buffer. AQE turns
+    the anti-join into a broadcast when the hot set is small (the normal
+    case). The inverted index is then ONE groupBy(shingle) with a sorted
+    posting list, and candidate pairs come from exploding the i<j
+    combinations of each posting list — the same df² candidate volume a
+    self-join would shuffle, minus the second scan and the join hash table.
     """
     sh = shingles(df, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if df_cut:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cut)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     posting = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs"))
-    if df_cut:
-        posting = posting.filter(F.size("docs") <= df_cut)
     nd = F.size("docs")
     pairs = F.flatten(
         F.transform(
@@ -372,9 +383,15 @@ FROM {table} GROUP BY md5(text)
 
 
 def jaccard_pairs_sql(table: str = "documents", n: int = 3,
-                      threshold: float = 0.5) -> str:
-    """DuckDB oracle twin: full pairwise exact Jaccard over distinct shingles."""
-    return f"""
+                      threshold: float = 0.5,
+                      df_cut: int | None = 1000) -> str:
+    """DuckDB oracle twin of jaccard_pairs: pairwise exact Jaccard over
+    distinct shingles, mirroring the Spark path's semantics exactly —
+    the df-cut drops shingles with document frequency > df_cut from the
+    INTERSECTION while denominators keep the full (pre-cut) shingle
+    counts. df_cut=None reproduces the uncut all-pairs form."""
+    if df_cut is None:
+        return f"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -391,6 +408,35 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       (len(a.shingles) + len(b.shingles)
        - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+"""
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i + {n - 1}), ' ')
+         )) AS shingles
+  FROM {table}
+),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+kept AS (
+  SELECT ex.doc_id, ex.shingle
+  FROM ex
+  WHERE ex.shingle NOT IN (
+    SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > {df_cut})
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common::DOUBLE / (sa.sz + sb.sz - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common::DOUBLE / (sa.sz + sb.sz - i.n_common) >= {threshold}
 """
 
 

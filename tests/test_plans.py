@@ -55,12 +55,17 @@ def test_cosine_near_dups_bucketed_no_cartesian(spark):
 
 
 def test_jaccard_df_cut_filter_in_plan(spark):
-    """Default df-cut materializes as a posting-list size filter (free —
-    no extra counting pass, no anti-join, no cartesian)."""
+    """Default df-cut runs as a count-per-shingle pass whose hot survivors
+    anti-join the shingle stream BEFORE the posting-list aggregation, so a
+    hot shingle never materializes its doc list in an aggregation buffer."""
     from ksoup_spark.operators import dedup
     docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
     plan = _plan(dedup.jaccard_pairs(docs, n=3, threshold=0.2))
-    assert "1000" in plan and "size(docs" in plan
+    assert "1000" in plan and "LeftAnti" in plan
+    # the anti-join (hot-shingle cut) must sit UPSTREAM of the posting-list
+    # collect_list aggregate in the plan text (executed plans print
+    # downstream operators first)
+    assert plan.index("collect_list") < plan.index("LeftAnti")
     assert "CartesianProduct" not in plan
 
 

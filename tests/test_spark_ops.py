@@ -406,3 +406,75 @@ def test_repetition_metrics(spark):
     assert rows[1].dup_ngram_frac > 0.5       # "a b"/"b a" repeat
     assert rows[2].dup_ngram_frac == 0.0      # all bigrams distinct
     assert rows[2].top_ngram_frac == 0.2      # 1 of 5 bigrams
+
+
+def test_jaccard_hot_shingle_cut_matches_oracle(spark):
+    """A shingle with df >> df_cut must be excluded from intersections
+    without ever building its posting list, and the Spark result must
+    equal the df-cut-mirrored SQL oracle (denominators stay pre-cut)."""
+    import duckdb
+    import pandas as pd
+
+    from ksoup_spark.operators import dedup
+
+    banner = "hot stop words"  # one 3-gram shingle present in EVERY doc
+    rows = [
+        (f"d{i}", f"{banner} unique{i} token{i} filler{i} extra{i}")
+        for i in range(8)
+    ] + [
+        ("p1", f"{banner} alpha beta gamma delta"),
+        ("p2", f"{banner} alpha beta gamma epsilon"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        dedup.jaccard_pairs(df, n=3, threshold=0.3, df_cut=3)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        dedup.jaccard_pairs_sql("documents", n=3, threshold=0.3, df_cut=3)
+        + " ORDER BY doc_a, doc_b"
+    ).df()
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    assert got["jaccard"].tolist() == pytest.approx(want["jaccard"].tolist())
+    # the planted near-pair must survive on its non-hot shingles
+    assert ("p1", "p2") in set(zip(got["doc_a"], got["doc_b"]))
+    # and the hot-shingle report names the dropped shingle
+    hot = dedup.jaccard_hot_shingles(df, n=3, df_cut=3).collect()
+    assert len(hot) >= 1 and all(r["df"] > 3 for r in hot)
+
+
+def test_jaccard_uncut_matches_uncut_oracle(spark):
+    """df_cut=None reproduces the original all-pairs semantics."""
+    import duckdb
+    import pandas as pd
+
+    from ksoup_spark.operators import dedup
+
+    pdf = pd.DataFrame(
+        [
+            ("a", "one two three four five six"),
+            ("b", "one two three four five seven"),
+            ("c", "totally different words here now"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        dedup.jaccard_pairs(df, n=3, threshold=0.2, df_cut=None)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        dedup.jaccard_pairs_sql("documents", n=3, threshold=0.2, df_cut=None)
+        + " ORDER BY doc_a, doc_b"
+    ).df()
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["jaccard"].tolist() == pytest.approx(want["jaccard"].tolist())
