@@ -71,6 +71,14 @@ def run_extraction_pipeline(
     Each batch of partitions is one atomic unit: spans written (partitioned
     by `part`), then the metrics rows appended. Killing the job between
     batches loses at most the in-flight batch, which the next run redoes.
+
+    Idempotence across mid-batch crashes: the spans write uses DYNAMIC
+    partition overwrite — a redone partition REPLACES its own directory
+    instead of appending next to the orphaned files a crashed run left
+    behind (crash after the spans write but before the metrics append).
+    The metrics append stays the commit record: a partition is "done" only
+    once its metrics row exists, and rerunning a half-written partition is
+    safe because the rewrite is a replace.
     """
     run_id = uuid.uuid4().hex[:12]
     docs = with_part(docs.select("doc_id", "spans"), num_parts)
@@ -91,7 +99,13 @@ def run_extraction_pipeline(
         spans = spans.withColumn(
             "part", F.pmod(F.xxhash64("doc_id"), F.lit(num_parts)).cast("long")
         )
-        spans.write.mode("append").partitionBy("part").parquet(out_path)
+        overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(overwrite_key, "static")
+        spark.conf.set(overwrite_key, "dynamic")
+        try:
+            spans.write.mode("overwrite").partitionBy("part").parquet(out_path)
+        finally:
+            spark.conf.set(overwrite_key, prev_mode)
         wall = time.time() - t0
         # metrics from the files just written, NOT from `spans`: re-using the
         # lazy `spans` plan here would re-execute the extraction kernel a
@@ -100,7 +114,9 @@ def run_extraction_pipeline(
         # only cheap columnar scans.
         written = spark.read.parquet(out_path).filter(F.col("part").isin(batch))
         stats = (
-            written.groupBy("part")
+            # partition-dir inference types `part` as int32; cast so the
+            # metrics files actually match METRICS_SCHEMA's long
+            written.groupBy(F.col("part").cast("long").alias("part"))
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.size("spans")).alias("n_spans"),

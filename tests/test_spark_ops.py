@@ -478,3 +478,35 @@ def test_jaccard_uncut_matches_uncut_oracle(spark):
     ).df()
     assert got["doc_a"].tolist() == want["doc_a"].tolist()
     assert got["jaccard"].tolist() == pytest.approx(want["jaccard"].tolist())
+
+
+def test_pipeline_idempotent_after_midbatch_crash(spark, tmp_path):
+    """Crash between the spans write and the metrics append must not
+    duplicate rows on rerun: the redone partition REPLACES its directory
+    (dynamic partition overwrite), with metrics as the commit record."""
+    docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans").limit(80)
+    out = str(tmp_path / "spans")
+    metrics = str(tmp_path / "metrics")
+    pipeline.run_extraction_pipeline(
+        spark, docs, out, metrics, num_parts=4, parts_per_batch=4)
+    total = spark.read.parquet(out).count()
+    assert total == docs.count()
+
+    # Simulate the crash state: partition 1's span files exist but its
+    # metrics row does not (kill landed between the two writes).
+    m = spark.read.parquet(metrics).filter(F.col("part") != 1).collect()
+    import shutil
+    shutil.rmtree(metrics)
+    spark.createDataFrame(m, pipeline.METRICS_SCHEMA) \
+        .write.mode("overwrite").parquet(metrics)
+    spark.catalog.refreshByPath(metrics)  # drop stale file-listing cache
+
+    r = pipeline.run_extraction_pipeline(
+        spark, docs, out, metrics, num_parts=4, parts_per_batch=4)
+    assert r["processed_parts"] == [1]  # only the uncommitted partition redone
+    got = spark.read.parquet(out)
+    assert got.count() == total  # no appended duplicates
+    assert got.select("doc_id").distinct().count() == total
+    m2 = spark.read.parquet(metrics)
+    assert m2.select("part").distinct().count() == 4
+    assert m2.agg(F.sum("n_docs")).first()[0] == total
