@@ -34,17 +34,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _word_grams(words_col, n: int):
+    """Word n-gram array built from an ATTRIBUTE column, never an inline
+    split(...): an expression referenced inside a higher-order lambda is
+    re-evaluated per element, so slice(split(text), ...) inside transform
+    makes gram construction O(L²) in document length. Callers must project
+    the split into a real column first (see shingles/passages)."""
+    k = F.size(words_col) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words_col, i + 1, n), " "),
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document (md5-hashed)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    wdf = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+    sh = _word_grams(F.col("_w"), n)
+    return wdf.select(
+        "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     ).select("doc_id", F.md5("shingle").alias("shingle"))
 
@@ -127,16 +137,23 @@ def passages(df: DataFrame, size: int = 8, text_col: str = "text",
     """Non-overlapping word chunks ("passages") per document, with their
     in-doc index and md5 — the unit of CCNet-style cross-corpus passage
     dedup. One row per passage (exploded)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.ceil(F.size(words) / size).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    wdf = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+    chunks = _passage_chunks(F.col("_w"), size)
+    return wdf.select(
+        "doc_id",
         F.posexplode(chunks).alias("passage_idx", "passage"),
     ).select("doc_id", "passage_idx", F.md5("passage").alias("passage_md5"))
+
+
+def _passage_chunks(words_col, size: int):
+    """Non-overlapping chunk array from an ATTRIBUTE column (see
+    _word_grams for why an inline split here would be O(L²))."""
+    k = F.ceil(F.size(words_col) / size).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words_col, i * size + 1, size), " "),
+    )
 
 
 def passage_dedup(df: DataFrame, size: int = 8, max_df: int = 1,
@@ -164,13 +181,10 @@ def passage_dedup(df: DataFrame, size: int = 8, max_df: int = 1,
     )
     flagged = p.join(F.broadcast(dup.withColumn("is_dup", F.lit(True))),
                      "passage_md5", "left")
-    words = F.split(F.col(text_col), " ")
-    k = F.ceil(F.size(words) / size).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
-    )
-    texts = df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+    texts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).select("doc_id", _passage_chunks(F.col("_w"), size).alias("chunks"))
     agg = (
         flagged.groupBy("doc_id")
         .agg(
@@ -464,14 +478,11 @@ def minhash_signatures_md5(df: DataFrame, num_hashes: int = 8,
 def shingles_raw(df: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Distinct raw word n-gram shingles per document (not hashed)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    wdf = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+    sh = _word_grams(F.col("_w"), n)
+    return wdf.select(
+        "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 

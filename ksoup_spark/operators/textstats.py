@@ -248,8 +248,12 @@ def repetition(df: DataFrame, n: int = 2) -> DataFrame:
     fraction of duplicate word n-grams, and the fraction of words covered
     by the single most frequent n-gram. Computed per-row with higher-order
     array expressions — no explode, no shuffle (same scale posture as
-    simhash): the n-gram counts fold inside one projection."""
-    w = _words()
+    simhash): the n-gram counts fold inside one projection. The words
+    array is projected to a real column first: an inline split referenced
+    inside the transform lambda re-evaluates per element (O(L²) per row on
+    long documents)."""
+    df = df.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
     k = F.size(w) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
@@ -257,13 +261,27 @@ def repetition(df: DataFrame, n: int = 2) -> DataFrame:
     )
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
-    # occurrences of the most frequent gram: max over distinct grams of
-    # count-in-list (O(d*g) per row — bounded by doc length, still no shuffle)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # occurrences of the most frequent gram: sort the grams and fold the
+    # longest equal run — O(L log L) per row (a 100k-word document is fine
+    # in one task), still no shuffle. The run counter starts at 0 so the
+    # empty-string init sentinel cannot inflate the first element's run.
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return df.select(
         "doc_id",

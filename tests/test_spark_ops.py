@@ -510,3 +510,44 @@ def test_pipeline_idempotent_after_midbatch_crash(spark, tmp_path):
     m2 = spark.read.parquet(metrics)
     assert m2.select("part").distinct().count() == 4
     assert m2.agg(F.sum("n_docs")).first()[0] == total
+
+
+def test_repetition_linear_on_long_doc(spark):
+    """Regression: top-gram counting was O(distinct x grams) per row — a
+    CPU bomb on 100k-word documents. The sorted run-length fold must
+    handle one in bounded time with unchanged values."""
+    import time
+
+    from ksoup_spark.operators import textstats
+
+    words = [f"w{i % 50}" for i in range(100_000)] + ["rep", "rep", "rep"]
+    df = spark.createDataFrame([("big", " ".join(words))],
+                               "doc_id string, text string")
+    t0 = time.perf_counter()
+    row = textstats.repetition(df, n=2).first()
+    assert time.perf_counter() - t0 < 60
+    assert row["n_ngrams"] == 100_002
+    # "w49 w0"-style bigrams repeat ~2000x; value sanity vs a python count
+    from collections import Counter
+    grams = [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+    c = Counter(grams)
+    assert row["top_ngram_frac"] == round(max(c.values()) / len(grams), 4)
+
+
+def test_shingles_and_passages_linear_on_long_doc(spark):
+    """Regression: split() referenced inside a higher-order lambda is
+    re-evaluated per element, making gram/chunk construction O(L²) per
+    row. The projected-words forms must handle a 100k-word doc quickly."""
+    import time
+
+    from ksoup_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(100_000)]
+    df = spark.createDataFrame([("big", " ".join(words))],
+                               "doc_id string, text string")
+    t0 = time.perf_counter()
+    assert dedup.shingles(df, n=3).count() == 99_998
+    assert time.perf_counter() - t0 < 60
+    t0 = time.perf_counter()
+    assert dedup.passages(df, size=8).count() == 12_500
+    assert time.perf_counter() - t0 < 60
