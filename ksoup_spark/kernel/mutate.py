@@ -396,15 +396,18 @@ def insert_children(doc: Doc, el: int, index: int, children: list[int]) -> None:
     el's child NODES; index -1 appends (jsoup semantics)."""
     for c in children:
         _check_no_cycle(doc, el, c)
-    # detach before resolving/validating the index: a child already earlier
-    # in el's own list would shift positions under us (stale-index class)
+    # validate against the POST-detach length BEFORE mutating anything, so
+    # an out-of-range index leaves the tree untouched (atomicity); a child
+    # already in el's own list shifts positions once detached, hence the
+    # adjusted length rather than validating after the detach
+    post_len = len(doc.children[el]) - sum(
+        1 for c in children if doc.parent[c] == el)
+    if index < 0:
+        index = post_len + index + 1
+    if not 0 <= index <= post_len:
+        raise ValueError(f"insert position {index} out of range")
     for c in children:
         doc.detach(c)
-    kids = doc.children[el]
-    if index < 0:
-        index = len(kids) + index + 1
-    if not 0 <= index <= len(kids):
-        raise ValueError(f"insert position {index} out of range")
     for off, c in enumerate(children):
         doc.children[el].insert(index + off, c)
         doc.parent[c] = el

@@ -201,6 +201,7 @@ def _parse_content(stream: bytes, strict: bool) -> list[dict]:
     blk: _Block | None = None
     pending_newline = False
     cm = (1.0, 1.0, 0.0, 0.0)  # a, d, e, f of the active transform
+    gs_stack: list[tuple[float, float, float, float]] = []  # q/Q saves
 
     def show(s: str) -> None:
         nonlocal blk, pending_newline
@@ -327,10 +328,19 @@ def _parse_content(stream: bytes, strict: bool) -> list[dict]:
                 s = "".join(x for x in stack if isinstance(x, str)
                             and not x.startswith("/"))
                 show(s)
+            elif op == b"q":
+                gs_stack.append(cm)
+            elif op == b"Q":
+                cm = gs_stack.pop() if gs_stack else (1.0, 1.0, 0.0, 0.0)
             elif op == b"cm":
+                # compose with the current transform (CTM' = M · CTM), so
+                # 'q ... cm ... Do Q' does not leak its transform into a
+                # later Do; only scale+translate terms are modeled
                 if len(stack) >= 6:
-                    cm = (float(stack[-6]), float(stack[-3]),
-                          float(stack[-2]), float(stack[-1]))
+                    ma, md = float(stack[-6]), float(stack[-3])
+                    me, mf = float(stack[-2]), float(stack[-1])
+                    cm = (ma * cm[0], md * cm[1],
+                          me * cm[0] + cm[2], mf * cm[1] + cm[3])
             elif op == b"Do":
                 a, d, e, f = cm
                 blocks.append({

@@ -291,3 +291,35 @@ def test_insert_children_with_existing_earlier_child():
     first = d.children[ol][0]
     M.insert_children(d, ol, 2, [first])
     assert [element_text(d, c) for c in d.children[ol]] == ["b", "c", "a"]
+
+
+def test_insert_children_invalid_index_is_atomic():
+    # Regression: an out-of-range index used to raise AFTER detaching the
+    # children, leaving them orphaned. The operation must be atomic.
+    import pytest
+
+    from ksoup_spark.kernel import mutate, selector as sel
+    from ksoup_spark.kernel.treebuilder import parse
+
+    d = parse("<div id=a><p>one</p></div><div id=b><span>s</span></div>")
+    [a] = sel.select(d, "#a")
+    [span] = sel.select(d, "span")
+    [b] = sel.select(d, "#b")
+    with pytest.raises(ValueError):
+        mutate.insert_children(d, a, 99, [span])
+    # span must still be attached to its original parent
+    assert d.parent[span] == b
+    assert span in d.children[b]
+
+
+def test_insert_children_index_accounts_for_own_children():
+    # moving el's own child to the end: index len-1 post-detach is valid
+    from ksoup_spark.kernel import mutate, selector as sel
+    from ksoup_spark.kernel.serialize import inner_html
+    from ksoup_spark.kernel.treebuilder import parse
+
+    d = parse("<div id=a><p>one</p><p>two</p><p>three</p></div>")
+    [a] = sel.select(d, "#a")
+    first = d.children[a][0]
+    mutate.insert_children(d, a, 2, [first])
+    assert inner_html(d, a) == "<p>two</p><p>three</p><p>one</p>"

@@ -117,3 +117,34 @@ def test_roundtrip_zlib_sanity():
     assert zlib.decompress(
         pdf.split(b"stream\n", 1)[1].split(b"\nendstream")[0]
     ).startswith(b"BT")
+
+
+def test_cm_does_not_leak_past_q_restore():
+    # q a b c d e f cm /Im0 Do Q followed by a second Do without its own
+    # cm: the second image must get the identity transform, not the first
+    # image's (graphics-state save/restore; composition inside q..Q).
+    raw = (b"%PDF-1.4\n1 0 obj <</Length 99>> stream\n"
+           b"q 100 0 0 50 30 40 cm /Im0 Do Q /Im1 Do\nendstream endobj")
+    b1, b2 = parse_pdf_layout(raw, strict=True)
+    assert (b1["x0"], b1["y0"], b1["x1"], b1["y1"]) == (30.0, 40.0, 130.0, 90.0)
+    assert (b2["x0"], b2["y0"], b2["x1"], b2["y1"]) == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_successive_cm_compose():
+    # two cm in sequence compose (CTM' = M . CTM): translate then scale
+    raw = (b"%PDF-1.4\n1 0 obj <</Length 99>> stream\n"
+           b"q 2 0 0 2 10 20 cm 50 0 0 25 5 5 cm /Im0 Do Q\n"
+           b"endstream endobj")
+    [b] = parse_pdf_layout(raw, strict=True)
+    # inner cm maps unit square to [5,55]x[5,30]; outer doubles + offsets
+    assert (b["x0"], b["y0"]) == (2 * 5 + 10, 2 * 5 + 20)
+    assert (b["x1"], b["y1"]) == (2 * 55 + 10, 2 * 30 + 20)
+
+
+def test_nested_q_restore_depth():
+    raw = (b"%PDF-1.4\n1 0 obj <</Length 99>> stream\n"
+           b"q 2 0 0 2 0 0 cm q 3 0 0 3 1 1 cm Q /Im0 Do Q\n"
+           b"endstream endobj")
+    [b] = parse_pdf_layout(raw, strict=True)
+    # inner q/Q popped: only the outer 2x scale applies
+    assert (b["x0"], b["y0"], b["x1"], b["y1"]) == (0.0, 0.0, 2.0, 2.0)
