@@ -601,11 +601,63 @@ def q_ann_lsh_recall(spark, sf_dir):
                                  query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def _aug_emb(spark, sf_dir):
+    """Embeddings table augmented with deterministic planted near-dup
+    twins (vec_id+1e6, first component +0.01, all math in double) so the
+    bucketed near-dup path is value-verified against POSITIVE pairs — the
+    raw test corpus has none above 0.8, which made the oracle vacuous."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+_AUG_EMB_SQL = """
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.01
+                                          ELSE x END) AS v
+  FROM base WHERE vec_id < 3
+)"""
+
+
 def q_cosine_near_dups(spark, sf_dir):
     """Bucketed plan (LSH candidates + exact verify, no cartesian) checked
-    against the all-pairs SQL oracle."""
-    return similarity.cosine_near_dups(_emb(spark, sf_dir), threshold=0.8,
+    against the all-pairs SQL oracle, on the twin-augmented corpus so the
+    result is non-empty (the buckets must actually FIND the planted pairs)."""
+    return similarity.cosine_near_dups(_aug_emb(spark, sf_dir), threshold=0.8,
                                        dim=EMB_DIM)
+
+
+def q_cosine_near_dup_recall(spark, sf_dir):
+    """Recall of the bucketed candidate path vs the exact all-pairs twin on
+    the augmented corpus. The SQL oracle emits recall = 1.0 by construction,
+    so this row FAILS loudly if the LSH seeds ever miss a true pair on the
+    test corpus (the guard the deterministic-hyperplane design relies on)."""
+    aug = _aug_emb(spark, sf_dir)
+    exact = similarity.cosine_near_dups(aug, threshold=0.8, dim=None) \
+        .select("id_a", "id_b")
+    bucketed = similarity.cosine_near_dups(aug, threshold=0.8, dim=EMB_DIM) \
+        .select("id_a", "id_b")
+    found = exact.join(bucketed, ["id_a", "id_b"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        "n_true", "n_found",
+        F.round(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -654,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_near_dups": q_cosine_near_dups,
+        "cosine_near_dup_recall": q_cosine_near_dup_recall,
     }
 
 
@@ -894,10 +947,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": similarity.lsh_ann_sql(EMB_DIM, [0, 1, 2, 3, 4], k=3),
         "ann_lsh_recall": similarity.lsh_recall_sql(EMB_DIM, [0, 1, 2, 3, 4],
                                                     k=3),
-        "cosine_near_dups": """
+        "cosine_near_dups": f"""
+            WITH {_AUG_EMB_SQL}
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+        """,
+        "cosine_near_dup_recall": f"""
+            WITH {_AUG_EMB_SQL},
+            truth AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+            )
+            -- asserts FULL recall: the Spark side measures the bucketed
+            -- path against the exact twin; any LSH miss mismatches here
+            SELECT count(*) AS n_true, count(*) AS n_found,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM truth
         """,
     }
