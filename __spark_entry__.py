@@ -432,6 +432,32 @@ def q_src_positions(spark, sf_dir):
     )
 
 
+def q_src_ranges(spark, sf_dir):
+    """Full Range semantics (nodes/Range.kt): start+end offsets of opening
+    AND closing constructs, line/col, and attribute name/value spans —
+    explicit close (</p>), implicit close (unclosed <i> at EOF), and an
+    attribute range, all offset by the document text so the oracle computes
+    them exactly in SQL."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(F.col("text"), F.lit("\n<p id=zz>x</p>\n<i>y"))
+    pr = H.html_src_ranges(html, "p")
+    ir = H.html_src_ranges(html, "i")
+    ar = H.html_attr_src_range(html, "p", "id")
+    return d.select(
+        "doc_id",
+        F.element_at(pr, 1).alias("p_start"),
+        F.element_at(pr, 2).alias("p_end"),
+        F.element_at(pr, 3).alias("p_close_start"),
+        F.element_at(pr, 4).alias("p_close_end"),
+        F.element_at(pr, 5).alias("p_line"),
+        F.element_at(pr, 6).alias("p_col"),
+        F.element_at(ir, 3).alias("i_close_start"),
+        F.element_at(ir, 4).alias("i_close_end"),
+        F.element_at(ar, 1).alias("id_name_start"),
+        F.element_at(ar, 4).alias("id_val_end"),
+    )
+
+
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
     query itself — only the parse kernel that builds the table)."""
@@ -682,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout": q_pdf_layout,
         "parse_errors": q_parse_errors,
         "src_positions": q_src_positions,
+        "src_ranges": q_src_ranges,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "nodequery_compiled": q_nodequery_compiled,
@@ -873,6 +900,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS INT) AS p_pos,
                    CAST(length(text) + 8 AS INT) AS i_pos
+            FROM documents
+        """,
+        "src_ranges": """
+            -- html = text || LF || '<p id=zz>x</p>' || LF || '<i>y'
+            -- p start tag spans [L+1, L+10), </p> spans [L+11, L+15);
+            -- p sits on line 2 col 1 (the injected newline at L);
+            -- <i> is never closed so its end range is implicit at EOF
+            -- (n = L+20); attr id: name [L+4, L+6), value [L+7, L+9)
+            SELECT doc_id,
+                   CAST(length(text) + 1 AS INT)  AS p_start,
+                   CAST(length(text) + 10 AS INT) AS p_end,
+                   CAST(length(text) + 11 AS INT) AS p_close_start,
+                   CAST(length(text) + 15 AS INT) AS p_close_end,
+                   2 AS p_line,
+                   1 AS p_col,
+                   CAST(length(text) + 20 AS INT) AS i_close_start,
+                   CAST(length(text) + 20 AS INT) AS i_close_end,
+                   CAST(length(text) + 4 AS INT)  AS id_name_start,
+                   CAST(length(text) + 9 AS INT)  AS id_val_end
             FROM documents
         """,
         "parse_errors": """

@@ -426,3 +426,50 @@ def html_src_positions(col: Column | str, css: str) -> Column:
         return pd.Series(out)
 
     return _f(col)
+
+
+def html_src_ranges(col: Column | str, css: str) -> Column:
+    """Full Range semantics for the FIRST element matching `css`:
+    [start, end, close_start, close_end, line, col] — source offsets of the
+    opening and closing constructs plus the 1-based line/column of the
+    start (nodes/Range.kt, TreeBuilder.kt:295-333). Empty array when no
+    match. Scalar-extractable with element_at for oracle checking."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "", track_positions=True)
+            m = sel.select_first(d, q)
+            if m is None or m < 0:
+                out.append([])
+                continue
+            r = dom.source_range(d, m) or (-1, -1)
+            e = dom.end_source_range(d, m) or (-1, -1)
+            ln, c = dom.line_col(d, r[0])
+            out.append([r[0], r[1], e[0], e[1], ln, c])
+        return pd.Series(out)
+
+    return _f(col)
+
+
+def html_attr_src_range(col: Column | str, css: str, attr: str) -> Column:
+    """AttributeRange for `attr` on the first element matching `css`:
+    [name_start, name_end, val_start, val_end] (Range.AttributeRange);
+    empty array when no match / untracked attribute."""
+    sel.parse_query(css)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "", track_positions=True)
+            m = sel.select_first(d, q)
+            ar = None if m is None or m < 0 else dom.attr_source_range(d, m, attr)
+            out.append(list(ar) if ar else [])
+        return pd.Series(out)
+
+    return _f(col)

@@ -52,6 +52,7 @@ class Doc:
         "kind", "tag", "attrs", "text", "parent", "children", "ns",
         "base_uri", "quirks", "errors", "pseudo", "self_closing",
         "parse_errors", "tag_display", "src_pos",
+        "src_range", "src_end_range", "attr_src", "src_text", "_nl_index",
     )
 
     def __init__(self) -> None:
@@ -74,6 +75,16 @@ class Doc:
         self.tag_display: dict[int, str] | None = None
         # Parser.setTrackPosition: {nid: source start offset} when enabled
         self.src_pos: dict[int, int] | None = None
+        # Full Range semantics (nodes/Range.kt): per-node (start, end)
+        # offsets of the opening construct, per-element (start, end) of the
+        # closing construct, and per-element {attr key: (name_start,
+        # name_end, val_start, val_end)}. src_text retains the source for
+        # line/column derivation (1-based, via the lazy newline index).
+        self.src_range: dict[int, tuple[int, int]] | None = None
+        self.src_end_range: dict[int, tuple[int, int]] | None = None
+        self.attr_src: dict[int, dict] | None = None
+        self.src_text: str | None = None
+        self._nl_index: list[int] | None = None
         # ids of PseudoTextElements created by :matchText (nodes/
         # PseudoTextElement.kt); None until prepare_match_text runs
         self.pseudo: set[int] | None = None
@@ -368,3 +379,64 @@ def form_value(doc: "Doc", node: int) -> str:
     if doc.tag[node] == "textarea":
         return element_text(doc, node)
     return doc.get_attr(node, "value") or ""
+
+
+# -- source positions (nodes/Range.kt) ---------------------------------------
+
+def line_col(doc: "Doc", pos: int) -> tuple[int, int]:
+    """1-based (line, column) of a 0-based source offset, derived lazily
+    from a newline index over doc.src_text (CharacterReader.trackNewlines)."""
+    import bisect
+
+    if doc.src_text is None or pos < 0:
+        return (-1, -1)
+    if doc._nl_index is None:
+        idx = []
+        s = doc.src_text
+        i = s.find("\n")
+        while i != -1:
+            idx.append(i)
+            i = s.find("\n", i + 1)
+        doc._nl_index = idx
+    nl = doc._nl_index
+    line = bisect.bisect_right(nl, pos - 1)
+    line_start = 0 if line == 0 else nl[line - 1] + 1
+    return (line + 1, pos - line_start + 1)
+
+
+def position_str(doc: "Doc", pos: int) -> str:
+    """Range.Position.toString: "line,column:pos"."""
+    ln, col = line_col(doc, pos)
+    return f"{ln},{col}:{pos}"
+
+
+def range_str(doc: "Doc", rng: tuple[int, int] | None) -> str:
+    """Range.toString: "line,column:pos-line,column:pos" ("-1,-1:-1-..."
+    when untracked, matching the reference's Untracked sentinel)."""
+    if rng is None:
+        rng = (-1, -1)
+    return f"{position_str(doc, rng[0])}-{position_str(doc, rng[1])}"
+
+
+def source_range(doc: "Doc", node: int) -> tuple[int, int] | None:
+    """Node.sourceRange() as (start, end) offsets; None if untracked."""
+    return None if doc.src_range is None else doc.src_range.get(node)
+
+
+def end_source_range(doc: "Doc", node: int) -> tuple[int, int] | None:
+    """Element.endSourceRange() as (start, end); None if untracked."""
+    return None if doc.src_end_range is None else doc.src_end_range.get(node)
+
+
+def attr_source_range(doc: "Doc", node: int, key: str):
+    """Attributes.sourceRange(key) as (name_start, name_end, val_start,
+    val_end); None if untracked (Range.AttributeRange)."""
+    if doc.attr_src is None:
+        return None
+    per = doc.attr_src.get(node)
+    return None if per is None else per.get(key)
+
+
+def range_is_implicit(rng: tuple[int, int] | None) -> bool:
+    """Range.isImplicit: tracked and start == end."""
+    return rng is not None and rng[0] == rng[1]

@@ -71,7 +71,8 @@ def _push_attr(attrs: list, aname: str, val) -> None:
 class Tokenizer:
     __slots__ = ("s", "_low", "n", "p", "state", "rawtext_tag", "pending",
                  "has_null", "next_amp", "errors", "_cref", "tok_start",
-                 "pending_start")
+                 "pending_start", "tok_end", "pending_end", "markup_start",
+                 "track", "last_attr_pos")
 
     @property
     def low(self) -> str:
@@ -104,6 +105,19 @@ class Tokenizer:
         # start). Consumed by the tree builder's position tracking.
         self.tok_start = 0
         self.pending_start = 0
+        # token END offsets (Token.endPos analogue) + the reference's
+        # markupStartPos semantics: updated only when a '<' opens markup in
+        # the data state, so rcdata/rawtext end tags inherit the OPENING
+        # tag's start (Tokeniser.kt:140 — the quirk behind the reference's
+        # "title end range starts at the start tag" fixtures)
+        self.tok_end = 0
+        self.pending_end = 0
+        self.markup_start = 0
+        # position tracking (Parser.setTrackPosition): when True, _tag
+        # records per-attribute name/value source spans in last_attr_pos
+        # (aligned with the token's attrs list); zero cost when False
+        self.track = False
+        self.last_attr_pos: list | None = None
 
     def _perr(self, pos: int, msg: str) -> None:
         el = self.errors
@@ -115,9 +129,11 @@ class Tokenizer:
     def next_token(self):
         if self.pending:
             self.tok_start = self.pending_start
+            self.tok_end = self.pending_end
             return self.pending.pop()
         self.tok_start = self.p
         if self.p >= self.n:
+            self.tok_end = self.n
             return ("eof",)
         st = self.state
         if st == DATA:
@@ -160,22 +176,27 @@ class Tokenizer:
             buf.append(s[p:lt])
             self.p = lt
             self.pending_start = lt
+            self.markup_start = lt
             toks = self._markup()
             if toks is None:  # literal '<'
                 buf.append("<")
                 p = self.p
                 continue
+            self.pending_end = self.p
             text = "".join(buf)
             self.pending.extend(reversed(toks))
             if text:
+                self.tok_end = lt
                 return ("text", text)
             if self.pending:
                 self.tok_start = self.pending_start
+                self.tok_end = self.pending_end
                 return self.pending.pop()
             p = self.p  # dropped token (e.g. '</>'); keep scanning
             buf = []
             continue
         self.p = p
+        self.tok_end = p
         text = "".join(buf)
         if text:
             return ("text", text)
@@ -243,6 +264,10 @@ class Tokenizer:
         Returns ("start", name, attrs, selfclosing) or None at EOF-in-tag.
         """
         s, n = self.s, self.n
+        track = self.track
+        apos: list | None = [] if track else None
+        if track:
+            self.last_attr_pos = apos
         m = _TAG_NAME.match(s, p)
         p = m.end()
         # fast path: plain <name> with no attributes (the common case)
@@ -266,8 +291,15 @@ class Tokenizer:
             if m:
                 if len(attrs) < MAX_ATTRS:
                     v = m.group(2)
+                    before = len(attrs)
                     _push_attr(attrs, m.group(1),
                                v if v is not None else m.group(3))
+                    if track and len(attrs) > before:
+                        g = 2 if v is not None else 3
+                        vs, ve = m.start(g), m.end(g)
+                        if vs == ve:  # empty value: implicit at name end
+                            vs = ve = m.end(1)
+                        apos.append((m.start(1), m.end(1), vs, ve))
                 p = m.end()
                 continue
             if p >= n:
@@ -302,6 +334,7 @@ class Tokenizer:
                 p += 1  # stray '/': error, skip
                 continue
             # attribute name
+            a_start = p
             if c == "=":
                 aname = "="
                 p += 1
@@ -325,6 +358,7 @@ class Tokenizer:
                 if not aname:
                     p += 1  # stray '<' handled above; defensive skip
                     continue
+            a_end = p
             # after attribute name
             while p < n and s[p] in _WS:
                 p += 1
@@ -336,9 +370,14 @@ class Tokenizer:
                     # EOF in before-attribute-value: the reference emits the
                     # pending tag here (TokeniserState.kt:795-799), unlike
                     # other in-tag EOF states which drop it
+                    before = len(attrs)
                     _push_attr(attrs, aname, "")
+                    if track and len(attrs) > before:
+                        apos.append((a_start, a_end, a_end, a_end))
                     self.p = n
                     return ("start", name, attrs, selfclosing)
+                v_start = p
+                quoted = s[p] in "\"'"
                 val, p2 = self._attr_value(p)
                 if p2 is None:
                     if self.errors is not None:
@@ -353,9 +392,21 @@ class Tokenizer:
                     self.p = n
                     return None
                 p = p2
+                before = len(attrs)
                 _push_attr(attrs, aname, val)
+                if track and len(attrs) > before:
+                    if not val:  # empty value: implicit at name end
+                        vs = ve = a_end
+                    elif quoted:
+                        vs, ve = v_start + 1, p2 - 1
+                    else:
+                        vs, ve = v_start, p2
+                    apos.append((a_start, a_end, vs, ve))
             else:
+                before = len(attrs)
                 _push_attr(attrs, aname, None)  # boolean attribute
+                if track and len(attrs) > before:
+                    apos.append((a_start, a_end, a_end, a_end))
 
     def _attr_value(self, p: int):
         """Parse an attribute value at p. Returns (value, next_p) — next_p None at EOF."""
@@ -591,13 +642,16 @@ class Tokenizer:
                             self.p = j
                             self.state = DATA
                             return self._emit_raw_text(
-                                text, decode_refs, [("end", tag)]
+                                text, decode_refs, [("end", tag)],
+                                text_end=j, tail_start=j, tail_end=j
                             )
                         j += 1
                 text = s[p:]
                 self.p = n
                 self.state = DATA
-                return self._emit_raw_text(text, decode_refs, [("eof",)])
+                return self._emit_raw_text(text, decode_refs, [("eof",)],
+                                           text_end=n, tail_start=n,
+                                           tail_end=n)
             after = idx + len(needle)
             if after < n and (s[after] in _WS or s[after] in "/>"):
                 text = s[p:idx]
@@ -605,19 +659,35 @@ class Tokenizer:
                 # consume the rest of the end tag (attrs ignored)
                 self._skip_to_tag_close()
                 self.state = DATA
-                return self._emit_raw_text(text, decode_refs, [("end", tag)])
+                # end tag's start inherits markup_start (the OPENING tag's
+                # '<'): rcdata end tags never pass through TagOpen, so the
+                # reference never refreshes markupStartPos for them
+                return self._emit_raw_text(text, decode_refs, [("end", tag)],
+                                           text_end=idx,
+                                           tail_start=self.markup_start,
+                                           tail_end=self.p)
             if after >= n:
                 text = s[p:]
                 self.p = n
                 self.state = DATA
-                return self._emit_raw_text(text, decode_refs, [("eof",)])
+                return self._emit_raw_text(text, decode_refs, [("eof",)],
+                                           text_end=n, tail_start=n,
+                                           tail_end=n)
             search = idx + 2
 
     def _skip_to_tag_close(self):
         gt = self.s.find(">", self.p)
         self.p = self.n if gt == -1 else gt + 1
 
-    def _emit_raw_text(self, text: str, decode_refs: bool, tail_tokens: list):
+    def _emit_raw_text(self, text: str, decode_refs: bool, tail_tokens: list,
+                       text_end: int | None = None,
+                       tail_start: int | None = None,
+                       tail_end: int | None = None):
+        """Emit raw text followed by pending tail tokens, carrying source
+        ranges: text spans [tok_start, text_end); the tail (an end tag or
+        EOF) spans [tail_start, tail_end). Defaults collapse to the cursor
+        for callers that don't care (tail ranges then match the reference's
+        markupStartPos inheritance only when passed explicitly)."""
         if self.has_null and "\x00" in text:
             text = text.replace("\x00", "�")
         if decode_refs and "&" in text:
@@ -637,11 +707,14 @@ class Tokenizer:
                     out.append(res[0])
                     i = res[1]
             text = "".join(out)
-        self.pending_start = self.p
+        self.pending_start = self.p if tail_start is None else tail_start
+        self.pending_end = self.p if tail_end is None else tail_end
         self.pending.extend(reversed(tail_tokens))
         if text:
+            self.tok_end = self.p if text_end is None else text_end
             return ("text", text)
         self.tok_start = self.pending_start
+        self.tok_end = self.pending_end
         return self.pending.pop()
 
     # -- script data (with <!-- escape / double-escape handling) -------------
@@ -716,7 +789,8 @@ class Tokenizer:
         text = s[p:]
         self.p = n
         self.state = DATA
-        return self._emit_raw_text(text, False, [("eof",)])
+        return self._emit_raw_text(text, False, [("eof",)],
+                                   text_end=n, tail_start=n, tail_end=n)
 
     def _valid_tag_boundary(self, after: int) -> bool:
         return after >= self.n or self.s[after] in _WS or self.s[after] in "/>"
@@ -726,7 +800,10 @@ class Tokenizer:
         self.p = idx + 8
         self._skip_to_tag_close()
         self.state = DATA
-        return self._emit_raw_text(text, False, [("end", "script")])
+        return self._emit_raw_text(text, False, [("end", "script")],
+                                   text_end=idx,
+                                   tail_start=self.markup_start,
+                                   tail_end=self.p)
 
     # -- plaintext ------------------------------------------------------------
 
@@ -735,7 +812,9 @@ class Tokenizer:
         self.p = self.n
         if "\x00" in text:
             text = text.replace("\x00", "�")
+        self.pending_start = self.pending_end = self.tok_end = self.n
         self.pending.append(("eof",))
         if text:
             return ("text", text)
+        self.tok_start = self.n
         return self.pending.pop()

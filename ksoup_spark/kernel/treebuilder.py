@@ -166,6 +166,8 @@ class HtmlTreeBuilder:
         self.frameset_ok = True
         self.foster_inserts = False
         self.pending_table_text: list[str] = []
+        self._pending_text_start: int | None = None
+        self._pending_text_end: int = 0
         self.skip_next_lf = False
         self.base_latched = False
         self.fragment_context: str | None = None
@@ -200,7 +202,16 @@ class HtmlTreeBuilder:
         if track_positions:
             self.src_track = True
             self.doc.src_pos = {}
+            self.doc.src_range = {}
+            self.doc.src_end_range = {}
+            self.doc.attr_src = {}
+            self.doc.src_text = html
+            # the document node opens on the virtual start token
+            # (TreeBuilder.kt:61-63: currentToken = start → implicit 0-0)
+            self.doc.src_range[0] = (0, 0)
+            self.doc.src_pos[0] = 0
         self.tok = Tokenizer(html, self.perrs)
+        self.tok.track = self.src_track
         return self
 
     def parse_step(self) -> bool:
@@ -212,6 +223,7 @@ class HtmlTreeBuilder:
         if tok[0] == "eof":
             if self.perrs is not None:
                 self.doc.parse_errors = list(self.perrs)
+            self._finalize_positions()
             return False
         return True
 
@@ -233,12 +245,14 @@ class HtmlTreeBuilder:
                 break
         if self.perrs is not None:
             self.doc.parse_errors = list(self.perrs)
+        self._finalize_positions()
         return self.doc
 
     def parse_fragment(self, html: str, context: str = "body",
                        base_uri: str = "",
                        track_errors: int = 0,
-                       settings: ParseSettings | None = None) -> list[int]:
+                       settings: ParseSettings | None = None,
+                       track_positions: bool = False) -> list[int]:
         """Fragment parse (Parser.parseFragment semantics): returns the
         child node ids of the synthetic context root."""
         self.fragment_context = context
@@ -247,7 +261,15 @@ class HtmlTreeBuilder:
             self.perrs = ParseErrorList(track_errors, html)
         if settings is not None:
             self.settings = settings
+        if track_positions:
+            self.src_track = True
+            self.doc.src_pos = {}
+            self.doc.src_range = {}
+            self.doc.src_end_range = {}
+            self.doc.attr_src = {}
+            self.doc.src_text = html
         self.tok = Tokenizer(html, self.perrs)
+        self.tok.track = self.src_track
         html_el = self.doc.new_node(dom.ELEMENT, "html", {})
         self.doc.append_child(0, html_el)
         root = self.doc.new_node(dom.ELEMENT, context, {})
@@ -273,6 +295,7 @@ class HtmlTreeBuilder:
                 break
         if self.perrs is not None:
             self.doc.parse_errors = list(self.perrs)
+        self._finalize_positions()
         return list(self.doc.children[root])
 
     def reset_insertion_mode_for_fragment(self, context: str) -> None:
@@ -372,9 +395,70 @@ class HtmlTreeBuilder:
             self.doc.append_child(parent, nid)
 
     def _track(self, nid: int) -> None:
-        """Record the current token's start offset for nid (collapsed-start
-        semantics for implicit elements, TreeBuilder.kt:295-333)."""
-        self.doc.src_pos[nid] = self.tok.tok_start if self.tok else 0
+        """Record the current token's source range for nid, with the
+        reference's implicit-collapse rules (TreeBuilder.kt:295-333): an
+        element not created by a matching start tag gets an implicit
+        (start, start) range; attribute name/value spans ride the creating
+        start token."""
+        d = self.doc
+        tok = self.tok
+        if tok is None:
+            d.src_pos[nid] = 0
+            d.src_range[nid] = (0, 0)
+            return
+        cur = self._cur_tok
+        if cur is not None and cur[0] == "eof":
+            n = tok.n
+            d.src_pos[nid] = n
+            d.src_range[nid] = (n, n)
+            return
+        start, end = tok.tok_start, tok.tok_end
+        if d.kind[nid] == dom.TEXT and self._pending_text_start is not None:
+            start, end = self._pending_text_start, self._pending_text_end
+        if d.kind[nid] == dom.ELEMENT:
+            if not (cur is not None and cur[0] == "start"
+                    and cur[1].lower() == (d.tag[nid] or "").lower()):
+                end = start  # implicitly created (e.g. <html> from <p>)
+            elif tok.last_attr_pos:
+                ap: dict = {}
+                lower = not self.settings.preserve_attribute_case
+                for (raw, _), pos in zip(cur[2], tok.last_attr_pos):
+                    key = raw.lower() if lower else raw
+                    if key and key not in ap:  # first-dup-wins, as stored
+                        ap[key] = pos
+                if ap:
+                    d.attr_src[nid] = ap
+        d.src_pos[nid] = start
+        d.src_range[nid] = (start, end)
+
+    def _track_end(self, nid: int) -> None:
+        """Record the closing source range for nid — the onNodeClosed
+        analogue (TreeBuilder.kt:289-333). Explicit matching end tags keep
+        the token range; empty/self-closing elements keep their start
+        token's range; everything else closes implicitly at the current
+        token's start. At EOF, ranges collapse to the input length, except
+        for elements (body/html) whose explicit close was already seen."""
+        d = self.doc
+        er = d.src_end_range
+        tok = self.tok
+        if tok is None:
+            return
+        cur = self._cur_tok
+        if cur is None or cur[0] == "eof":
+            if nid in er:
+                return  # /body, /html stay on stack till EOF; don't reset
+            n = tok.n
+            er[nid] = (n, n)
+            return
+        start, end = tok.tok_start, tok.tok_end
+        name = (d.tag[nid] or "").lower()
+        sc = d.self_closing
+        if name in VOID_TAGS or (sc is not None and name in sc) or (
+                cur[0] == "start" and cur[3] and cur[1].lower() == name):
+            pass  # empty / self-closing: the start token IS the close
+        elif not (cur[0] == "end" and cur[1].lower() == name):
+            end = start  # implicit close (e.g. <p>One<p>Two)
+        er[nid] = (start, end)
 
     def _record_display_case(self, nid: int, name: str) -> None:
         """ParseSettings.preserveCase: stash the source-cased tag name when
@@ -420,6 +504,7 @@ class HtmlTreeBuilder:
             self._record_display_case(nid, name)
         if self.src_track:
             self._track(nid)
+            self._track_end(nid)  # empty element: inserted closed
         self._attach(nid)
         if name == "base" and not self.base_latched:
             href = attrs.get("href")
@@ -440,6 +525,8 @@ class HtmlTreeBuilder:
             sibs = d.children[parent]
             if sibs and d.kind[sibs[-1]] == kind and kind != dom.CDATA:
                 d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
+                if self.src_track:
+                    self._extend_text_range(sibs[-1])
                 return
             # inlined d.new_node(kind, text=text)
             nid = len(d.kind)
@@ -459,11 +546,15 @@ class HtmlTreeBuilder:
         if before == -1:
             if sibs and d.kind[sibs[-1]] == kind and kind != dom.CDATA:
                 d.text[sibs[-1]] = (d.text[sibs[-1]] or "") + text
+                if self.src_track:
+                    self._extend_text_range(sibs[-1])
                 return
         else:
             i = sibs.index(before)
             if i > 0 and d.kind[sibs[i - 1]] == kind and kind != dom.CDATA:
                 d.text[sibs[i - 1]] = (d.text[sibs[i - 1]] or "") + text
+                if self.src_track:
+                    self._extend_text_range(sibs[i - 1])
                 return
         nid = d.new_node(kind, text=text)
         if self.src_track:
@@ -472,6 +563,27 @@ class HtmlTreeBuilder:
             d.insert_before(before, nid)
         else:
             d.append_child(parent, nid)
+
+    def _extend_text_range(self, nid: int) -> None:
+        """Adjacent character tokens merged into one text node span the
+        union of their source ranges (the reference accumulates them into
+        ONE char token before insert; same observable node + range)."""
+        d = self.doc
+        r = d.src_range.get(nid)
+        if r is not None and self.tok is not None:
+            d.src_range[nid] = (r[0], self.tok.tok_end)
+
+    def _finalize_positions(self) -> None:
+        """EOF step: close everything left on the stack, then the document
+        (TreeBuilder.kt:117-127 — pops hit nodeRemoved, then the root doc
+        closes at the reader position)."""
+        if not self.src_track:
+            return
+        while self.stack:
+            self.pop()
+        if self.tok is not None and 0 not in self.doc.src_end_range:
+            n = self.tok.n
+            self.doc.src_end_range[0] = (n, n)
 
     def _append_char_to(self, parent: int, text: str) -> None:
         d = self.doc
@@ -494,16 +606,24 @@ class HtmlTreeBuilder:
     # -- stack helpers ----------------------------------------------------------
 
     def pop(self) -> int:
-        return self.stack.pop()
+        nid = self.stack.pop()
+        if self.src_track:
+            self._track_end(nid)
+        return nid
 
     def pop_until(self, *names: str) -> None:
         d = self.doc
+        track = self.src_track
         while self.stack:
             nid = self.stack.pop()
+            if track:
+                self._track_end(nid)
             if d.tag[nid] in names:
                 break
 
     def pop_until_before(self, *names: str) -> None:
+        # clearStackToContext (HtmlTreeBuilder.kt): the reference removes
+        # these directly WITHOUT onNodeClosed — no end-range tracking here
         d = self.doc
         while self.stack and d.tag[self.stack[-1]] not in names:
             self.stack.pop()
@@ -516,7 +636,9 @@ class HtmlTreeBuilder:
         try:
             self.stack.remove(nid)
         except ValueError:
-            pass
+            return
+        if self.src_track:  # removeFromStack hits onNodeClosed (kt:421-430)
+            self._track_end(nid)
 
     def _in_scope(self, targets, extra=frozenset(), table: bool = False) -> bool:
         d = self.doc
@@ -563,10 +685,13 @@ class HtmlTreeBuilder:
                              thorough: bool = False) -> None:
         d = self.doc
         search = IMPLIED_END_THOROUGH if thorough else IMPLIED_END
+        track = self.src_track
         while self.stack:
             t = d.tag[self.stack[-1]]
             if t in search and t != exclude:
-                self.stack.pop()
+                nid = self.stack.pop()
+                if track:
+                    self._track_end(nid)
             else:
                 break
 
@@ -751,6 +876,8 @@ class HtmlTreeBuilder:
             return True
         if kind == "cdata":
             nid = d.new_node(dom.CDATA, text=tok[1])
+            if self.src_track:
+                self._track(nid)
             self._attach(nid)
             return True
         if kind == "start":
@@ -763,7 +890,7 @@ class HtmlTreeBuilder:
                 self.error()
                 while self.stack and d.ns[self.current()] != dom.NS_HTML \
                         and not self._integration_point(self.current()):
-                    self.stack.pop()
+                    self.pop()
                 self.process(tok)
                 return True
             ns = d.ns[cur]
@@ -787,6 +914,9 @@ class HtmlTreeBuilder:
                 if d.ns[nid] == dom.NS_HTML:
                     return False  # process via HTML rules
                 if (d.tag[nid] or "").lower() == name:
+                    if self.src_track:  # popStackToCloseAnyNamespace pops
+                        for x in reversed(self.stack[i:]):
+                            self._track_end(x)
                     del self.stack[i:]
                     return True
             return True
@@ -807,6 +937,8 @@ class HtmlTreeBuilder:
             name, pub, sysid, force = tok[1], tok[2], tok[3], tok[4]
             d = self.doc
             nid = d.new_node(dom.DOCTYPE, text=name or "")
+            if self.src_track:
+                self._track(nid)
             d.attrs[nid] = {"name": name or "", "publicid": pub or "",
                             "systemid": sysid or ""}
             d.append_child(0, nid)
@@ -829,6 +961,8 @@ class HtmlTreeBuilder:
         if k == "start" and tok[1].lower() == "html":
             nid = self.doc.new_node(dom.ELEMENT, "html",
                                     self.norm_attrs(tok[2]))
+            if self.src_track:
+                self._track(nid)
             self.doc.append_child(0, nid)
             self.stack.append(nid)
             self.mode = BEFORE_HEAD
@@ -837,6 +971,8 @@ class HtmlTreeBuilder:
             self.error()
             return
         nid = self.doc.new_node(dom.ELEMENT, "html", {})
+        if self.src_track:
+            self._track(nid)
         self.doc.append_child(0, nid)
         self.stack.append(nid)
         self.reprocess(tok, BEFORE_HEAD)
@@ -1056,6 +1192,8 @@ class HtmlTreeBuilder:
             return
         if k == "cdata":
             nid = self.doc.new_node(dom.CDATA, text=tok[1])
+            if self.src_track:
+                self._track(nid)
             self._attach(nid)
             return
         if k == "comment":
@@ -1358,7 +1496,7 @@ class HtmlTreeBuilder:
             # replace body with frameset
             d.detach(b)
             while len(self.stack) > 1:
-                self.stack.pop()
+                self.pop()
             self.insert_element("frameset", attrs)
             self.mode = IN_FRAMESET
             return
@@ -1386,6 +1524,13 @@ class HtmlTreeBuilder:
             if not self.in_scope("body"):
                 self.error()
                 return
+            if self.src_track:
+                # close position of <body>; it stays on stack for trailers
+                # (HtmlTreeBuilderState.kt:810)
+                for nid in reversed(self.stack):
+                    if d.tag[nid] == "body":
+                        self._track_end(nid)
+                        break
             self.mode = AFTER_BODY
             return
         if name == "html":
@@ -1444,7 +1589,7 @@ class HtmlTreeBuilder:
             if self.current_tag() != name:
                 self.error()
             while self.stack:
-                nid = self.stack.pop()
+                nid = self.pop()
                 if d.tag[nid] in HEADINGS:
                     break
             return
@@ -1502,6 +1647,9 @@ class HtmlTreeBuilder:
                     break
             if furthest == -1:
                 # no furthest block: pop up to & including fmt element
+                if self.src_track:
+                    for x in reversed(self.stack[stack_idx:]):
+                        self._track_end(x)
                 del self.stack[stack_idx:]
                 self.remove_formatting(fmt_el)
                 return
@@ -1567,7 +1715,7 @@ class HtmlTreeBuilder:
                 if self.current_tag() != name:
                     self.error()
                 while self.stack:
-                    if self.stack.pop() == nid:
+                    if self.pop() == nid:
                         break
                 return
             if t in SPECIAL_TAGS:
@@ -1728,6 +1876,12 @@ class HtmlTreeBuilder:
 
     def _in_table_text(self, tok) -> None:
         if tok[0] == "text":
+            if self.src_track and self.tok is not None:
+                # pending chars flush under a LATER token; remember the
+                # buffered run's true source span for _track
+                if not self.pending_table_text:
+                    self._pending_text_start = self.tok.tok_start
+                self._pending_text_end = self.tok.tok_end
             self.pending_table_text.append(tok[1])
             return
         text = "".join(self.pending_table_text)
@@ -1743,6 +1897,7 @@ class HtmlTreeBuilder:
                 self.frameset_ok = False
             else:
                 self.insert_char(text, kind=dom.TEXT)
+        self._pending_text_start = None
         self.mode = self.original_mode
         self.process(tok)
 
@@ -2147,6 +2302,13 @@ class HtmlTreeBuilder:
             if self.fragment_context:
                 self.error()
                 return
+            if self.src_track:
+                # close position of <html>; stays on stack for trailers
+                # (HtmlTreeBuilderState.kt:1793)
+                for nid in self.stack:
+                    if self.doc.tag[nid] == "html":
+                        self._track_end(nid)
+                        break
             self.mode = AFTER_AFTER_BODY
             return
         if k == "eof":
@@ -2417,10 +2579,12 @@ def parse(html: str, base_uri: str = "", track_errors: int = 0,
 
 def parse_fragment(html: str, context: str = "body", base_uri: str = "",
                    track_errors: int = 0,
-                   settings: ParseSettings | None = None):
+                   settings: ParseSettings | None = None,
+                   track_positions: bool = False):
     """Fragment parse; returns (Doc, list of top-level node ids)."""
     tb = HtmlTreeBuilder()
-    nodes = tb.parse_fragment(html, context, base_uri, track_errors, settings)
+    nodes = tb.parse_fragment(html, context, base_uri, track_errors, settings,
+                              track_positions)
     return tb.doc, nodes
 
 
