@@ -432,6 +432,29 @@ def q_src_positions(spark, sf_dir):
     )
 
 
+def q_form_controls(spark, sf_dir):
+    """FormElement control association (nodes/FormElement.kt): the form is
+    closed early by table parse rules so its inputs are foster-parented
+    OUTSIDE it (linked, not children); the second <form> start tag is
+    ignored (form pointer already set), so the select and the linked
+    button also associate to the first form. Association order and the
+    disjoint-form case are computable exactly in SQL."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<table><tr><form><input type=hidden id=h"), sid,
+        F.lit("><td><input id=t"), sid,
+        F.lit("></td></table><form><select id=s"), sid,
+        F.lit("></select><button id=b"), sid, F.lit(">x</button></form>"),
+    )
+    controls = H.html_form_controls(html)
+    return d.select(
+        "doc_id",
+        F.size(controls).alias("n_controls"),
+        F.array_join(controls, " ").alias("controls"),
+    )
+
+
 def q_src_ranges(spark, sf_dir):
     """Full Range semantics (nodes/Range.kt): start+end offsets of opening
     AND closing constructs, line/col, and attribute name/value spans —
@@ -709,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_errors": q_parse_errors,
         "src_positions": q_src_positions,
         "src_ranges": q_src_ranges,
+        "form_controls": q_form_controls,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "nodequery_compiled": q_nodequery_compiled,
@@ -900,6 +924,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS INT) AS p_pos,
                    CAST(length(text) + 8 AS INT) AS i_pos
+            FROM documents
+        """,
+        "form_controls": """
+            SELECT doc_id,
+                   4 AS n_controls,
+                   -- the second <form> start tag is IGNORED (form
+                   -- pointer already set, spec + reference behavior), so
+                   -- every control associates with the single open form
+                   '0:input:h' || CAST(doc_id AS VARCHAR)
+                   || ' 0:input:t' || CAST(doc_id AS VARCHAR)
+                   || ' 0:select:s' || CAST(doc_id AS VARCHAR)
+                   || ' 0:button:b' || CAST(doc_id AS VARCHAR) AS controls
             FROM documents
         """,
         "src_ranges": """

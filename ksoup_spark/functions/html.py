@@ -473,3 +473,26 @@ def html_attr_src_range(col: Column | str, css: str, attr: str) -> Column:
         return pd.Series(out)
 
     return _f(col)
+
+
+def html_form_controls(col: Column | str) -> Column:
+    """Per-form control association (nodes/FormElement.kt): for every form
+    in the document, one entry "formIndex:tag:id" per associated control —
+    submittable descendants unioned with parse-time linked controls (the
+    foster-parented / early-close cases), in association order."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            rows = []
+            forms = [n for n, _ in d.preorder(0)
+                     if d.kind[n] == dom.ELEMENT and d.tag[n] == "form"]
+            for fi, form in enumerate(forms):
+                for c in dom.form_elements(d, form):
+                    rows.append(f"{fi}:{d.tag[c]}:{d.get_attr(c, 'id') or ''}")
+            out.append(rows)
+        return pd.Series(out)
+
+    return _f(col)

@@ -53,6 +53,7 @@ class Doc:
         "base_uri", "quirks", "errors", "pseudo", "self_closing",
         "parse_errors", "tag_display", "src_pos",
         "src_range", "src_end_range", "attr_src", "src_text", "_nl_index",
+        "form_links",
     )
 
     def __init__(self) -> None:
@@ -85,6 +86,10 @@ class Doc:
         self.attr_src: dict[int, dict] | None = None
         self.src_text: str | None = None
         self._nl_index: list[int] | None = None
+        # form-owner association recorded during parsing (FormElement.kt:
+        # linkedEls): {form nid: [form-listed control nids in parse order]},
+        # including controls foster-parented OUT of the form's subtree
+        self.form_links: dict[int, list[int]] | None = None
         # ids of PseudoTextElements created by :matchText (nodes/
         # PseudoTextElement.kt); None until prepare_match_text runs
         self.pseudo: set[int] | None = None
@@ -440,3 +445,37 @@ def attr_source_range(doc: "Doc", node: int, key: str):
 def range_is_implicit(rng: tuple[int, int] | None) -> bool:
     """Range.isImplicit: tracked and start == end."""
     return rng is not None and rng[0] == rng[1]
+
+
+# -- form control association (nodes/FormElement.kt) -------------------------
+
+FORM_SUBMIT_TAGS = ("input", "keygen", "object", "select", "textarea")
+
+
+def node_attached(doc: "Doc", node: int) -> bool:
+    """True if node's parent chain reaches the document (ownerDocument)."""
+    seen = 0
+    while node != -1:
+        if node == 0:
+            return True
+        node = doc.parent[node]
+        seen += 1
+        if seen > len(doc.kind):  # defensive: cyclic corruption
+            return False
+    return False
+
+
+def form_elements(doc: "Doc", form: int) -> list[int]:
+    """FormElement.elements(): submittable elements currently inside the
+    form, unioned with the controls LINKED during the parse that are still
+    attached to the document — covering controls that parse rules (foster
+    parenting, early form close) placed outside the form's subtree
+    (FormElement.kt:28-37)."""
+    els = [n for n, _ in doc.preorder(form)
+           if n != form and doc.kind[n] == ELEMENT
+           and doc.tag[n] in FORM_SUBMIT_TAGS]
+    seen = set(els)
+    for linked in (doc.form_links or {}).get(form, ()):
+        if linked not in seen and node_attached(doc, linked):
+            els.append(linked)
+    return els

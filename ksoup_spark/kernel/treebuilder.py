@@ -107,6 +107,13 @@ _INBODY_SPECIAL_START = frozenset(
 
 MARKER = -1  # active-formatting-list scope marker
 
+# tags associated to the open form during parsing (Tag.kt:247-249
+# formListedTags; linked via doInsertElement, HtmlTreeBuilder.kt:341-343)
+FORM_LISTED = frozenset((
+    "button", "fieldset", "input", "keygen", "object", "output", "select",
+    "textarea",
+))
+
 # reference HtmlTreeBuilderState names, indexed by insertion-mode constant
 _MODE_NAMES = (
     "Initial", "BeforeHtml", "BeforeHead", "InHead", "InHeadNoscript",
@@ -460,6 +467,14 @@ class HtmlTreeBuilder:
             end = start  # implicit close (e.g. <p>One<p>Two)
         er[nid] = (start, end)
 
+    def _link_form_control(self, nid: int) -> None:
+        """Connect a form-listed control to the open form element
+        (HtmlTreeBuilder.kt:341-343 doInsertElement)."""
+        d = self.doc
+        if d.form_links is None:
+            d.form_links = {}
+        d.form_links.setdefault(self.form_id, []).append(nid)
+
     def _record_display_case(self, nid: int, name: str) -> None:
         """ParseSettings.preserveCase: stash the source-cased tag name when
         it differs from the normalized one the algorithm matched on."""
@@ -496,6 +511,8 @@ class HtmlTreeBuilder:
             self._attach(nid)
         if push:
             self.stack.append(nid)
+        if self.form_id != -1 and name in FORM_LISTED and ns == dom.NS_HTML:
+            self._link_form_control(nid)
         return nid
 
     def insert_empty(self, name: str, attrs: dict) -> int:
@@ -506,6 +523,8 @@ class HtmlTreeBuilder:
             self._track(nid)
             self._track_end(nid)  # empty element: inserted closed
         self._attach(nid)
+        if self.form_id != -1 and name in FORM_LISTED:
+            self._link_form_control(nid)
         if name == "base" and not self.base_latched:
             href = attrs.get("href")
             if href:
@@ -1286,8 +1305,7 @@ class HtmlTreeBuilder:
                 self.close_p()
             el = self.insert_element(name, attrs)
             if not self.on_stack("template"):
-                pass
-            self.form_id = el
+                self.form_id = el
             return
         if name == "li":
             self.frameset_ok = False

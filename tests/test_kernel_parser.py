@@ -218,3 +218,67 @@ def test_foreign_breakout():
     assert d.ns[div] == dom.NS_HTML
     svg = d.find_first("svg")
     assert d.parent[div] != svg
+
+
+# -- form control association (HtmlParserTest form tests + FormElement.kt) ---
+
+parse = tb.parse
+
+def test_creates_form_elements():
+    # HtmlParserTest.createsFormElements
+    from ksoup_spark.kernel import dom, selector as sel
+
+    d = parse("<body><form><input id=1><input id=2></form></body>")
+    [form] = sel.select(d, "form")
+    controls = dom.form_elements(d, form)
+    assert [d.get_attr(c, "id") for c in controls] == ["1", "2"]
+
+
+def test_associated_form_controls_with_disjoint_forms():
+    # HtmlParserTest.associatedFormControlsWithDisjointForms: the form is
+    # closed by table parse rules, so the inputs are NOT its children —
+    # but stay associated via the parse-time links
+    from ksoup_spark.kernel import dom, selector as sel
+
+    d = parse("<table><tr><form><input type=hidden id=1>"
+              "<td><input type=text id=2></td><tr></table>")
+    [form] = sel.select(d, "form")
+    controls = dom.form_elements(d, form)
+    assert [d.get_attr(c, "id") for c in controls] == ["1", "2"]
+    assert d.children[form] == []  # the form itself ended up empty
+
+
+def test_form_controls_include_linked_button():
+    # FormElement.elements(): linked form-listed controls (button) are
+    # included even though they are not in the submittable select set
+    from ksoup_spark.kernel import dom, selector as sel
+
+    d = parse("<form><select id=s></select><button id=b>x</button></form>")
+    [form] = sel.select(d, "form")
+    got = [(d.tag[c], d.get_attr(c, "id")) for c in dom.form_elements(d, form)]
+    assert got == [("select", "s"), ("button", "b")]
+
+
+def test_form_in_template_not_associated():
+    # insertFormElement checkTemplateStack: a form inside <template> does
+    # not become the document's open form, so a later control outside the
+    # template is not linked to it
+    from ksoup_spark.kernel import dom, selector as sel
+
+    d = parse("<template><form id=tf></form></template><input id=x>")
+    forms = sel.select(d, "form")
+    for form in forms:
+        assert dom.form_elements(d, form) == []
+
+
+def test_detached_control_drops_from_form():
+    # FormElement.elements() only returns controls still in the document
+    from ksoup_spark.kernel import dom, mutate, selector as sel
+
+    d = parse("<table><tr><form><input id=1><td><input id=2></td></table>")
+    [form] = sel.select(d, "form")
+    assert len(dom.form_elements(d, form)) == 2
+    one = next(n for n in sel.select(d, "input")
+               if d.get_attr(n, "id") == "1")
+    mutate.remove(d, one)
+    assert [d.get_attr(c, "id") for c in dom.form_elements(d, form)] == ["2"]
