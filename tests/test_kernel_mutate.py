@@ -322,4 +322,5 @@ def test_insert_children_index_accounts_for_own_children():
     [a] = sel.select(d, "#a")
     first = d.children[a][0]
     mutate.insert_children(d, a, 2, [first])
-    assert inner_html(d, a) == "<p>two</p><p>three</p><p>one</p>"
+    assert inner_html(d, a, pretty=False) == \
+        "<p>two</p><p>three</p><p>one</p>"
