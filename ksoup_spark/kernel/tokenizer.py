@@ -43,12 +43,16 @@ PLAINTEXT = 4
 _WS = "\t\n\r\f "
 _TAG_NAME = re.compile(r"[^\t\n\r\f /><\x00]+")
 _ATTR_NAME = re.compile(r"[^\t\n\r\f /=><\x00]+")
-# fast path for the dominant clean-attribute shape: ws* name ws* = ws*
-# quoted-value with no charref/NULL inside. One C-level match replaces
-# ~6 Python-level steps of the general loop below.
+# fast path for the dominant clean-attribute shapes: ws* name ws* = ws*
+# then a quoted or unquoted value with no charref/NULL inside. One C-level
+# match replaces ~6 Python-level steps of the general loop below. The
+# unquoted alternative mirrors _UNQUOTED_CHUNK (stops at ws/>/&/NUL, so
+# '/' and mid-value quotes stay in the value) and must not START with a
+# quote (that shape is the quoted alternatives').
 _ATTR_FAST_Q = re.compile(
     r"[\t\n\r\f ]*([^\t\n\r\f /=><\x00]+)[\t\n\r\f ]*=[\t\n\r\f ]*"
-    r"(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)')"
+    r"(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'"
+    r"|(?![\"'])([^\t\n\r\f >&\x00]+))"
 )
 _UNQUOTED_CHUNK = re.compile(r"[^\t\n\r\f >&\x00]+")
 _DOCTYPE_KW = re.compile(r"doctype", re.IGNORECASE)
@@ -163,7 +167,8 @@ class Tokenizer:
                 p = n
                 break
             if amp != -1 and (lt == -1 or amp < lt):
-                buf.append(s[p:amp])
+                if amp > p:
+                    buf.append(s[p:amp])
                 res = consume_charref(s, amp + 1, None, False, self._cref)
                 if res is None:
                     buf.append("&")
@@ -173,7 +178,8 @@ class Tokenizer:
                     p = res[1]
                 continue
             # '<' first
-            buf.append(s[p:lt])
+            if lt > p:
+                buf.append(s[p:lt])
             self.p = lt
             self.pending_start = lt
             self.markup_start = lt
@@ -183,6 +189,12 @@ class Tokenizer:
                 p = self.p
                 continue
             self.pending_end = self.p
+            if not buf and len(toks) == 1:
+                # common case: a lone tag with no preceding text — skip
+                # the pending round-trip entirely
+                self.tok_start = lt
+                self.tok_end = self.p
+                return toks[0]
             text = "".join(buf)
             self.pending.extend(reversed(toks))
             if text:
@@ -217,7 +229,8 @@ class Tokenizer:
             return None
         c = s[p + 1]
         if c.isalpha():  # start tag: by far the most common case
-            return self._start_tag(p + 1)
+            tok = self._tag(p + 1, start=True)
+            return [] if tok is None else [tok]
         if c == "!":
             return self._markup_declaration(p + 2)
         if c == "?":
@@ -229,7 +242,15 @@ class Tokenizer:
                 return None
             c2 = s[p + 2]
             if c2.isalpha():
-                return self._end_tag(p + 2)
+                tok = self._tag(p + 2, start=False)
+                if tok is None:
+                    return []
+                if tok[2]:  # end tags carry no attrs (Tokeniser.kt:78)
+                    self._perr(
+                        self.p,
+                        "Attributes incorrectly present on end tag "
+                        f"[/{tok[1].lower()}]")
+                return [("end", tok[1])]
             if c2 == ">":  # '</>' dropped entirely
                 self.p = p + 3
                 return []
@@ -238,25 +259,6 @@ class Tokenizer:
             return self._bogus_comment(p + 1)
         self.p = p + 1
         return None
-
-    def _start_tag(self, p: int):
-        tok = self._tag(p, start=True)
-        if tok is None:
-            return []
-        return [tok]
-
-    def _end_tag(self, p: int):
-        tok = self._tag(p, start=False)
-        if tok is None:
-            return []
-        if tok[0] == "start":  # end tags carry no attrs / self-closing flag
-            if tok[2]:  # Tokeniser.kt:78
-                self._perr(
-                    self.p,
-                    "Attributes incorrectly present on end tag "
-                    f"[/{tok[1].lower()}]")
-            return [("end", tok[1])]
-        return [tok]
 
     def _tag(self, p: int, start: bool):
         """Parse tag name + attributes from p (first char of name).
@@ -290,16 +292,21 @@ class Tokenizer:
             m = _ATTR_FAST_Q.match(s, p)
             if m:
                 if len(attrs) < MAX_ATTRS:
-                    v = m.group(2)
-                    before = len(attrs)
-                    _push_attr(attrs, m.group(1),
-                               v if v is not None else m.group(3))
-                    if track and len(attrs) > before:
-                        g = 2 if v is not None else 3
-                        vs, ve = m.start(g), m.end(g)
-                        if vs == ve:  # empty value: implicit at name end
-                            vs = ve = m.end(1)
-                        apos.append((m.start(1), m.end(1), vs, ve))
+                    g2, g3, g4 = m.group(2, 3, 4)
+                    v = g2 if g2 is not None else (
+                        g3 if g3 is not None else g4)
+                    if not track:
+                        _push_attr(attrs, m.group(1), v)
+                    else:
+                        before = len(attrs)
+                        _push_attr(attrs, m.group(1), v)
+                        if len(attrs) > before:
+                            g = 2 if g2 is not None else (
+                                3 if g3 is not None else 4)
+                            vs, ve = m.start(g), m.end(g)
+                            if vs == ve:  # empty value: implicit @ name end
+                                vs = ve = m.end(1)
+                            apos.append((m.start(1), m.end(1), vs, ve))
                 p = m.end()
                 continue
             if p >= n:
