@@ -10,9 +10,13 @@ order, with their full subtree parsed — matching the reference's
 emitted-when-closed contract.
 
 Differences from the reference, documented: emission is pull-based
-(select_next) rather than sequence-based, and the partially-built DOM is
-retained (no pruning) — documents here are web pages, not unbounded
-streams; the across-document streaming path is Structured Streaming
+(select_next) rather than sequence-based. The reference's conserve-memory
+contract ("Elements may be removed from the DOM during the parse")
+maps to prune(): the caller prunes emitted elements it has consumed,
+which detaches the subtree and releases its payloads — the arena keeps
+O(1) small tombstone slots per pruned node while the dominant memory
+(text strings, attribute dicts) is freed, bounding memory on giant
+documents. The across-document streaming path is Structured Streaming
 (ksoup_spark/streaming/).
 """
 
@@ -155,6 +159,35 @@ class StreamParser:
     def stop(self) -> None:
         """Abandon the rest of the input (StreamParser.stop)."""
         self._stopped = True
+
+    def prune(self, nid: int) -> None:
+        """Release an emitted element's subtree (the reference's
+        conserve-memory contract, StreamParser.kt:20-23): detaches the
+        node and tombstones every slot in it — text, attributes, and
+        child lists are freed; per-node bookkeeping shrinks to a few
+        small ints. Pruned nodes can no longer match selections (they are
+        unreachable from the root and their candidates are discarded)."""
+        d = self.doc
+        subtree = [n for n, _ in d.preorder(nid)]
+        d.detach(nid)
+        for n in subtree:
+            d.text[n] = None
+            d.attrs[n] = None
+            d.children[n] = []
+            d.parent[n] = -1
+
+    def retained_chars(self) -> int:
+        """Characters of text/attribute payload currently held by the
+        partial DOM (the bounded-memory meter prune() drives down)."""
+        d = self.doc
+        total = 0
+        for t in d.text:
+            if t:
+                total += len(t)
+        for a in d.attrs:
+            if a:
+                total += sum(len(k) + len(v or "") for k, v in a.items())
+        return total
 
     def complete(self) -> Doc:
         """Run the parse to EOF and return the full document."""

@@ -184,3 +184,39 @@ def test_unstable_selector_still_rechecked():
     sp2 = StreamParser("<div>One</div><span>x</span>")
     m = sp2.select_next("div:only-of-type")
     assert element_text(sp2.doc, m) == "One"
+
+
+def test_prune_bounds_memory_on_giant_doc():
+    # Reference conserve-memory contract (StreamParser.kt:20-23): emitted
+    # elements can be removed from the DOM during the parse; pruning each
+    # consumed element keeps retained payload bounded instead of O(doc).
+    n_items = 5000
+    body = "".join(f"<article><p>chunk {i} payload text here</p></article>"
+                   for i in range(n_items))
+    sp = StreamParser(f"<html><body>{body}</body></html>")
+    seen = 0
+    peak_retained = 0
+    while True:
+        nid = sp.select_next("article")
+        if nid == -1:
+            break
+        seen += 1
+        sp.prune(nid)
+        if seen % 500 == 0:
+            peak_retained = max(peak_retained, sp.retained_chars())
+    assert seen == n_items
+    # full doc holds ~n_items*25 chars of text; pruned peak stays tiny
+    assert peak_retained < 2000, peak_retained
+    assert sp.retained_chars() < 200
+
+
+def test_pruned_elements_no_longer_selectable():
+    from ksoup_spark.kernel import selector as sel
+
+    sp = StreamParser("<div id=a>one</div><div id=b>two</div>")
+    a = sp.select_next("div")
+    sp.prune(a)
+    b = sp.select_next("div")
+    assert element_text(sp.doc, b) == "two"
+    d = sp.complete()
+    assert [element_text(d, n) for n in sel.select(d, "div")] == ["two"]
