@@ -520,6 +520,16 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the jaccard near-dup pair graph — the
+    step a dedup pipeline runs after pair generation to pick one canonical
+    doc per duplicate cluster. Iterative min-label propagation, checked
+    against a DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.near_dup_clusters(docs, pairs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Oracle-checked MinHash signatures (md5 hash family, portable SQL)."""
     return dedup.minhash_signatures_md5(_docs(spark, sf_dir), num_hashes=8)
@@ -739,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_pipeline": q_spans_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "curation_pipeline": q_curation_pipeline,
         "gopher_quality": q_gopher_quality,
         "repetition": q_repetition,
@@ -969,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        "dedup_clusters": dedup.near_dup_clusters_sql(
+            dedup.jaccard_pairs_sql(n=3, threshold=0.2)),
         "curation_pipeline": f"""
             WITH flags AS ({textstats.gopher_quality_sql(min_words=30)}),
             fp AS (

@@ -604,3 +604,84 @@ WITH sh AS (
 )
 SELECT doc_id, {cols} FROM sh GROUP BY doc_id
 """
+
+
+def near_dup_clusters(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets (doc_id, cluster_id, is_canonical) where cluster_id is the MIN
+    doc id reachable through pairs and the canonical row is the one a
+    dedup pipeline keeps. Singletons are their own cluster.
+
+    Scale shape: iterative min-label propagation — per iteration ONE
+    shuffle join (labels onto edge sources), one min-aggregate per target,
+    and one label merge, all keyed on fixed-width doc ids. Near-dup
+    components are shallow (LSH-verified duplicate sets are clique-like),
+    so convergence takes ~graph-diameter iterations; each round is
+    localCheckpoint-ed to truncate the iterative lineage (the classic
+    iterative-DataFrame OOM/stack trap), and the driver runs only a 1-row
+    existence check per round, never collecting data. max_iters bounds the
+    worst case (a path graph); the loop exits as soon as labels are stable.
+    """
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = ids.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["a"] == labels["doc_id"])
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def near_dup_clusters_sql(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB oracle twin: transitive closure via recursive CTE, min
+    reachable id per doc; singletons map to themselves."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+       d.doc_id = least(d.doc_id, coalesce(min(r.b), d.doc_id))
+         AS is_canonical
+FROM {table} d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""

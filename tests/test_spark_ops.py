@@ -551,3 +551,36 @@ def test_shingles_and_passages_linear_on_long_doc(spark):
     t0 = time.perf_counter()
     assert dedup.passages(df, size=8).count() == 12_500
     assert time.perf_counter() - t0 < 60
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Clusters follow TRANSITIVE closure (a~b, b~c => one cluster) and
+    singletons stay canonical — pairs alone can't express this."""
+    import pandas as pd
+
+    from ksoup_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]}))
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup.near_dup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True), 5: (4, False)}
+
+
+def test_near_dup_clusters_path_graph_converges(spark):
+    """A path graph is the worst case for label propagation; the loop must
+    still converge to one cluster within max_iters."""
+    import pandas as pd
+
+    from ksoup_spark.operators import dedup
+
+    n = 12
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))}))
+    rows = dedup.near_dup_clusters(docs, pairs, max_iters=20).collect()
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
