@@ -520,6 +520,54 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def _url_dedup_sql() -> str:
+    from ksoup_spark.operators import urls
+
+    synth = (
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'HTTPS://Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443//p//'"
+        " || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=a&x=1#frag' "
+        "ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'"
+        " || CAST(doc_id % 100 AS VARCHAR) || '?x=1&utm_campaign=z' END"
+    )
+    canon = urls.canonical_url_sql(f"({synth})")
+    return f"""
+WITH u AS (SELECT doc_id, {canon} AS canon_url FROM documents)
+SELECT canon_url, min(doc_id) AS canonical_id,
+       count(*) AS n_variants
+FROM u GROUP BY canon_url
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup: two URL spellings per doc
+    family (host case, default port, duplicate slashes, tracking params,
+    fragments) must collapse to one canonical URL; groups of 5 docs share
+    a page. The canonicalizer is pure JVM regex; the oracle runs the
+    IDENTICAL regex pipeline in DuckDB."""
+    from ksoup_spark.operators import urls
+
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 50).cast("string")
+    m = (F.col("doc_id") % 100).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://Example"), h, F.lit(".COM:443//p//"), m,
+                 F.lit("?utm_source=a&x=1#frag")),
+    ).otherwise(
+        F.concat(F.lit("https://example"), h, F.lit(".com/p/"), m,
+                 F.lit("?x=1&utm_campaign=z")),
+    )
+    return urls.url_dedup(d.select("doc_id", url.alias("url")))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-informed unigram log-prob quality score (LM-perplexity
+    stand-in): top-k vocabulary from one corpus aggregate, broadcast to
+    the per-doc scoring join."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir), top_k=500)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the jaccard near-dup pair graph — the
     step a dedup pipeline runs after pair generation to pick one canonical
@@ -750,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "url_dedup": q_url_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "curation_pipeline": q_curation_pipeline,
         "gopher_quality": q_gopher_quality,
         "repetition": q_repetition,
@@ -982,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup.jaccard_pairs_sql(n=3, threshold=0.2),
         "dedup_clusters": dedup.near_dup_clusters_sql(
             dedup.jaccard_pairs_sql(n=3, threshold=0.2)),
+        "url_dedup": _url_dedup_sql(),
+        "unigram_logprob": textstats.unigram_logprob_sql(top_k=500),
         "curation_pipeline": f"""
             WITH flags AS ({textstats.gopher_quality_sql(min_words=30)}),
             fp AS (

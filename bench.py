@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_bruteforce",
     "ann_lsh",
+    # round-3 additions (kept at the end so earlier rounds' keys align)
+    "url_dedup",
+    "unigram_logprob",
 ]
 
 

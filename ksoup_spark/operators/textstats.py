@@ -333,3 +333,74 @@ def bpe_token_count(df: DataFrame) -> DataFrame:
         .alias("n_bpe_nonspace"),
         F.size(w).alias("n_ws_tokens"),
     )
+
+
+def unigram_logprob(df: DataFrame, top_k: int = 1000) -> DataFrame:
+    """Corpus-informed quality score: average unigram log-probability per
+    document under the corpus's own top-k vocabulary (the cheap stand-in
+    for LM-perplexity filtering a training pipeline runs at ingest).
+
+    Returns (doc_id, n_words, n_oov, avg_logprob) where P(w) = count/total
+    over the top-k vocabulary and OOV words take the 1/total floor.
+
+    Scale shape: ONE groupBy(word) with map-side combine builds corpus
+    counts; the top-k cut runs as a distributed TakeOrdered (deterministic
+    ties: count desc, word asc) so the vocabulary is small by construction
+    and BROADCASTS to the scoring join — the per-doc pass is explode +
+    broadcast-join + re-aggregate on doc_id. No driver-side collect of
+    corpus data; the only global value (total count) is a 1-row aggregate
+    cross-joined in.
+    """
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(top_k)
+    )
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("cnt").isNull()).cast("int").alias("oov"),
+            F.log(F.coalesce(F.col("cnt").cast("double"), F.lit(1.0))
+                  / F.col("total")).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("oov").cast("int").alias("n_oov"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(table: str = "documents", top_k: int = 1000) -> str:
+    """DuckDB oracle twin of unigram_logprob."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+),
+counts AS (
+  SELECT word, count(*) AS cnt FROM words GROUP BY word
+),
+vocab AS (
+  SELECT word, cnt FROM (
+    SELECT word, cnt,
+           row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn
+    FROM counts) WHERE rn <= {top_k}
+),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT w.doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_oov,
+       round(avg(ln(coalesce(CAST(v.cnt AS DOUBLE), 1.0) / t.total)), 4)
+         AS avg_logprob
+FROM words w LEFT JOIN vocab v USING (word), total t
+GROUP BY w.doc_id
+"""
