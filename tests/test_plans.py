@@ -85,3 +85,29 @@ def test_simhash_single_pass_no_shuffle(spark):
     plan = _plan(textstats.simhash(docs))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode anywhere
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """Top-k vocab must reach the scoring join as a broadcast (TakeOrdered
+    -> BroadcastHashJoin); the word-level join must not shuffle the corpus
+    a second time."""
+    from ksoup_spark.operators import textstats
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    plan = _plan(textstats.unigram_logprob(docs, top_k=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_dedup_single_shuffle(spark):
+    """Canonicalization is per-row JVM regex; the dedup is ONE exchange."""
+    from pyspark.sql import functions as F2
+
+    from ksoup_spark.operators import urls
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    d = docs.select("doc_id", F2.concat(
+        F2.lit("https://h"), (F2.col("doc_id") % 9).cast("string"),
+        F2.lit(".com/p?utm_source=x")).alias("url"))
+    plan = _plan(urls.url_dedup(d))
+    assert plan.count("Exchange") <= 2  # agg partial+final pair at most
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
