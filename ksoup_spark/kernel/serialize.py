@@ -372,7 +372,11 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
              and not (doc.parent[node] != -1
                       and _preserves_ws(doc, doc.parent[node])))
             or (_OUT_OUTLINE and (len(kids) > 1 or (
-                len(kids) == 1 and doc.kind[kids[0]] == dom.ELEMENT)))
+                len(kids) == 1 and doc.kind[kids[0]] == dom.ELEMENT))
+                # the indent lands INSIDE this element's content: under a
+                # whitespace-preserving element it would become literal
+                # text on reparse and grow on every reprint
+                and not _preserves_ws(doc, node))
         ):
             out.append(_indent_str(depth))
         out.append(f"</{tag}>")
@@ -424,12 +428,16 @@ def _emit(doc: Doc, node: int, depth: int, out: list[str], pretty: bool) -> None
         return
     if k == dom.COMMENT:
         # Comment.outerHtmlHead: indent when effectively-first in a block-
-        # formatting element, or under outline
+        # formatting element, or under outline — but never inside a
+        # preserve-whitespace ancestor: the injected indent would become
+        # literal text on reparse and GROW on every reprint (the
+        # prettyPrint-does-not-grow contract)
         p = doc.parent[node]
         if pretty and ((_effectively_first(doc, node) and p != -1
                         and doc.kind[p] == dom.ELEMENT
                         and format_as_block(doc.tag[p] or ""))
-                       or _OUT_OUTLINE) and out:
+                       or _OUT_OUTLINE) and out \
+                and not (p != -1 and _preserves_ws(doc, p)):
             out.append(_indent_str(depth))
         out.append(f"<!--{doc.text[node] or ''}-->")
         return

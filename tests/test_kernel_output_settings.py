@@ -119,3 +119,37 @@ def test_xml_parsed_doc_unaffected_by_html_defaults():
     d = parse_xml("<root><item/><link>One</link></root>")
     out = outer_html(d, 0, pretty=False)
     assert "<item />" in out and "<link>One</link>" in out
+
+
+def test_reprint_does_not_grow_in_preserve_whitespace():
+    # Regression (fuzz-found): a pretty-print indent emitted INSIDE
+    # preserve-whitespace content becomes literal text on reparse and
+    # grows forever. Comments under <pre> and outline closing indents
+    # were the two leaks.
+    cases = [
+        "<pre><svg><!-- c -->x</svg></pre>",
+        "<pre>x<a>y</a></pre>",
+        "<pre><svg>z</svg></pre>",
+    ]
+    for case in cases:
+        for kw in ({}, {"outline": True}):
+            s2 = outer_html(parse(outer_html(parse(case), 0, **kw)), 0, **kw)
+            s3 = outer_html(parse(s2), 0, **kw)
+            assert s2 == s3, (case, kw, s2, s3)
+
+
+def test_reprint_reaches_fixed_point():
+    # Pretty reprints may absorb one whitespace artifact per nesting level
+    # (the reference's trailing-space-before-indent quirk) but must reach
+    # a fixed point instead of growing without bound.
+    html = ("<div><button><li><table><form><textarea><!-- c -->a"
+            "</textarea></form></table><p>x<h1>a<!-- c --></h1>")
+    for kw in ({}, {"outline": True}, {"indent_amount": 0}):
+        s = outer_html(parse(html), 0, **kw)
+        for _ in range(8):
+            nxt = outer_html(parse(s), 0, **kw)
+            if nxt == s:
+                break
+            s = nxt
+        else:
+            raise AssertionError(f"no fixed point under {kw}")
