@@ -289,6 +289,24 @@ class Tokenizer:
         attrs: list = []
         selfclosing = False
         while True:
+            while p < n and s[p] in _WS:
+                p += 1
+            if p < n:
+                c = s[p]
+                if c == ">":
+                    self.p = p + 1
+                    return ("start", name, attrs, selfclosing)
+                if c == "<":
+                    # out-of-spec reference behavior: '<' ends the tag and
+                    # is reprocessed (CharacterReader.kt:448-464)
+                    self.p = p
+                    return ("start", name, attrs, selfclosing)
+                if c == "/":
+                    if p + 1 < n and s[p + 1] == ">":
+                        self.p = p + 2
+                        return ("start", name, attrs, True)
+                    p += 1  # stray '/': error, skip
+                    continue
             m = _ATTR_FAST_Q.match(s, p)
             if m:
                 if len(attrs) < MAX_ATTRS:
@@ -323,24 +341,7 @@ class Tokenizer:
                 self.p = n
                 return None  # EOF inside tag: drop it
             c = s[p]
-            if c in _WS:
-                p += 1
-                continue
-            if c == ">":
-                self.p = p + 1
-                return ("start", name, attrs, selfclosing)
-            if c == "<":
-                # out-of-spec reference behavior: '<' ends the tag and is
-                # reprocessed (CharacterReader.kt:448-464 stops tag names at <)
-                self.p = p
-                return ("start", name, attrs, selfclosing)
-            if c == "/":
-                if p + 1 < n and s[p + 1] == ">":
-                    self.p = p + 2
-                    return ("start", name, attrs, True)
-                p += 1  # stray '/': error, skip
-                continue
-            # attribute name
+            # attribute name (>, <, /, whitespace handled above)
             a_start = p
             if c == "=":
                 aname = "="

@@ -537,7 +537,9 @@ class HtmlTreeBuilder:
             return
         d = self.doc
         if kind is None:
-            cur = self.current_tag()
+            # inlined current_tag(): this runs once per character token
+            stk = self.stack
+            cur = d.tag[stk[-1]] if stk else None
             kind = dom.DATA if cur in ("script", "style") else dom.TEXT
         if not self.foster_inserts:  # common case: append to current element
             parent = self.stack[-1] if self.stack else 0
