@@ -177,3 +177,41 @@ def test_stream_parser_complete_equals_batch(s):
     streamed = StreamParser(s).complete()
     assert extract_spans(batch) == extract_spans(streamed)
     assert outer_html(batch, pretty=False) == outer_html(streamed, pretty=False)
+
+
+def test_soup_fuzz_invariants():
+    """Adversarial tag-soup sweep (round-3): position/error tracking are
+    pure observers, all tracked ranges stay in-bounds, and the incremental
+    StreamParser equals the batch parse — on table soup, formatting
+    floods, foreign content, templates, NULs, and CDATA."""
+    import random
+
+    from ksoup_spark.kernel.stream_parser import StreamParser
+    from ksoup_spark.kernel.textops import extract_spans
+
+    random.seed(7)
+    frags = [
+        "<table>", "</table>", "<tr>", "<td>", "</td>", "<caption>",
+        "<b>", "<i>", "</b>", "</i>", "<a href=x>", "</a>", "<p>", "</p>",
+        "<svg>", "</svg>", "<math>", "<mi>", "<foreignObject>",
+        "<template>", "</template>", "<select>", "<option>", "<form>",
+        "<input>", "<li>", "<ul>", "</ul>", "<div>", "</div>", "<pre>",
+        "</pre>", "<h2>", "</h2>", "<button>", "</button>", "txt",
+        " s p ", "&amp;", "&notanentity;", "<!--x-->", "<img src=i>",
+        "<br>", "<video src=v>", "</video>", "\x00", "<![CDATA[z]]>",
+        "<?pi?>", "<!doctype html>", "</p></p>", "<b><b><b>", "<p/>",
+    ]
+    for i in range(400):
+        html = "".join(random.choice(frags)
+                       for _ in range(random.randint(5, 50)))
+        d1 = tb.parse(html)
+        base = extract_spans(d1)
+        dt = tb.parse(html, track_positions=True)
+        assert extract_spans(dt) == base, html
+        de = tb.parse(html, track_errors=50)
+        assert extract_spans(de) == base, html
+        for rng_map in (dt.src_range, dt.src_end_range):
+            for _nid, (s, e) in rng_map.items():
+                assert 0 <= s <= e <= len(html), html
+        sp = StreamParser(html)
+        assert extract_spans(sp.complete()) == base, html
