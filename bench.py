@@ -12,7 +12,9 @@ Prints ONE JSON line:
    "docs_per_sec": ..., "mb_per_sec": ...,
    "scaling": {"n": N, "4n": 4N, "thr_n": ..., "thr_4n": ..., "efficiency": ...}}
 
-Also refreshes BENCH/BASELINE.md with the scaling table.
+Every run archives its full report to BENCH/rounds/run-<stamp>.{md,json}.
+The curated, committed BENCH/BASELINE.md is only rewritten when explicitly
+asked: `python bench.py --update-baseline` (or SPARK_GRAFT_UPDATE_BASELINE=1).
 """
 
 from __future__ import annotations
@@ -295,7 +297,7 @@ def main() -> None:
     anchor = _single_doc_anchor()
     if anchor:
         result["single_doc_anchor"] = anchor
-    _write_baseline_md(result)
+    _write_run_artifacts(result)
     print(json.dumps(result))
 
 
@@ -316,13 +318,37 @@ def _read_extra_sections() -> str:
     return "" if start is None else "".join(lines[start:])
 
 
-def _write_baseline_md(r: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
-    extra = _read_extra_sections()
+def _write_run_artifacts(r: dict) -> None:
+    """Every run writes a fresh per-run record under BENCH/rounds/ (never
+    clobbered). The curated, committed BENCH/BASELINE.md is rewritten ONLY
+    when explicitly requested (--update-baseline or
+    SPARK_GRAFT_UPDATE_BASELINE=1) — round 3's driver bench silently
+    overwrote the committed record with a hotter-box run, losing provenance;
+    per-run artifacts keep every measurement, BASELINE.md states which run
+    it summarizes."""
+    os.makedirs("BENCH/rounds", exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    run_path = f"BENCH/rounds/run-{stamp}.md"
+    _write_report_md(r, run_path, extra="",
+                     provenance=f"Run recorded {stamp}Z by bench.py.")
+    with open(f"BENCH/rounds/run-{stamp}.json", "w") as f:
+        json.dump(r, f, indent=1)
+    update = ("--update-baseline" in sys.argv
+              or os.environ.get("SPARK_GRAFT_UPDATE_BASELINE") == "1")
+    if update:
+        _write_report_md(
+            r, "BENCH/BASELINE.md", extra=_read_extra_sections(),
+            provenance=(f"Curated record; summarizes the run archived at "
+                        f"`{run_path}`. Regenerate deliberately with "
+                        "`python bench.py --update-baseline`."))
+
+
+def _write_report_md(r: dict, path: str, extra: str, provenance: str) -> None:
     s = r["scaling"]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(path, "w") as f:
         f.write(
             "# BENCH — extraction throughput & scaling\n\n"
+            f"{provenance}\n\n"
             f"Input: `{SF_DIR}` corpus ×{MULT} = {r['n_docs']} interleaved docs.\n\n"
             "| metric | value |\n|---|---|\n"
             f"| extraction wall (local[{CPUS}]) | {r['value']} s |\n"
