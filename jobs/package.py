@@ -18,7 +18,10 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .c: the C tokenizer source, compiled lazily per executor
+                # machine by kernel/ctokenizer.py (read via pkgutil from
+                # this zip); falls back to pure Python when gcc is absent
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)

@@ -1,0 +1,1239 @@
+/* C-accelerated HTML5 tokenizer scan module.
+ *
+ * A byte-level mirror of ksoup_spark/kernel/tokenizer.py (which itself
+ * reimplements the reference's TokeniserState.kt:8-1768 / Tokeniser.kt:36-227
+ * semantics from scratch). This module implements the same state machine over
+ * the UTF-8 encoding of the input and emits the SAME Python token tuples:
+ *
+ *   ("text", data)                      coalesced character runs
+ *   ("start", name, attrs, selfclosing) attrs: list[(name, value|None)]
+ *   ("end", name)
+ *   ("comment", data, bogus)
+ *   ("cdata", data)
+ *   ("doctype", name, public_id, system_id, force_quirks)
+ *   ("eof",)
+ *
+ * Entry point: tokenize(s, start_byte, state, rawtext_tag, max_tokens)
+ *   -> (tokens: list, next_byte: int, done: bool)
+ *
+ * The scan PAUSES (returns early) right after emitting a start tag whose
+ * lowercased name may make the tree builder switch tokenizer state
+ * (title/textarea/style/script/xmp/iframe/noembed/noframes/plaintext,
+ * plus noscript for safety) so the Python tree builder can set the state
+ * before the next batch; it also pauses every max_tokens tokens so the
+ * StreamParser-style drivers stay bounded-memory.
+ *
+ * Only the no-error-tracking, no-position-tracking path runs here; tracked
+ * parses use the pure-Python tokenizer (see ctokenizer.py). Entity tables
+ * come from the same stdlib source (html.entities.html5) as entities.py,
+ * generated into entities_gen.h at build time.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+
+#include "entities_gen.h"
+
+/* tokenizer content states (must match tokenizer.py) */
+#define ST_DATA 0
+#define ST_RCDATA 1
+#define ST_RAWTEXT 2
+#define ST_SCRIPT 3
+#define ST_PLAINTEXT 4
+
+#define MAX_ATTRS 512
+
+static PyObject *S_text, *S_start, *S_end, *S_comment, *S_cdata, *S_doctype,
+    *S_eof, *S_script, *S_empty, *EOF_TOK;
+
+/* ---- interned common tag/attr names (filled by set_interns) ------------- */
+#define ITAB 2048
+static PyObject *itab_obj[ITAB];
+static const char *itab_key[ITAB];
+static Py_ssize_t itab_len[ITAB];
+
+static unsigned hash_bytes(const char *s, Py_ssize_t n) {
+    unsigned h = 2166136261u;
+    for (Py_ssize_t i = 0; i < n; i++) h = (h ^ (unsigned char)s[i]) * 16777619u;
+    return h;
+}
+
+/* new reference to an interned name, or a fresh str */
+static PyObject *name_obj(const char *p, Py_ssize_t len) {
+    if (len > 0 && len <= 32) {
+        unsigned h = hash_bytes(p, len) & (ITAB - 1);
+        while (itab_key[h]) {
+            if (itab_len[h] == len && memcmp(itab_key[h], p, (size_t)len) == 0) {
+                Py_INCREF(itab_obj[h]);
+                return itab_obj[h];
+            }
+            h = (h + 1) & (ITAB - 1);
+        }
+    }
+    return PyUnicode_DecodeUTF8(p, len, NULL);
+}
+
+/* ---- tokenizer context --------------------------------------------------- */
+typedef struct {
+    const char *s;
+    Py_ssize_t n;
+    Py_ssize_t p;
+    int state;
+    PyObject *out;       /* list of token tuples */
+    Py_ssize_t ntok;
+    Py_ssize_t max;
+    int paused;
+    PyObject *rawtext_tag; /* borrowed */
+    char *needle;          /* "</" + rawtext_tag bytes */
+    Py_ssize_t nlen;
+    char *buf;             /* scratch decode buffer */
+    Py_ssize_t blen, bcap;
+} Tok;
+
+static int buf_reserve(Tok *t, Py_ssize_t extra) {
+    if (t->blen + extra <= t->bcap) return 0;
+    Py_ssize_t cap = t->bcap ? t->bcap : 256;
+    while (cap < t->blen + extra) cap *= 2;
+    char *nb = (char *)PyMem_Realloc(t->buf, (size_t)cap);
+    if (!nb) { PyErr_NoMemory(); return -1; }
+    t->buf = nb;
+    t->bcap = cap;
+    return 0;
+}
+
+static int buf_put(Tok *t, const char *p, Py_ssize_t len) {
+    if (len <= 0) return 0;
+    if (buf_reserve(t, len)) return -1;
+    memcpy(t->buf + t->blen, p, (size_t)len);
+    t->blen += len;
+    return 0;
+}
+
+static int buf_fffd(Tok *t) { return buf_put(t, "\xEF\xBF\xBD", 3); }
+
+/* append token (steals reference); returns -1 on error */
+static int emit(Tok *t, PyObject *tok) {
+    if (!tok) return -1;
+    int r = PyList_Append(t->out, tok);
+    Py_DECREF(tok);
+    if (r) return -1;
+    t->ntok++;
+    return 0;
+}
+
+static int emit_eof(Tok *t) {
+    Py_INCREF(EOF_TOK);
+    return emit(t, EOF_TOK);
+}
+
+static int emit2(Tok *t, PyObject *kind, PyObject *a) {
+    /* steals a */
+    if (!a) return -1;
+    PyObject *tup = PyTuple_Pack(2, kind, a);
+    Py_DECREF(a);
+    return emit(t, tup);
+}
+
+/* emit ("text", ...) from buf + trailing clean span [a,b); skips empty */
+static int emit_text_span(Tok *t, Py_ssize_t a, Py_ssize_t b) {
+    PyObject *str;
+    if (t->blen == 0) {
+        if (b <= a) return 0;
+        str = PyUnicode_DecodeUTF8(t->s + a, b - a, NULL);
+    } else {
+        if (buf_put(t, t->s + a, b - a)) return -1;
+        str = PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+    }
+    return emit2(t, S_text, str);
+}
+
+static int is_ws(char c) {
+    return c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ' ';
+}
+static int is_ascii_alpha(char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+static char lc(char c) { return (c >= 'A' && c <= 'Z') ? (char)(c + 32) : c; }
+
+/* Unicode-alpha test at byte i (mirrors Python str.isalpha for 1 char) */
+static int uni_alpha_at(const char *s, Py_ssize_t n, Py_ssize_t i) {
+    unsigned char c = (unsigned char)s[i];
+    if (c < 0x80) return is_ascii_alpha((char)c);
+    /* decode one UTF-8 codepoint (input came from a valid str, so trust it) */
+    Py_UCS4 cp = 0;
+    if ((c & 0xE0) == 0xC0 && i + 1 < n)
+        cp = ((Py_UCS4)(c & 0x1F) << 6) | ((unsigned char)s[i + 1] & 0x3F);
+    else if ((c & 0xF0) == 0xE0 && i + 2 < n)
+        cp = ((Py_UCS4)(c & 0x0F) << 12) |
+             (((Py_UCS4)((unsigned char)s[i + 1] & 0x3F)) << 6) |
+             ((unsigned char)s[i + 2] & 0x3F);
+    else if ((c & 0xF8) == 0xF0 && i + 3 < n)
+        cp = ((Py_UCS4)(c & 0x07) << 18) |
+             (((Py_UCS4)((unsigned char)s[i + 1] & 0x3F)) << 12) |
+             (((Py_UCS4)((unsigned char)s[i + 2] & 0x3F)) << 6) |
+             ((unsigned char)s[i + 3] & 0x3F);
+    else
+        return 0;
+    return Py_UNICODE_ISALPHA(cp);
+}
+
+/* ---- character references (mirror of entities.consume_charref) ---------- */
+
+static const Py_UCS4 WIN1252[32] = {
+    0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+    0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178,
+};
+
+static int put_cp(char *out, Py_UCS4 cp) {
+    if (cp < 0x80) { out[0] = (char)cp; return 1; }
+    if (cp < 0x800) {
+        out[0] = (char)(0xC0 | (cp >> 6));
+        out[1] = (char)(0x80 | (cp & 0x3F));
+        return 2;
+    }
+    if (cp < 0x10000) {
+        out[0] = (char)(0xE0 | (cp >> 12));
+        out[1] = (char)(0x80 | ((cp >> 6) & 0x3F));
+        out[2] = (char)(0x80 | (cp & 0x3F));
+        return 3;
+    }
+    out[0] = (char)(0xF0 | (cp >> 18));
+    out[1] = (char)(0x80 | ((cp >> 12) & 0x3F));
+    out[2] = (char)(0x80 | ((cp >> 6) & 0x3F));
+    out[3] = (char)(0x80 | (cp & 0x3F));
+    return 4;
+}
+
+static const Ent *ent_lookup(const char *name, Py_ssize_t len) {
+    int lo = 0, hi = N_ENTS - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const Ent *e = &ENTS[mid];
+        size_t el = strlen(e->name);
+        int c = memcmp(e->name, name, (size_t)((Py_ssize_t)el < len ? (Py_ssize_t)el : len));
+        if (c == 0) c = (el < (size_t)len) ? -1 : (el > (size_t)len ? 1 : 0);
+        if (c == 0) return e;
+        if (c < 0) lo = mid + 1;
+        else hi = mid - 1;
+    }
+    return NULL;
+}
+
+/* Try to decode a character reference at s[i] (i points AFTER '&') within
+ * [i, limit). additional: extra terminator char or -1. Returns 1 and fills
+ * out/outlen/next on success; 0 when '&' stays literal. */
+static int charref(const char *s, Py_ssize_t limit, Py_ssize_t i,
+                   int additional, int in_attr,
+                   Py_ssize_t *next, char out[16], int *outlen) {
+    if (i >= limit) return 0;
+    char c = s[i];
+    if (c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ' ' ||
+        c == '<' || c == '&')
+        return 0;
+    if (additional >= 0 && c == (char)additional) return 0;
+    if (c == '#') {
+        Py_ssize_t j = i + 1;
+        int hex = (j < limit && (s[j] == 'x' || s[j] == 'X'));
+        if (hex) j++;
+        Py_ssize_t d0 = j;
+        long long cp = 0;
+        int over = 0;
+        while (j < limit) {
+            char d = s[j];
+            int v;
+            if (d >= '0' && d <= '9') v = d - '0';
+            else if (hex && d >= 'a' && d <= 'f') v = d - 'a' + 10;
+            else if (hex && d >= 'A' && d <= 'F') v = d - 'A' + 10;
+            else break;
+            if (!over) {
+                cp = cp * (hex ? 16 : 10) + v;
+                if (cp > 0x7FFFFFFFLL) over = 1;
+            }
+            j++;
+        }
+        if (j == d0) return 0; /* no numerals -> literal '&' */
+        if (j < limit && s[j] == ';') j++;
+        if (over) cp = -1;
+        if (cp == -1 || cp > 0x10FFFF) {
+            memcpy(out, "\xEF\xBF\xBD", 3); *outlen = 3; *next = j; return 1;
+        }
+        if (cp >= 0x80 && cp < 0xA0) cp = WIN1252[cp - 0x80];
+        if ((cp >= 0xD800 && cp <= 0xDFFF) || cp == 0) {
+            memcpy(out, "\xEF\xBF\xBD", 3); *outlen = 3; *next = j; return 1;
+        }
+        *outlen = put_cp(out, (Py_UCS4)cp);
+        *next = j;
+        return 1;
+    }
+    /* named: [A-Za-z]+[0-9]* */
+    Py_ssize_t j = i;
+    while (j < limit && is_ascii_alpha(s[j])) j++;
+    if (j == i) return 0;
+    while (j < limit && s[j] >= '0' && s[j] <= '9') j++;
+    Py_ssize_t nlen = j - i;
+    const Ent *e = (nlen <= 64) ? ent_lookup(s + i, nlen) : NULL;
+    int looks_legit = (j < limit && s[j] == ';');
+    const char *val = NULL;
+    if (e) {
+        if (e->base_val) val = looks_legit && e->semi_val ? e->semi_val
+                                                          : e->base_val;
+        else if (looks_legit && e->semi_val) val = e->semi_val;
+    }
+    if (!val) return 0;
+    if (in_attr && !looks_legit && j < limit &&
+        (s[j] == '=' || s[j] == '-' || s[j] == '_'))
+        return 0;
+    size_t vl = strlen(val);
+    memcpy(out, val, vl);
+    *outlen = (int)vl;
+    *next = looks_legit ? j + 1 : j;
+    return 1;
+}
+
+/* ---- pause tags ---------------------------------------------------------- */
+static int is_pause_tag(const char *p, Py_ssize_t len) {
+    static const char *tags[] = {"title", "textarea", "style", "script",
+                                 "xmp", "iframe", "noembed", "noframes",
+                                 "plaintext", "noscript", NULL};
+    if (len < 3 || len > 9) return 0;
+    char low[10];
+    for (Py_ssize_t i = 0; i < len; i++) low[i] = lc(p[i]);
+    low[len] = 0;
+    for (int k = 0; tags[k]; k++)
+        if (strcmp(low, tags[k]) == 0) return 1;
+    return 0;
+}
+
+/* ---- case-insensitive (ASCII) substring search --------------------------- */
+static Py_ssize_t ci_find(const char *s, Py_ssize_t n, Py_ssize_t from,
+                          const char *needle, Py_ssize_t m) {
+    if (m == 0) return from <= n ? from : -1;
+    /* semantics: exact match of the needle against the LOWERCASED haystack
+     * (mirrors Python's low.find(needle)); a needle containing uppercase
+     * ASCII can therefore never match */
+    for (Py_ssize_t k = 0; k < m; k++)
+        if (needle[k] >= 'A' && needle[k] <= 'Z') return -1;
+    char c0 = needle[0];
+    for (Py_ssize_t i = from; i + m <= n; i++) {
+        if (lc(s[i]) != c0) {
+            /* fast skip with memchr on the (usually ASCII-lower) first char */
+            const char *hit = memchr(s + i, c0, (size_t)(n - m - i + 1));
+            const char *hit2 = (c0 >= 'a' && c0 <= 'z')
+                ? memchr(s + i, c0 - 32, (size_t)(n - m - i + 1)) : NULL;
+            if (!hit && !hit2) return -1;
+            const char *best = hit ? (hit2 && hit2 < hit ? hit2 : hit) : hit2;
+            i = best - s;
+        }
+        Py_ssize_t k = 1;
+        while (k < m && lc(s[i + k]) == needle[k]) k++;
+        if (k == m) return i;
+    }
+    return -1;
+}
+
+/* exact find */
+static Py_ssize_t x_find(const char *s, Py_ssize_t n, Py_ssize_t from,
+                         const char *needle, Py_ssize_t m) {
+    while (from + m <= n) {
+        const char *hit = memchr(s + from, needle[0], (size_t)(n - from - m + 1));
+        if (!hit) return -1;
+        Py_ssize_t i = hit - s;
+        if (memcmp(s + i, needle, (size_t)m) == 0) return i;
+        from = i + 1;
+    }
+    return -1;
+}
+
+/* ---- tag parsing ---------------------------------------------------------
+ * Mirrors tokenizer.Tokenizer._tag + _attr_value + _decode_value.
+ * On entry t->p is unused; p points at the first char of the name (alpha).
+ * Emits 0 or 1 token. Returns -1 on error, else 0. Sets t->p past the tag.
+ */
+
+static int tagname_stop(char c) {
+    return is_ws(c) || c == '/' || c == '>' || c == '<' || c == '\0';
+}
+static int attrname_stop(char c) {
+    return is_ws(c) || c == '/' || c == '=' || c == '>' || c == '<' ||
+           c == '\0';
+}
+
+/* scan name-ish run with NUL -> U+FFFD splice; returns new p; builds into
+ * buf only when a NUL is present, else *span_a/*span_b give the clean span.
+ * used_buf set accordingly. */
+static Py_ssize_t scan_name(Tok *t, Py_ssize_t p, int (*stop)(char),
+                            Py_ssize_t *span_a, Py_ssize_t *span_b,
+                            int *used_buf, int *err) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t a = p;
+    while (p < n && !stop(s[p])) p++;
+    if (p >= n || s[p] != '\0') {
+        *span_a = a; *span_b = p; *used_buf = 0;
+        return p;
+    }
+    t->blen = 0;
+    if (buf_put(t, s + a, p - a)) { *err = 1; return p; }
+    while (p < n && s[p] == '\0') {
+        if (buf_fffd(t)) { *err = 1; return p; }
+        p++;
+        Py_ssize_t a2 = p;
+        while (p < n && !stop(s[p])) p++;
+        if (buf_put(t, s + a2, p - a2)) { *err = 1; return p; }
+    }
+    *used_buf = 1;
+    return p;
+}
+
+/* decode an attribute value chunk [a,b) with '&' (additional, in_attr=1)
+ * and NUL handling into a new str. quote: the additional-allowed char
+ * terminator for charrefs, or -1. */
+static PyObject *decode_value(Tok *t, Py_ssize_t a, Py_ssize_t b, int quote) {
+    const char *s = t->s;
+    const char *amp = memchr(s + a, '&', (size_t)(b - a));
+    const char *nul = memchr(s + a, '\0', (size_t)(b - a));
+    if (!amp && !nul) return PyUnicode_DecodeUTF8(s + a, b - a, NULL);
+    t->blen = 0;
+    Py_ssize_t i = a;
+    while (i < b) {
+        char c = s[i];
+        if (c == '&') {
+            char out[16]; int ol; Py_ssize_t nx;
+            if (charref(s, b, i + 1, quote, 1, &nx, out, &ol)) {
+                if (buf_put(t, out, ol)) return NULL;
+                i = nx;
+            } else {
+                if (buf_put(t, "&", 1)) return NULL;
+                i++;
+            }
+        } else if (c == '\0') {
+            if (buf_fffd(t)) return NULL;
+            i++;
+        } else {
+            const char *j = memchr(s + i, '&', (size_t)(b - i));
+            const char *k = memchr(s + i, '\0', (size_t)(b - i));
+            Py_ssize_t stop = b;
+            if (j && j - s < stop) stop = j - s;
+            if (k && k - s < stop) stop = k - s;
+            if (buf_put(t, s + i, stop - i)) return NULL;
+            i = stop;
+        }
+    }
+    return PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+}
+
+/* push (name, value) onto attrs with <=0x20 edge-trim and the 512 cap.
+ * name given as bytes; value is a NEW reference or NULL for boolean
+ * (boolean -> Py_None). Steals value. Returns -1 on error. */
+static int push_attr(PyObject *attrs, const char *np, Py_ssize_t nl,
+                     PyObject *value) {
+    while (nl > 0 && (unsigned char)np[0] <= 0x20) { np++; nl--; }
+    while (nl > 0 && (unsigned char)np[nl - 1] <= 0x20) nl--;
+    if (nl == 0 || PyList_GET_SIZE(attrs) >= MAX_ATTRS) {
+        Py_XDECREF(value);
+        return 0;
+    }
+    PyObject *nm = name_obj(np, nl);
+    if (!nm) { Py_XDECREF(value); return -1; }
+    PyObject *v = value ? value : (Py_INCREF(Py_None), Py_None);
+    PyObject *pair = PyTuple_Pack(2, nm, v);
+    Py_DECREF(nm);
+    Py_DECREF(v);
+    if (!pair) return -1;
+    int r = PyList_Append(attrs, pair);
+    Py_DECREF(pair);
+    return r;
+}
+
+/* parse tag at p (first char of name); is_start: emit start vs end token.
+ * Mirrors _tag: EOF inside tag drops the token (emits nothing). */
+static int tagtok(Tok *t, Py_ssize_t p, int is_start) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t na, nb;
+    int nbuf = 0, err = 0;
+    p = scan_name(t, p, tagname_stop, &na, &nb, &nbuf, &err);
+    if (err) return -1;
+    PyObject *name = NULL;
+    /* fast path: '<name>' — only valid when the name had no NUL splice
+     * (mirrors: the Python fast path fires right after the FIRST regex
+     * match; a NUL match falls through to the general loop) */
+    if (!nbuf && p < n && s[p] == '>') {
+        name = name_obj(s + na, nb - na);
+        if (!name) return -1;
+        t->p = p + 1;
+        PyObject *tok;
+        if (is_start) {
+            PyObject *attrs = PyList_New(0);
+            if (!attrs) { Py_DECREF(name); return -1; }
+            tok = PyTuple_Pack(4, S_start, name, attrs, Py_False);
+            Py_DECREF(attrs);
+            if (is_pause_tag(s + na, nb - na)) t->paused = 1;
+        } else {
+            tok = PyTuple_Pack(2, S_end, name);
+        }
+        Py_DECREF(name);
+        return emit(t, tok);
+    }
+    if (nbuf)
+        name = PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+    else
+        name = name_obj(s + na, nb - na);
+    if (!name) return -1;
+    /* stash lowercase-pause info before buf gets reused */
+    int pause = is_start && (nbuf ? is_pause_tag(t->buf, t->blen)
+                                  : is_pause_tag(s + na, nb - na));
+
+    PyObject *attrs = PyList_New(0);
+    if (!attrs) { Py_DECREF(name); return -1; }
+    int selfclosing = 0;
+
+    for (;;) {
+        while (p < n && is_ws(s[p])) p++;
+        if (p < n) {
+            char c = s[p];
+            if (c == '>') { p++; goto emit_tag; }
+            if (c == '<') { goto emit_tag; } /* reprocessed as markup */
+            if (c == '/') {
+                if (p + 1 < n && s[p + 1] == '>') {
+                    p += 2; selfclosing = 1; goto emit_tag;
+                }
+                p++;
+                continue;
+            }
+        }
+        if (p >= n) goto drop_tag; /* EOF inside tag */
+
+        /* attribute name */
+        char anbuf_prefix = 0;
+        Py_ssize_t aa, ab;
+        int abuf = 0;
+        if (s[p] == '=') {
+            anbuf_prefix = '=';
+            p++;
+            aa = p;
+            while (p < n && !attrname_stop(s[p])) p++;
+            ab = p;
+        } else {
+            err = 0;
+            p = scan_name(t, p, attrname_stop, &aa, &ab, &abuf, &err);
+            if (err) goto fail;
+            if ((abuf ? t->blen : ab - aa) == 0) { p++; continue; }
+        }
+        /* materialize the name bytes (buf may be reused by value decode) */
+        char astack[128];
+        char *anp;
+        Py_ssize_t anl;
+        char *aheap = NULL;
+        {
+            const char *src = abuf ? t->buf : s + aa;
+            Py_ssize_t sl = abuf ? t->blen : ab - aa;
+            anl = sl + (anbuf_prefix ? 1 : 0);
+            if (anl <= (Py_ssize_t)sizeof(astack)) anp = astack;
+            else {
+                aheap = (char *)PyMem_Malloc((size_t)anl);
+                if (!aheap) { PyErr_NoMemory(); goto fail; }
+                anp = aheap;
+            }
+            Py_ssize_t off = 0;
+            if (anbuf_prefix) anp[off++] = '=';
+            memcpy(anp + off, src, (size_t)sl);
+        }
+
+        while (p < n && is_ws(s[p])) p++;
+        if (p < n && s[p] == '=') {
+            p++;
+            while (p < n && is_ws(s[p])) p++;
+            if (p >= n) {
+                /* EOF in before-attribute-value: emit the pending tag */
+                Py_INCREF(S_empty);
+                if (push_attr(attrs, anp, anl, S_empty)) {
+                    if (aheap) PyMem_Free(aheap);
+                    goto fail;
+                }
+                if (aheap) PyMem_Free(aheap);
+                p = n;
+                goto emit_tag;
+            }
+            char c = s[p];
+            PyObject *val = NULL;
+            if (c == '"' || c == '\'') {
+                const char *qh = memchr(s + p + 1, c, (size_t)(n - p - 1));
+                Py_ssize_t vend = qh ? qh - s : n;
+                val = decode_value(t, p + 1, vend, (int)c);
+                if (!val) { if (aheap) PyMem_Free(aheap); goto fail; }
+                if (!qh) {
+                    /* EOF in quoted value: drop tag */
+                    Py_DECREF(val);
+                    if (aheap) PyMem_Free(aheap);
+                    goto drop_tag;
+                }
+                p = vend + 1;
+            } else {
+                /* unquoted: stop at ws / '>' ; '&' and NUL handled inline */
+                t->blen = 0;
+                Py_ssize_t va = p;
+                int dirty = 0;
+                for (;;) {
+                    Py_ssize_t ca = p;
+                    while (p < n && !is_ws(s[p]) && s[p] != '>' &&
+                           s[p] != '&' && s[p] != '\0')
+                        p++;
+                    if (dirty) {
+                        if (buf_put(t, s + ca, p - ca)) { if (aheap) PyMem_Free(aheap); goto fail; }
+                    }
+                    if (p >= n) break;
+                    char d = s[p];
+                    if (is_ws(d) || d == '>') break;
+                    if (!dirty) {
+                        /* spill the clean prefix */
+                        if (buf_put(t, s + va, p - va)) { if (aheap) PyMem_Free(aheap); goto fail; }
+                        dirty = 1;
+                    }
+                    if (d == '\0') {
+                        if (buf_fffd(t)) { if (aheap) PyMem_Free(aheap); goto fail; }
+                        p++;
+                    } else { /* '&' */
+                        char out[16]; int ol; Py_ssize_t nx;
+                        if (charref(s, n, p + 1, '>', 1, &nx, out, &ol)) {
+                            if (buf_put(t, out, ol)) { if (aheap) PyMem_Free(aheap); goto fail; }
+                            p = nx;
+                        } else {
+                            if (buf_put(t, "&", 1)) { if (aheap) PyMem_Free(aheap); goto fail; }
+                            p++;
+                        }
+                    }
+                }
+                val = dirty ? PyUnicode_DecodeUTF8(t->buf, t->blen, NULL)
+                            : PyUnicode_DecodeUTF8(s + va, p - va, NULL);
+                if (!val) { if (aheap) PyMem_Free(aheap); goto fail; }
+            }
+            if (push_attr(attrs, anp, anl, val)) { if (aheap) PyMem_Free(aheap); goto fail; }
+        } else {
+            if (push_attr(attrs, anp, anl, NULL)) { if (aheap) PyMem_Free(aheap); goto fail; }
+        }
+        if (aheap) PyMem_Free(aheap);
+    }
+
+emit_tag:
+    t->p = p;
+    {
+        PyObject *tok;
+        if (is_start) {
+            tok = PyTuple_Pack(4, S_start, name, attrs,
+                               selfclosing ? Py_True : Py_False);
+            if (pause) t->paused = 1;
+        } else {
+            tok = PyTuple_Pack(2, S_end, name);
+        }
+        Py_DECREF(name);
+        Py_DECREF(attrs);
+        return emit(t, tok);
+    }
+drop_tag:
+    t->p = n;
+    Py_DECREF(name);
+    Py_DECREF(attrs);
+    return 0;
+fail:
+    Py_DECREF(name);
+    Py_DECREF(attrs);
+    return -1;
+}
+
+/* ---- comments / doctype / cdata ------------------------------------------ */
+
+/* emit ("comment", s[a:b] with NUL->FFFD, bogus) */
+static int emit_comment(Tok *t, Py_ssize_t a, Py_ssize_t b, int bogus) {
+    PyObject *data;
+    const char *nul = memchr(t->s + a, '\0', (size_t)(b - a));
+    if (!nul) {
+        data = PyUnicode_DecodeUTF8(t->s + a, b - a, NULL);
+    } else {
+        t->blen = 0;
+        Py_ssize_t i = a;
+        while (i < b) {
+            const char *z = memchr(t->s + i, '\0', (size_t)(b - i));
+            Py_ssize_t stop = z ? z - t->s : b;
+            if (buf_put(t, t->s + i, stop - i)) return -1;
+            i = stop;
+            if (i < b) { if (buf_fffd(t)) return -1; i++; }
+        }
+        data = PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+    }
+    if (!data) return -1;
+    PyObject *tok = PyTuple_Pack(3, S_comment, data,
+                                 bogus ? Py_True : Py_False);
+    Py_DECREF(data);
+    return emit(t, tok);
+}
+
+static int bogus_comment(Tok *t, Py_ssize_t p) {
+    const char *gt = memchr(t->s + p, '>', (size_t)(t->n - p));
+    Py_ssize_t b = gt ? gt - t->s : t->n;
+    t->p = gt ? b + 1 : t->n;
+    return emit_comment(t, p, b, 1);
+}
+
+static int comment(Tok *t, Py_ssize_t p) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    if (p < n && s[p] == '>') { t->p = p + 1; return emit_comment(t, p, p, 0); }
+    if (p + 1 < n && s[p] == '-' && s[p + 1] == '>') {
+        t->p = p + 2;
+        return emit_comment(t, p, p, 0);
+    }
+    Py_ssize_t e1 = x_find(s, n, p, "-->", 3);
+    Py_ssize_t e2 = x_find(s, n, p, "--!>", 4);
+    Py_ssize_t b;
+    if (e2 != -1 && (e1 == -1 || e2 < e1)) { b = e2; t->p = e2 + 4; }
+    else if (e1 != -1) { b = e1; t->p = e1 + 3; }
+    else { b = n; t->p = n; }
+    return emit_comment(t, p, b, 0);
+}
+
+/* doctype identifier in quotes at p; mirrors _doctype_quoted */
+static int doctype_quoted(Tok *t, Py_ssize_t *pp, Py_ssize_t *ia,
+                          Py_ssize_t *ib, int *ok) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n, p = *pp;
+    if (p >= n || (s[p] != '"' && s[p] != '\'')) {
+        *ia = *ib = -1; *ok = 0;
+        return 0;
+    }
+    char q = s[p];
+    const char *e = memchr(s + p + 1, q, (size_t)(n - p - 1));
+    if (!e) { *ia = p + 1; *ib = n; *pp = n; *ok = 0; return 0; }
+    *ia = p + 1; *ib = e - s; *pp = e - s + 1; *ok = 1;
+    return 0;
+}
+
+static PyObject *slice_or_none(Tok *t, Py_ssize_t a, Py_ssize_t b) {
+    if (a < 0) { Py_INCREF(Py_None); return Py_None; }
+    return PyUnicode_DecodeUTF8(t->s + a, b - a, NULL);
+}
+
+static int emit_doctype(Tok *t, PyObject *name, Py_ssize_t pa, Py_ssize_t pb,
+                        Py_ssize_t sa, Py_ssize_t sb, int quirks) {
+    /* steals name */
+    PyObject *pub = slice_or_none(t, pa, pb);
+    PyObject *sys = slice_or_none(t, sa, sb);
+    if (!name || !pub || !sys) {
+        Py_XDECREF(name); Py_XDECREF(pub); Py_XDECREF(sys);
+        return -1;
+    }
+    PyObject *tok = PyTuple_Pack(5, S_doctype, name, pub, sys,
+                                 quirks ? Py_True : Py_False);
+    Py_DECREF(name); Py_DECREF(pub); Py_DECREF(sys);
+    return emit(t, tok);
+}
+
+static int doctype_bogus(Tok *t, Py_ssize_t p, PyObject *name,
+                         Py_ssize_t pa, Py_ssize_t pb,
+                         Py_ssize_t sa, Py_ssize_t sb, int quirks) {
+    const char *gt = memchr(t->s + p, '>', (size_t)(t->n - p));
+    t->p = gt ? gt - t->s + 1 : t->n;
+    return emit_doctype(t, name, pa, pb, sa, sb, quirks);
+}
+
+static int doctype(Tok *t, Py_ssize_t p) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    while (p < n && is_ws(s[p])) p++;
+    if (p >= n) {
+        t->p = n;
+        Py_INCREF(Py_None);
+        return emit_doctype(t, Py_None, -1, -1, -1, -1, 1);
+    }
+    if (s[p] == '>') {
+        t->p = p + 1;
+        Py_INCREF(Py_None);
+        return emit_doctype(t, Py_None, -1, -1, -1, -1, 1);
+    }
+    /* name: run until ws or '>', NUL -> FFFD */
+    Py_ssize_t q = p;
+    while (q < n && !is_ws(s[q]) && s[q] != '>') q++;
+    PyObject *name;
+    const char *nul = memchr(s + p, '\0', (size_t)(q - p));
+    if (!nul) name = PyUnicode_DecodeUTF8(s + p, q - p, NULL);
+    else {
+        t->blen = 0;
+        Py_ssize_t i = p;
+        while (i < q) {
+            const char *z = memchr(s + i, '\0', (size_t)(q - i));
+            Py_ssize_t stop = z ? z - s : q;
+            if (buf_put(t, s + i, stop - i)) return -1;
+            i = stop;
+            if (i < q) { if (buf_fffd(t)) return -1; i++; }
+        }
+        name = PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+    }
+    if (!name) return -1;
+    p = q;
+    while (p < n && is_ws(s[p])) p++;
+    if (p < n && s[p] == '>') {
+        t->p = p + 1;
+        return emit_doctype(t, name, -1, -1, -1, -1, 0);
+    }
+    /* PUBLIC / SYSTEM keyword (ASCII-CI, 6 chars) */
+    int is_pub = 0, is_sys = 0;
+    if (p + 6 <= n) {
+        char kw[7];
+        for (int i = 0; i < 6; i++) kw[i] = lc(s[p + i]);
+        kw[6] = 0;
+        is_pub = strcmp(kw, "public") == 0;
+        is_sys = strcmp(kw, "system") == 0;
+    }
+    if (is_pub || is_sys) {
+        p += 6;
+        while (p < n && is_ws(s[p])) p++;
+        Py_ssize_t ia, ib;
+        int ok;
+        doctype_quoted(t, &p, &ia, &ib, &ok);
+        if (!ok) return doctype_bogus(t, p, name, -1, -1, -1, -1, 1);
+        Py_ssize_t pa = -1, pb = -1, sa = -1, sb = -1;
+        if (is_pub) {
+            pa = ia; pb = ib;
+            while (p < n && is_ws(s[p])) p++;
+            if (p < n && (s[p] == '"' || s[p] == '\'')) {
+                doctype_quoted(t, &p, &ia, &ib, &ok);
+                if (!ok)
+                    return doctype_bogus(t, p, name, pa, pb, -1, -1, 1);
+                sa = ia; sb = ib;
+            }
+        } else {
+            sa = ia; sb = ib;
+        }
+        while (p < n && is_ws(s[p])) p++;
+        if (p < n && s[p] == '>') {
+            t->p = p + 1;
+            return emit_doctype(t, name, pa, pb, sa, sb, 0);
+        }
+        return doctype_bogus(t, p, name, pa, pb, sa, sb, 1);
+    }
+    return doctype_bogus(t, p, name, -1, -1, -1, -1, 1);
+}
+
+/* ---- markup dispatch (after '<') ----------------------------------------- */
+
+/* Is the '<' at lt literal text? Mirrors _markup's None returns. */
+static int markup_is_literal(Tok *t, Py_ssize_t lt) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    if (lt + 1 >= n) return 1;
+    char c = s[lt + 1];
+    if (is_ascii_alpha(c) || c == '!' || c == '?') return 0;
+    if (c == '/') return lt + 2 >= n; /* '</' at EOF is literal */
+    if ((unsigned char)c >= 0x80) return !uni_alpha_at(s, n, lt + 1);
+    return 1;
+}
+
+/* run markup at t->p (pointing at '<', guaranteed non-literal);
+ * advances t->p, emits 0..1 tokens. */
+static int do_markup(Tok *t) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t p = t->p;
+    char c = s[p + 1];
+    if (is_ascii_alpha(c) || ((unsigned char)c >= 0x80))
+        return tagtok(t, p + 1, 1);
+    if (c == '!') {
+        Py_ssize_t q = p + 2;
+        if (q + 1 < n && s[q] == '-' && s[q + 1] == '-')
+            return comment(t, q + 2);
+        if (q + 7 <= n) {
+            char kw[8];
+            for (int i = 0; i < 7; i++) kw[i] = lc(s[q + i]);
+            kw[7] = 0;
+            if (strcmp(kw, "doctype") == 0) return doctype(t, q + 7);
+        }
+        if (q + 7 <= n && memcmp(s + q, "[CDATA[", 7) == 0) {
+            Py_ssize_t e = x_find(s, n, q + 7, "]]>", 3);
+            Py_ssize_t b = (e == -1) ? n : e;
+            t->p = (e == -1) ? n : e + 3;
+            PyObject *data = PyUnicode_DecodeUTF8(s + q + 7, b - (q + 7), NULL);
+            if (!data) return -1;
+            PyObject *tok = PyTuple_Pack(2, S_cdata, data);
+            Py_DECREF(data);
+            return emit(t, tok);
+        }
+        return bogus_comment(t, q);
+    }
+    if (c == '?') return bogus_comment(t, p + 1);
+    /* c == '/' (p+2 < n guaranteed by literal check) */
+    {
+        char c2 = s[p + 2];
+        if (is_ascii_alpha(c2) || ((unsigned char)c2 >= 0x80 &&
+                                   uni_alpha_at(s, n, p + 2)))
+            return tagtok(t, p + 2, 0);
+        if (c2 == '>') { t->p = p + 3; return 0; } /* '</>' dropped */
+        return bogus_comment(t, p + 1);
+    }
+}
+
+/* ---- data state ----------------------------------------------------------
+ * Returns 1 when EOF token emitted, 0 when paused / max reached, -1 error.
+ */
+static int data_state(Tok *t) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t p = t->p;
+    Py_ssize_t amp = -2; /* memoized next '&' (-1 none, -2 unknown) */
+    for (;;) {
+        t->blen = 0;
+        Py_ssize_t pend = p;
+        for (;;) {
+            if (p >= n) {
+                t->p = n;
+                if (emit_text_span(t, pend, n)) return -1;
+                if (emit_eof(t)) return -1;
+                return 1;
+            }
+            const char *ltp = memchr(s + p, '<', (size_t)(n - p));
+            Py_ssize_t lt = ltp ? ltp - s : -1;
+            if (amp != -1 && amp < p) {
+                const char *ap = memchr(s + p, '&', (size_t)(n - p));
+                amp = ap ? ap - s : -1;
+            }
+            if (lt == -1 && amp == -1) { p = n; continue; }
+            if (amp != -1 && (lt == -1 || amp < lt)) {
+                char out[16]; int ol; Py_ssize_t nx;
+                if (charref(s, n, amp + 1, -1, 0, &nx, out, &ol)) {
+                    if (buf_put(t, s + pend, amp - pend)) return -1;
+                    if (buf_put(t, out, ol)) return -1;
+                    p = nx;
+                    pend = p;
+                } else {
+                    p = amp + 1; /* literal '&' stays in the clean span */
+                }
+                continue;
+            }
+            /* '<' first */
+            if (markup_is_literal(t, lt)) {
+                p = lt + 1; /* literal '<' stays in the clean span */
+                continue;
+            }
+            t->p = lt;
+            if (emit_text_span(t, pend, lt)) return -1;
+            if (do_markup(t)) return -1;
+            p = t->p;
+            if (t->paused || t->ntok >= t->max) return 0;
+            break; /* restart outer loop: fresh buf + pend */
+        }
+    }
+}
+
+/* ---- RCDATA / RAWTEXT ----------------------------------------------------
+ * Mirrors _rcdata_or_rawtext + _emit_raw_text. Needle search is ASCII-CI
+ * against the haystack (Python lowercases the haystack; ASCII equivalent).
+ */
+
+/* emit text [a,b) with NUL->FFFD always and charref decode when wanted */
+static int emit_raw_text(Tok *t, Py_ssize_t a, Py_ssize_t b, int decode) {
+    const char *s = t->s;
+    const char *nul = memchr(s + a, '\0', (size_t)(b - a));
+    const char *amp = decode ? memchr(s + a, '&', (size_t)(b - a)) : NULL;
+    if (!nul && !amp) {
+        if (b <= a) return 0;
+        PyObject *str = PyUnicode_DecodeUTF8(s + a, b - a, NULL);
+        return emit2(t, S_text, str);
+    }
+    t->blen = 0;
+    Py_ssize_t i = a;
+    while (i < b) {
+        char c = s[i];
+        if (c == '\0') { if (buf_fffd(t)) return -1; i++; continue; }
+        if (decode && c == '&') {
+            char out[16]; int ol; Py_ssize_t nx;
+            if (charref(s, b, i + 1, -1, 0, &nx, out, &ol)) {
+                if (buf_put(t, out, ol)) return -1;
+                i = nx;
+            } else {
+                if (buf_put(t, "&", 1)) return -1;
+                i++;
+            }
+            continue;
+        }
+        const char *z = memchr(s + i, '\0', (size_t)(b - i));
+        const char *m = decode ? memchr(s + i, '&', (size_t)(b - i)) : NULL;
+        Py_ssize_t stop = b;
+        if (z && z - s < stop) stop = z - s;
+        if (m && m - s < stop) stop = m - s;
+        if (buf_put(t, s + i, stop - i)) return -1;
+        i = stop;
+    }
+    if (t->blen == 0) return 0;
+    PyObject *str = PyUnicode_DecodeUTF8(t->buf, t->blen, NULL);
+    return emit2(t, S_text, str);
+}
+
+static int emit_end_rawtag(Tok *t) {
+    PyObject *tag = t->rawtext_tag ? t->rawtext_tag : S_empty;
+    Py_INCREF(tag);
+    PyObject *tok = PyTuple_Pack(2, S_end, tag);
+    Py_DECREF(tag);
+    return emit(t, tok);
+}
+
+static int rcdata_state(Tok *t, int decode) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t p = t->p, search = p;
+    for (;;) {
+        Py_ssize_t idx = ci_find(s, n, search, t->needle, t->nlen);
+        if (idx == -1) {
+            if (decode) {
+                /* RCDATA bail-out deviation (TokeniserState.kt:196-209) */
+                Py_ssize_t j = p;
+                for (;;) {
+                    const char *jp = memchr(s + j, '<', (size_t)(n - j));
+                    if (!jp) break;
+                    j = jp - s;
+                    if (j + 1 >= n) break;
+                    char c1 = s[j + 1];
+                    if (is_ascii_alpha(c1)) {
+                        if (emit_raw_text(t, p, j, decode)) return -1;
+                        t->p = j;
+                        t->state = ST_DATA;
+                        return emit_end_rawtag(t) ? -1 : 0;
+                    }
+                    j++;
+                }
+            }
+            if (emit_raw_text(t, p, n, decode)) return -1;
+            t->p = n;
+            t->state = ST_DATA;
+            if (emit_eof(t)) return -1;
+            return 1;
+        }
+        Py_ssize_t after = idx + t->nlen;
+        if (after < n && (is_ws(s[after]) || s[after] == '/' ||
+                          s[after] == '>')) {
+            if (emit_raw_text(t, p, idx, decode)) return -1;
+            const char *gt = memchr(s + after, '>', (size_t)(n - after));
+            t->p = gt ? gt - s + 1 : n;
+            t->state = ST_DATA;
+            return emit_end_rawtag(t) ? -1 : 0;
+        }
+        if (after >= n) {
+            if (emit_raw_text(t, p, n, decode)) return -1;
+            t->p = n;
+            t->state = ST_DATA;
+            if (emit_eof(t)) return -1;
+            return 1;
+        }
+        search = idx + 2;
+    }
+}
+
+/* ---- script data ---------------------------------------------------------- */
+
+static int script_boundary(Tok *t, Py_ssize_t after) {
+    return after >= t->n || is_ws(t->s[after]) || t->s[after] == '/' ||
+           t->s[after] == '>';
+}
+
+static int finish_script(Tok *t, Py_ssize_t p0, Py_ssize_t idx) {
+    if (emit_raw_text(t, p0, idx, 0)) return -1;
+    const char *gt = memchr(t->s + idx + 8, '>', (size_t)(t->n - idx - 8));
+    t->p = gt ? gt - t->s + 1 : t->n;
+    t->state = ST_DATA;
+    Py_INCREF(S_script);
+    PyObject *tok = PyTuple_Pack(2, S_end, S_script);
+    Py_DECREF(S_script);
+    return emit(t, tok) ? -1 : 0;
+}
+
+static int script_state(Tok *t) {
+    const char *s = t->s;
+    Py_ssize_t n = t->n;
+    Py_ssize_t p0 = t->p, pos = p0;
+    int mode = 0; /* 0 plain, 1 escaped, 2 double-escaped */
+    while (pos < n) {
+        if (mode == 0) {
+            Py_ssize_t ie = ci_find(s, n, pos, "</script", 8);
+            Py_ssize_t ix = x_find(s, n, pos, "<!--", 4);
+            if (ie != -1 && script_boundary(t, ie + 8) &&
+                (ix == -1 || ie < ix))
+                return finish_script(t, p0, ie);
+            if (ix != -1 && (ie == -1 || ix < ie)) { mode = 1; pos = ix + 4; continue; }
+            if (ie != -1) { pos = ie + 2; continue; }
+            break;
+        }
+        if (mode == 1) {
+            Py_ssize_t ie = ci_find(s, n, pos, "</script", 8);
+            Py_ssize_t ic = x_find(s, n, pos, "-->", 3);
+            Py_ssize_t io = ci_find(s, n, pos, "<script", 7);
+            Py_ssize_t best = -1;
+            int kind = 0; /* 1 end, 2 close, 3 open */
+            if (ie != -1) { best = ie; kind = 1; }
+            if (ic != -1 && (best == -1 || ic < best)) { best = ic; kind = 2; }
+            if (io != -1 && (best == -1 || io < best)) { best = io; kind = 3; }
+            if (best == -1) break;
+            if (kind == 1 && script_boundary(t, best + 8))
+                return finish_script(t, p0, best);
+            if (kind == 2) { mode = 0; pos = best + 3; }
+            else if (kind == 3 && script_boundary(t, best + 7)) {
+                mode = 2; pos = best + 7;
+            } else pos = best + 2;
+            continue;
+        }
+        /* mode == 2 */
+        {
+            Py_ssize_t ie = ci_find(s, n, pos, "</script", 8);
+            Py_ssize_t ic = x_find(s, n, pos, "-->", 3);
+            Py_ssize_t best = -1;
+            int kind = 0;
+            if (ie != -1) { best = ie; kind = 1; }
+            if (ic != -1 && (best == -1 || ic < best)) { best = ic; kind = 2; }
+            if (best == -1) break;
+            if (kind == 1 && script_boundary(t, best + 8)) {
+                mode = 1; pos = best + 8;
+            } else if (kind == 2) { mode = 0; pos = best + 3; }
+            else pos = best + 2;
+        }
+    }
+    /* EOF: everything is data */
+    if (emit_raw_text(t, p0, n, 0)) return -1;
+    t->p = n;
+    t->state = ST_DATA;
+    if (emit_eof(t)) return -1;
+    return 1;
+}
+
+static int plaintext_state(Tok *t) {
+    if (emit_raw_text(t, t->p, t->n, 0)) return -1;
+    t->p = t->n;
+    t->state = ST_DATA;
+    if (emit_eof(t)) return -1;
+    return 1;
+}
+
+/* ---- entry point ----------------------------------------------------------- */
+
+static PyObject *py_tokenize(PyObject *self, PyObject *args) {
+    PyObject *str, *rtag;
+    Py_ssize_t start, maxtok;
+    int state;
+    if (!PyArg_ParseTuple(args, "OniOn", &str, &start, &state, &rtag,
+                          &maxtok))
+        return NULL;
+    Py_ssize_t n;
+    const char *s = PyUnicode_AsUTF8AndSize(str, &n);
+    if (!s) return NULL;
+
+    Tok t;
+    memset(&t, 0, sizeof(t));
+    t.s = s;
+    t.n = n;
+    t.p = start;
+    t.state = state;
+    t.max = maxtok > 0 ? maxtok : 1;
+    t.out = PyList_New(0);
+    if (!t.out) return NULL;
+    t.rawtext_tag = (rtag == Py_None) ? NULL : rtag;
+
+    char needle_stack[80];
+    char *needle_heap = NULL;
+    if (state == ST_RCDATA || state == ST_RAWTEXT) {
+        Py_ssize_t tl = 0;
+        const char *tb = "";
+        if (t.rawtext_tag) {
+            tb = PyUnicode_AsUTF8AndSize(t.rawtext_tag, &tl);
+            if (!tb) { Py_DECREF(t.out); return NULL; }
+        }
+        char *nd = needle_stack;
+        if (tl + 2 > (Py_ssize_t)sizeof(needle_stack)) {
+            needle_heap = (char *)PyMem_Malloc((size_t)(tl + 2));
+            if (!needle_heap) { Py_DECREF(t.out); return PyErr_NoMemory(); }
+            nd = needle_heap;
+        }
+        nd[0] = '<'; nd[1] = '/';
+        memcpy(nd + 2, tb, (size_t)tl);
+        t.needle = nd;
+        t.nlen = tl + 2;
+    }
+
+    int done = 0, r = 0;
+    if (t.p >= n && t.state == ST_DATA) {
+        /* mirrors next_token's p>=n check */
+        r = emit_eof(&t) ? -1 : 1;
+    }
+    while (r == 0 && !t.paused && t.ntok < t.max) {
+        switch (t.state) {
+        case ST_DATA: r = data_state(&t); break;
+        case ST_RCDATA: r = rcdata_state(&t, 1); break;
+        case ST_RAWTEXT: r = rcdata_state(&t, 0); break;
+        case ST_SCRIPT: r = script_state(&t); break;
+        default: r = plaintext_state(&t); break;
+        }
+    }
+    if (needle_heap) PyMem_Free(needle_heap);
+    PyMem_Free(t.buf);
+    if (r < 0) { Py_DECREF(t.out); return NULL; }
+    done = (r == 1);
+    PyObject *res = Py_BuildValue("(NnO)", t.out, t.p,
+                                  done ? Py_True : Py_False);
+    return res;
+}
+
+static PyObject *py_set_interns(PyObject *self, PyObject *arg) {
+    if (!PyList_Check(arg)) {
+        PyErr_SetString(PyExc_TypeError, "expected list of str");
+        return NULL;
+    }
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(arg); i++) {
+        PyObject *o = PyList_GET_ITEM(arg, i);
+        Py_ssize_t l;
+        const char *k = PyUnicode_AsUTF8AndSize(o, &l);
+        if (!k) return NULL;
+        if (l == 0 || l > 32) continue;
+        unsigned h = hash_bytes(k, l) & (ITAB - 1);
+        unsigned h0 = h;
+        while (itab_key[h]) {
+            if (itab_len[h] == l && memcmp(itab_key[h], k, (size_t)l) == 0)
+                goto next; /* already present */
+            h = (h + 1) & (ITAB - 1);
+            if (h == h0) goto next; /* table full: skip */
+        }
+        Py_INCREF(o);
+        itab_obj[h] = o;
+        itab_key[h] = k;
+        itab_len[h] = l;
+    next:;
+    }
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef Methods[] = {
+    {"tokenize", py_tokenize, METH_VARARGS,
+     "tokenize(s, start_byte, state, rawtext_tag, max_tokens)"
+     " -> (tokens, next_byte, done)"},
+    {"set_interns", py_set_interns, METH_O,
+     "register common tag/attr names for interning"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_ksoup_ctok", NULL, -1, Methods,
+};
+
+PyMODINIT_FUNC PyInit__ksoup_ctok(void) {
+    S_text = PyUnicode_InternFromString("text");
+    S_start = PyUnicode_InternFromString("start");
+    S_end = PyUnicode_InternFromString("end");
+    S_comment = PyUnicode_InternFromString("comment");
+    S_cdata = PyUnicode_InternFromString("cdata");
+    S_doctype = PyUnicode_InternFromString("doctype");
+    S_eof = PyUnicode_InternFromString("eof");
+    S_script = PyUnicode_InternFromString("script");
+    S_empty = PyUnicode_InternFromString("");
+    if (!S_text || !S_start || !S_end || !S_comment || !S_cdata ||
+        !S_doctype || !S_eof || !S_script || !S_empty)
+        return NULL;
+    EOF_TOK = PyTuple_Pack(1, S_eof);
+    if (!EOF_TOK) return NULL;
+    return PyModule_Create(&moduledef);
+}

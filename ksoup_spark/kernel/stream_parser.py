@@ -76,7 +76,11 @@ class StreamParser:
             self._tb = XmlTreeBuilder().parse_setup(html, base_uri,
                                                     **parse_kwargs)
         else:
+            # use_c=False: the stream surface meters tok.p per step (the
+            # `consumed` property / early-exit evidence) and the C batch
+            # tokenizer reports byte offsets in coarse batches
             self._tb = HtmlTreeBuilder().parse_setup(html, base_uri,
+                                                     use_c=False,
                                                      **parse_kwargs)
         self.doc: Doc = self._tb.doc
         self._scan_from = 1    # node ids below this already collected

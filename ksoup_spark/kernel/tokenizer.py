@@ -47,12 +47,17 @@ _ATTR_NAME = re.compile(r"[^\t\n\r\f /=><\x00]+")
 # then a quoted or unquoted value with no charref/NULL inside. One C-level
 # match replaces ~6 Python-level steps of the general loop below. The
 # unquoted alternative mirrors _UNQUOTED_CHUNK (stops at ws/>/&/NUL, so
-# '/' and mid-value quotes stay in the value) and must not START with a
-# quote (that shape is the quoted alternatives').
+# '/' and mid-value quotes stay in the value), must not START with a
+# quote (that shape is the quoted alternatives'), and must not be
+# FOLLOWED by '&' or NUL: the unquoted value continues through those
+# (charref decode / U+FFFD — TokeniserState.kt:911-918 AttributeValue_
+# unquoted), so such shapes take the general loop. The possessive
+# quantifier (++) keeps the run maximal — without it the lookahead would
+# backtrack the value to a shorter prefix and split it.
 _ATTR_FAST_Q = re.compile(
     r"[\t\n\r\f ]*([^\t\n\r\f /=><\x00]+)[\t\n\r\f ]*=[\t\n\r\f ]*"
     r"(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'"
-    r"|(?![\"'])([^\t\n\r\f >&\x00]+))"
+    r"|(?![\"'])([^\t\n\r\f >&\x00]++)(?![&\x00]))"
 )
 _UNQUOTED_CHUNK = re.compile(r"[^\t\n\r\f >&\x00]+")
 _DOCTYPE_KW = re.compile(r"doctype", re.IGNORECASE)

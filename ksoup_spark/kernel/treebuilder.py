@@ -21,6 +21,7 @@ from .dom import Doc
 from .parse_errors import ParseErrorList
 from .parse_settings import HTML_DEFAULT, ParseSettings
 from .tags import KNOWN_TAGS, VOID_TAGS
+from .ctokenizer import make_tokenizer
 from .tokenizer import (
     DATA as TOK_DATA,
     PLAINTEXT as TOK_PLAINTEXT,
@@ -196,9 +197,14 @@ class HtmlTreeBuilder:
     def parse_setup(self, html: str, base_uri: str = "",
                     track_errors: int = 0,
                     settings: ParseSettings | None = None,
-                    track_positions: bool = False) -> "HtmlTreeBuilder":
+                    track_positions: bool = False,
+                    use_c: bool = True) -> "HtmlTreeBuilder":
         """Prepare an incremental parse (StreamParser support): state is
-        initialized but no tokens are consumed. Drive with parse_step()."""
+        initialized but no tokens are consumed. Drive with parse_step().
+
+        use_c=False forces the pure-Python tokenizer (the StreamParser
+        meters tok.p per step and needs character-exact offsets); tracked
+        parses (errors/positions) fall back automatically."""
         self.doc.base_uri = base_uri
         if base_uri:
             self.base_latched = False
@@ -217,7 +223,10 @@ class HtmlTreeBuilder:
             # (TreeBuilder.kt:61-63: currentToken = start → implicit 0-0)
             self.doc.src_range[0] = (0, 0)
             self.doc.src_pos[0] = 0
-        self.tok = Tokenizer(html, self.perrs)
+        if use_c and self.perrs is None and not self.src_track:
+            self.tok = make_tokenizer(html)
+        else:
+            self.tok = Tokenizer(html, self.perrs)
         self.tok.track = self.src_track
         return self
 
@@ -275,7 +284,10 @@ class HtmlTreeBuilder:
             self.doc.src_end_range = {}
             self.doc.attr_src = {}
             self.doc.src_text = html
-        self.tok = Tokenizer(html, self.perrs)
+        if self.perrs is None and not self.src_track:
+            self.tok = make_tokenizer(html)
+        else:
+            self.tok = Tokenizer(html, self.perrs)
         self.tok.track = self.src_track
         html_el = self.doc.new_node(dom.ELEMENT, "html", {})
         self.doc.append_child(0, html_el)

@@ -73,18 +73,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Signed-random-projection bucket id per vector (JVM-side)."""
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Column expression: the signed-random-projection bucket id (JVM-side)."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
         parr = F.array(*[F.lit(v) for v in plane])
         sign = (_dot(F.col(vec_col), parr) > 0).cast("int")
         bucket = bucket + F.shiftleft(sign, b)
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Signed-random-projection bucket id per vector (JVM-side)."""
     return emb.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("embedding"),
-                      bucket.alias("bucket"))
+                      _bucket_expr(vec_col, dim, n_planes, seed)
+                      .alias("bucket"))
 
 
 def lsh_ann(emb: DataFrame, dim: int, query_ids: list[int], k: int = 3,
@@ -208,25 +214,41 @@ def cosine_near_dup_candidates(emb: DataFrame, dim: int, n_planes: int = 4,
                                n_seeds: int = 6, base_seed: int = 101,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding") -> DataFrame:
-    """LSH candidate pairs for cosine near-dup: union of per-seed bucket
-    self-joins. Multiple independent plane seeds recover the recall a
-    single b-bit bucketing loses (miss prob ≈ (1 - p^b)^seeds with
-    p = 1 - acos(sim)/π). The shuffle key is (seed, bucket) — cardinality
-    n_seeds × 2^n_planes — so no cartesian anywhere."""
-    cands = None
-    for s in range(n_seeds):
-        b = lsh_buckets(emb, dim, n_planes, base_seed + s, id_col, vec_col)
-        a = b.select(F.col("vec_id").alias("id_a"),
-                     F.col("embedding").alias("va"),
-                     F.col("bucket").alias("bk"))
-        c = b.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("vb"),
-                     F.col("bucket").alias("bk"))
-        p = (a.join(c, "bk")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "va", "vb"))
-        cands = p if cands is None else cands.unionByName(p)
-    return cands.dropDuplicates(["id_a", "id_b"])
+    """LSH candidate pairs for cosine near-dup. Multiple independent plane
+    seeds recover the recall a single b-bit bucketing loses (miss prob ≈
+    (1 - p^b)^seeds with p = 1 - acos(sim)/π).
+
+    Scale shape: ONE projection computes an array of (seed, bucket)
+    structs per vector, explode fans each vector out to n_seeds rows, and
+    a single self-join on (seed, bucket) yields every per-seed bucket
+    collision — one scan per join side and one shuffle, where the previous
+    union of per-seed self-joins read the embeddings table 2×n_seeds
+    times. The shuffle key is (seed, bucket) — cardinality
+    n_seeds × 2^n_planes — so no cartesian anywhere; candidate pairs
+    colliding under several seeds are deduped at the end as before."""
+    sb = F.array(*[
+        F.struct(
+            F.lit(s).alias("seed"),
+            _bucket_expr(vec_col, dim, n_planes, base_seed + s)
+            .alias("bucket"),
+        )
+        for s in range(n_seeds)
+    ])
+    keyed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.explode(sb).alias("sb"),
+    ).select("vec_id", "embedding",
+             F.col("sb.seed").alias("seed"),
+             F.col("sb.bucket").alias("bucket"))
+    a = keyed.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"), "seed", "bucket")
+    c = keyed.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("vb"), "seed", "bucket")
+    return (a.join(c, ["seed", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.95,

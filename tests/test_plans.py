@@ -54,6 +54,20 @@ def test_cosine_near_dups_bucketed_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_near_dups_single_scan_per_side(spark):
+    """Candidate generation is ONE (seed, bucket)-explode self-join, not a
+    union of per-seed joins: at most one scan of the embeddings parquet per
+    join side (2 total; fewer if the exchange is reused). The old shape
+    read the table 2×n_seeds = 12 times — at 100 TB of embeddings that is
+    the difference between one pass and twelve."""
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    df = similarity.cosine_near_dup_candidates(emb, dim=64)
+    plan = _plan(df)
+    assert plan.count("embeddings.parquet") <= 2, plan
+    # one shuffle for the self-join + one for the final pair dedup
+    assert plan.count("Exchange") <= 4, plan
+
+
 def test_jaccard_df_cut_filter_in_plan(spark):
     """Default df-cut runs as a count-per-shingle pass whose hot survivors
     anti-join the shingle stream BEFORE the posting-list aggregation, so a
