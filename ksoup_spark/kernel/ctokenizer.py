@@ -222,6 +222,27 @@ class CTokenizer:
             return toks[0]
         return _EOF
 
+    def next_batch(self):
+        """(tokens, done) — the bulk interface the tree builder's parse loop
+        iterates directly, skipping one Python call per token. A batch ends
+        at EOF, the size cap, or right after a state-switch-candidate start
+        tag (always batch-final, so the caller processes every token before
+        the next batch is cut with the possibly-updated state)."""
+        if self._i < len(self._toks):  # mixed next_token/next_batch use
+            toks = self._toks[self._i:]
+            self._i = len(self._toks)
+            return toks, self._done
+        if self._done:
+            return [_EOF], True
+        toks, bp, done = _c.tokenize(self.s, self._bp, self.state,
+                                     self.rawtext_tag, _BATCH)
+        self._bp = bp
+        self._done = done
+        self.state = DATA
+        self._toks = toks
+        self._i = len(toks)
+        return toks, done
+
 
 def make_tokenizer(s: str, errors=None, track: bool = False):
     """Factory: the C tokenizer when eligible, else the Python one."""

@@ -252,13 +252,25 @@ class HtmlTreeBuilder:
         # inlined parse_step loop: one fewer Python call per token on the
         # hot path (~40k tokens for the 448KB benchmark page); parse_step
         # itself stays for the incremental StreamParser surface
-        tok_next = self.tok.next_token
         process = self.process
-        while True:
-            tok = tok_next()
-            process(tok)
-            if tok[0] == "eof":
-                break
+        next_batch = getattr(self.tok, "next_batch", None)
+        if next_batch is not None:
+            # C tokenizer: iterate whole batches (state-switch-candidate
+            # tags are always batch-final, so process() updates tok.state
+            # before the next batch is cut)
+            while True:
+                toks, done = next_batch()
+                for tok in toks:
+                    process(tok)
+                if done:
+                    break
+        else:
+            tok_next = self.tok.next_token
+            while True:
+                tok = tok_next()
+                process(tok)
+                if tok[0] == "eof":
+                    break
         if self.perrs is not None:
             self.doc.parse_errors = list(self.perrs)
         self._finalize_positions()
@@ -367,6 +379,14 @@ class HtmlTreeBuilder:
     def norm_attrs(self, attrs: list, lower: bool = True) -> dict:
         if self.settings.preserve_attribute_case:
             lower = False  # ParseSettings.normalizeAttributes no-op
+        # fast paths for the dominant shapes (≥80% of tags on real pages)
+        if not attrs:
+            return {}
+        if len(attrs) == 1:
+            k, v = attrs[0]
+            if lower:
+                k = k.lower()
+            return {k: v} if k else {}
         out: dict = {}
         dropped = False
         for k, v in attrs:

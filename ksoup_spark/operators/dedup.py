@@ -618,18 +618,34 @@ def near_dup_clusters(df: DataFrame, pairs: DataFrame,
     shuffle join (labels onto edge sources), one min-aggregate per target,
     and one label merge, all keyed on fixed-width doc ids. Near-dup
     components are shallow (LSH-verified duplicate sets are clique-like),
-    so convergence takes ~graph-diameter iterations; each round is
-    localCheckpoint-ed to truncate the iterative lineage (the classic
+    so convergence takes ~graph-diameter iterations; each round's labels
+    are checkpointed to truncate the iterative lineage (the classic
     iterative-DataFrame OOM/stack trap), and the driver runs only a 1-row
     existence check per round, never collecting data. max_iters bounds the
     worst case (a path graph); the loop exits as soon as labels are stable.
+
+    Checkpoint durability: when a checkpoint dir is configured
+    (spark.sparkContext.setCheckpointDir, e.g. an HDFS/S3 path on a real
+    cluster), rounds use reliable DataFrame.checkpoint() — surviving
+    executor loss, which matters for a long iterative job at cluster
+    scale. Locally (no dir set) it falls back to localCheckpoint(), which
+    stores blocks on executors: cheaper, but a lost executor aborts the
+    job since the truncated lineage cannot be recomputed.
     """
+    sc = df.sparkSession.sparkContext
+    reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def _ckpt(frame: DataFrame, eager: bool = True) -> DataFrame:
+        if reliable:
+            return frame.checkpoint(eager=eager)
+        return frame.localCheckpoint(eager=eager)
+
     ids = df.select(F.col(id_col).alias("doc_id")).distinct()
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = e.unionByName(
+    edges = _ckpt(e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=False)
-    labels = ids.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    ).distinct(), eager=False)
+    labels = _ckpt(ids.withColumn("cluster_id", F.col("doc_id")))
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["a"] == labels["doc_id"])
@@ -645,8 +661,8 @@ def near_dup_clusters(df: DataFrame, pairs: DataFrame,
                     F.coalesce("nbr_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
+        merged = _ckpt(merged)
         changed = (
             merged.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -15,10 +15,14 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   elem_sibling_index arithmetic
 - positional pseudos (:first-child, :nth-child(b), :lt/:gt/:eq) -> index
   arithmetic on elem_sibling_index
+- ``:has(compound)`` -> subtree-interval LEFT-SEMI join against matching
+  descendants; ``:not(compound)`` / ``:is(compound)`` -> null-safe negated /
+  pass-through predicates
 
-Unsupported pieces (text pseudos, :has, :not, nth of-type formulas with a!=0)
-raise UnsupportedSelector — callers fall back to the kernel path
-(operators.extract.select_elements_df), which covers everything.
+Unsupported pieces (text pseudos, relative/structural :has forms, nth
+of-type formulas with a!=0) raise UnsupportedSelector — callers fall back
+to the kernel path (operators.extract.select_elements_df), which covers
+everything.
 """
 
 from __future__ import annotations
@@ -103,24 +107,39 @@ def _compound_predicate(ev) -> "F.Column":
         return F.col("elem_sibling_index") == ev.idx
     if isinstance(ev, S.IsNth) and ev.a == 0 and not ev.last and not ev.of_type:
         return F.col("elem_sibling_index") == ev.b - 1
+    if isinstance(ev, S.Is):
+        return _compound_predicate(ev.inner)
+    if isinstance(ev, S.Not):
+        # null-safe negation: a NULL inner predicate (missing attr/map)
+        # means "didn't match", so :not() must keep the row — Spark's
+        # three-valued ~NULL would silently drop it
+        return ~F.coalesce(_compound_predicate(ev.inner), F.lit(False))
     raise UnsupportedSelector(type(ev).__name__)
 
 
 def _split_structural(ev):
-    """Decompose And(compound..., structural) -> (compound pred, structural)."""
+    """Decompose And(compound..., structural, :has...) ->
+    (compound pred, structural, has_evals)."""
+    _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
+               S.PreviousSibling)
     if isinstance(ev, S.And):
-        structural = [e for e in ev.evals
-                      if isinstance(e, (S.Ancestor, S.ImmediateParentRun,
-                                        S.ImmediatePrevious, S.PreviousSibling))]
-        plain = [e for e in ev.evals if e not in structural]
+        structural, has_evals, plain = [], [], []
+        for e in ev.evals:
+            if isinstance(e, _STRUCT):
+                structural.append(e)
+            elif isinstance(e, S.Has) and not e.relative_root:
+                has_evals.append(e)
+            else:
+                plain.append(e)
         if len(structural) > 1:
             raise UnsupportedSelector("multiple structural conjuncts")
         pred = _compound_predicate(S.And(plain)) if plain else F.lit(True)
-        return pred, (structural[0] if structural else None)
-    if isinstance(ev, (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
-                       S.PreviousSibling)):
-        return F.lit(True), ev
-    return _compound_predicate(ev), None
+        return pred, (structural[0] if structural else None), has_evals
+    if isinstance(ev, _STRUCT):
+        return F.lit(True), ev, []
+    if isinstance(ev, S.Has) and not ev.relative_root:
+        return F.lit(True), None, [ev]
+    return _compound_predicate(ev), None, []
 
 
 def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
@@ -132,6 +151,29 @@ def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     return _compile_eval(nodes, ev)
 
 
+def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev) -> DataFrame:
+    """:has(sel) as a subtree-interval LEFT-SEMI join: keep subject rows
+    with at least one strict descendant (anc.node_id < d.node_id <=
+    anc.subtree_end) matching the inner selector — the reference's Has
+    semantics (select/StructuralEvaluator.kt:50-99) relationally, staying
+    pure-JVM for corpus-wide node-table queries.
+
+    Only compound (non-structural) inner selectors compile; a structural
+    inner (':has(div p)') raises UnsupportedSelector inside
+    _compound_predicate and the caller falls back to the kernel, whose
+    subtree-root memo semantics such queries need."""
+    dpred = _compound_predicate(has_ev.inner)
+    desc = nodes.filter((F.col("kind") == ELEMENT_KIND) & dpred).select(
+        F.col("doc_id").alias("_d_doc"), F.col("node_id").alias("_d_id"))
+    return out.join(
+        desc,
+        (out["doc_id"] == desc["_d_doc"])
+        & (out["node_id"] < desc["_d_id"])
+        & (desc["_d_id"] <= out["subtree_end"]),
+        "left_semi",
+    )
+
+
 def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
     elements = nodes.filter(F.col("kind") == ELEMENT_KIND)
     if isinstance(ev, S.Or):
@@ -140,10 +182,18 @@ def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
             part = _compile_eval(nodes, sub)
             out = part if out is None else out.unionByName(part)
         return out.dropDuplicates(["doc_id", "node_id"])
-    pred, structural = _split_structural(ev)
+    pred, structural, has_evals = _split_structural(ev)
     subject = elements.filter(pred)
     if structural is None:
-        return subject
+        out = subject
+        for h in has_evals:
+            out = _has_semi_join(nodes, out, h)
+        return out
+    if has_evals:
+        # apply :has to the subject side first (left-semi keeps columns),
+        # then the structural join below proceeds unchanged
+        for h in has_evals:
+            subject = _has_semi_join(nodes, subject, h)
     if isinstance(ev := structural, S.Ancestor):
         anc = _compile_eval(nodes, ev.inner).select(
             "doc_id",

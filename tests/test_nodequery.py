@@ -39,6 +39,18 @@ QUERIES = [
     "li:lt(2)",
     "p, span",
     "ul > li.x",
+    # :has / :not / :is — compiled since round 4
+    "div:has(p)",
+    "div:has(.x)",
+    "section:has(p[title])",
+    "article:has(p)",
+    "div:has(p):has(span)",
+    "div:has(p) > p",
+    "article :has(p)",
+    "li:not(.x)",
+    "p:not(#p1)",
+    "div:not([data-k])",
+    "p:is(#p1)",
 ]
 
 
@@ -71,12 +83,25 @@ def test_compiled_matches_kernel(spark, nodes, css):
 
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(p)")
-    with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
+    # structural inner selector: the kernel's subtree-root memo semantics
+    # apply — keep it on the fallback path
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(section p)")
+    # relative :has also falls back
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(> p)")
 
 
 def test_compiled_plan_is_jvm_only(spark, nodes):
     plan = nodequery.compile_selector(nodes, "div > p")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_has_plan_is_jvm_semi_join(spark, nodes):
+    plan = nodequery.compile_selector(nodes, "div:has(p)") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -584,3 +584,33 @@ def test_near_dup_clusters_path_graph_converges(spark):
     rows = dedup.near_dup_clusters(docs, pairs, max_iters=20).collect()
     assert all(r["cluster_id"] == 0 for r in rows)
     assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster posture), rounds use
+    reliable DataFrame.checkpoint(): executor-loss-safe lineage truncation.
+    Same answers, and checkpoint data actually lands in the dir."""
+    import os
+
+    import pandas as pd
+
+    from ksoup_spark.operators import dedup
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]}))
+        got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in dedup.near_dup_clusters(docs, pairs).collect()}
+        assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                       4: (4, True), 5: (4, False)}
+        walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert walked, "reliable checkpoint wrote nothing to the dir"
+    finally:
+        # don't leak the dir setting into other tests (session is shared)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty())
