@@ -924,6 +924,8 @@ class QueryParser:
         if not key:
             raise SelectorError(f"empty attr key in [{body}]")
         if cq.is_empty():
+            if key == "*":  # [*]: any attribute (QueryParser.kt:254-256)
+                return AttrStarting("")
             return HasAttr(key)
         rest = cq.q[cq.pos:]
         if rest.startswith("!="):

@@ -45,8 +45,24 @@ _EXCLUDED = {
 }
 
 
+_K_ESC = re.compile(r"\\u([0-9a-fA-F]{4})|\\(.)")
+_K_SIMPLE = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+             "0": "\0"}
+
+
 def _unkotlin(s: str) -> str:
-    return s.encode().decode("unicode_escape")
+    """Decode Kotlin string-literal escapes: \\uXXXX (with surrogate pairs
+    recombined, as Kotlin/JVM strings do), simple escapes, and pass
+    literal UTF-8 characters through untouched (the old unicode_escape
+    round-trip mangled them to latin-1 mojibake)."""
+    def sub(m):
+        if m.group(1):
+            return chr(int(m.group(1), 16))
+        c = m.group(2)
+        return _K_SIMPLE.get(c, c)
+
+    s = _K_ESC.sub(sub, s)
+    return s.encode("utf-16", "surrogatepass").decode("utf-16")
 
 
 def _norm(s: str) -> str:
@@ -137,7 +153,8 @@ def _extract_selector_cases():
             r"\s*\)\s*\.select\(\s*" + _KSTR + r"\s*\)"
             r"|val (\w+)(?::\s*Elements)? =\s*\n?\s*(?:doc|document)\.select\(\s*"
             + _KSTR + r"\s*\)"
-            r"|assertSelectedIds\(\s*(\w+)\s*((?:,\s*\"(?:[^\"\\\n]|\\.)*\"\s*)*)\)",
+            r"|assertSelected(Ids|OwnText)\(\s*(\w+)\s*"
+            r"((?:,\s*\"(?:[^\"\\\n]|\\.)*\"\s*)*)\)",
             t):
             if m.group(1):
                 env[m.group(1)] = (_unkotlin(m.group(2)), _unkotlin(m.group(3)))
@@ -149,10 +166,12 @@ def _extract_selector_cases():
                     if html:
                         env[m.group(4)] = (html if mp else _unkotlin(html),
                                            _unkotlin(m.group(5)))
-            elif m.group(6) and m.group(6) in env:
-                html, query = env.pop(m.group(6))
-                want = [_unkotlin(i) for i in re.findall(_KSTR, m.group(7) or "")]
-                cases.append((f"{name}:{query}", html, query, want))
+            elif m.group(7) and m.group(7) in env:
+                html, query = env.pop(m.group(7))
+                want = [_unkotlin(i) for i in re.findall(_KSTR, m.group(8) or "")]
+                kind = "ids" if m.group(6) == "Ids" else "owntext"
+                cases.append((f"{name}:{kind}:{query}", html, query, want,
+                              kind))
     return cases
 
 
@@ -164,11 +183,129 @@ def test_selector_sweep_count():
     assert len(_SEL_CASES) >= 8
 
 
-@pytest.mark.parametrize("name,html,query,want", _SEL_CASES,
+@pytest.mark.parametrize("name,html,query,want,kind", _SEL_CASES,
                          ids=[c[0] for c in _SEL_CASES])
-def test_selector_sweep(name, html, query, want):
+def test_selector_sweep(name, html, query, want, kind):
     from ksoup_spark.kernel import selector as S
+    from ksoup_spark.kernel.textops import own_text
 
     d = tb.parse(html)
-    got = [d.get_attr(n, "id") or "" for n in S.select(d, query)]
+    if kind == "ids":
+        got = [d.get_attr(n, "id") or "" for n in S.select(d, query)]
+    else:  # assertSelectedOwnText (SelectorTest.kt:1290-1299)
+        got = [own_text(d, n) for n in S.select(d, query)]
     assert got == want
+
+
+# -- XML builder sweep: XmlTreeBuilderTest.kt doc.html() replays --------------
+
+_XML_EXCLUDED = {
+    # OutputSettings / charset-declaration behaviors the plain replay
+    # can't pair mechanically (multi-parse or settings mutation)
+    "testDetectCharsetEncodingDeclaration",
+    "testParseDeclarationAttributes",
+    "caseSensitiveDeclaration",
+    "handlesLTinScript",
+}
+
+
+def _extract_xml_cases():
+    path = _REF / "parser/XmlTreeBuilderTest.kt"
+    if not path.exists():
+        return []
+    cases = []
+    src = path.read_text()
+    for t in re.split(r"@Test\s*\n\s*fun ", src)[1:]:
+        name = t.split("(", 1)[0]
+        if name in _XML_EXCLUDED or _MUTATING.search(t):
+            continue
+        # one xml parse per test: tb.parse(input=X) or Ksoup.parse(X, ...,
+        # parser = Parser.xmlParser())
+        parses = re.findall(
+            r"(?:tb\.parse\(\s*input\s*=|Ksoup\.parse\()", t)
+        if len(parses) != 1:
+            continue
+        if "xmlParser()" not in t and "tb.parse" not in t:
+            continue
+        vars_ = dict(re.findall(r"val (\w+)(?::\s*String)? = " + _KSTR, t))
+        mp = re.search(
+            r"(?:tb\.parse\(\s*input\s*=|Ksoup\.parse\()\s*" + _KSTR, t)
+        if mp:
+            xml = _unkotlin(mp.group(1))
+        else:
+            mv = re.search(
+                r"(?:tb\.parse\(\s*input\s*=|Ksoup\.parse\()\s*(\w+)", t)
+            if not (mv and mv.group(1) in vars_):
+                continue
+            xml = _unkotlin(vars_[mv.group(1)])
+        me = re.search(
+            r"assertEquals\(\s*\n?\s*" + _KSTR +
+            r"\s*,\s*\n?\s*(?:TextUtil\.stripNewlines\()?"
+            r"(?:doc|xmlDoc|document)\.(?:html|outerHtml)\(\)", t)
+        if me:
+            cases.append((f"XmlTreeBuilderTest.kt:{name}", xml,
+                          _unkotlin(me.group(1))))
+    return cases
+
+
+_XML_CASES = _extract_xml_cases()
+
+
+@pytest.mark.skipif(not _XML_CASES, reason="reference checkout not available")
+def test_xml_sweep_count():
+    # most XmlTreeBuilderTest cases assert node names/counts/settings, not
+    # serialized html; the single-parse html() replays are a small set
+    assert len(_XML_CASES) >= 3
+
+
+@pytest.mark.parametrize("name,xml,want", _XML_CASES,
+                         ids=[c[0] for c in _XML_CASES])
+def test_xml_sweep(name, xml, want):
+    from ksoup_spark.kernel.xml import parse_xml
+
+    d = parse_xml(xml)
+    got = inner_html(d, 0, pretty=True, xml_mode=True)
+    assert _norm(got) == _norm(want)
+
+
+# -- entities sweep: EntitiesTest.kt Entities.unescape replays ----------------
+
+def _extract_unescape_cases():
+    path = _REF / "nodes/EntitiesTest.kt"
+    if not path.exists():
+        return []
+    src = path.read_text()
+    cases = []
+    # literal-to-literal: assertEquals("want", Entities.unescape("input"))
+    for name_block in re.split(r"@Test\s*\n\s*fun ", src)[1:]:
+        name = name_block.split("(", 1)[0]
+        vars_ = dict(re.findall(
+            r"val (\w+)(?::\s*String)? = " + _KSTR, name_block))
+        for m in re.finditer(
+            r"assertEquals\(\s*(?:" + _KSTR + r"|(\w+))\s*,\s*"
+            r"Entities\.unescape\(\s*(?:" + _KSTR + r"|(\w+))\s*\)",
+            name_block,
+        ):
+            want = _unkotlin(m.group(1)) if m.group(1) is not None else \
+                (_unkotlin(vars_[m.group(2)]) if m.group(2) in vars_ else None)
+            inp = _unkotlin(m.group(3)) if m.group(3) is not None else \
+                (_unkotlin(vars_[m.group(4)]) if m.group(4) in vars_ else None)
+            if want is not None and inp is not None:
+                cases.append((f"EntitiesTest.kt:{name}", inp, want))
+    return cases
+
+
+_UNESC_CASES = _extract_unescape_cases()
+
+
+@pytest.mark.skipif(not _UNESC_CASES, reason="reference checkout not available")
+def test_unescape_sweep_count():
+    assert len(_UNESC_CASES) >= 3
+
+
+@pytest.mark.parametrize("name,inp,want", _UNESC_CASES,
+                         ids=[f"{c[0]}:{i}" for i, c in enumerate(_UNESC_CASES)])
+def test_unescape_sweep(name, inp, want):
+    from ksoup_spark.kernel.entities import unescape
+
+    assert unescape(inp) == want

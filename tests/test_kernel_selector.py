@@ -43,6 +43,11 @@ def test_attribute_selectors():
     # != matches attribute-absent elements too
     got = q(h, "p[title!=the title]")
     assert got == ["4"]
+    # [*] = any attribute present (QueryParser.kt:254-256 maps it to
+    # AttributeStarting(""); caught by the reference sweep in round 4)
+    h2 = h + "<b id=5></b><i></i>"
+    assert q(h2, "[*]") == ["1", "2", "3", "4", "5"]
+    assert q(h2, "i[*]") == []
 
 
 def test_combinators():

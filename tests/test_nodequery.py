@@ -51,6 +51,8 @@ QUERIES = [
     "p:not(#p1)",
     "div:not([data-k])",
     "p:is(#p1)",
+    "p[*]",
+    "span[*]",
 ]
 
 
