@@ -1179,6 +1179,81 @@ static PyObject *py_tokenize(PyObject *self, PyObject *args) {
     return res;
 }
 
+/* ---- whitespace normalization (StringUtil.appendNormalisedWhitespace) ---
+ *
+ * norm_ws(s, strip_leading) mirrors textops.append_normalised exactly:
+ * drop U+200B / U+00AD, collapse runs of [ \t\n\f\r ] to one ' ',
+ * and when strip_leading is true suppress the single space a leading run
+ * would produce (internal/StringUtil.kt:137-191 semantics). Operates on
+ * the UTF-8 view (U+00A0 = C2 A0, U+00AD = C2 AD, U+200B = E2 80 8B; every
+ * other byte copies verbatim), with a scan-only fast path returning the
+ * input object untouched when nothing would change. */
+static PyObject *py_norm_ws(PyObject *self, PyObject *args) {
+    PyObject *str;
+    int strip_leading;
+    if (!PyArg_ParseTuple(args, "Oi", &str, &strip_leading)) return NULL;
+    Py_ssize_t n;
+    const char *s = PyUnicode_AsUTF8AndSize(str, &n);
+    if (!s) return NULL;
+
+    int dirty = 0, prev_sp = 0;
+    Py_ssize_t i;
+    for (i = 0; i < n; i++) {
+        unsigned char c = (unsigned char)s[i];
+        if (c == ' ') {
+            if (prev_sp || (i == 0 && strip_leading)) { dirty = 1; break; }
+            prev_sp = 1;
+        } else if (c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+            dirty = 1; break;
+        } else if (c == 0xC2 && i + 1 < n &&
+                   ((unsigned char)s[i + 1] == 0xA0 ||
+                    (unsigned char)s[i + 1] == 0xAD)) {
+            dirty = 1; break;
+        } else if (c == 0xE2 && i + 2 < n &&
+                   (unsigned char)s[i + 1] == 0x80 &&
+                   (unsigned char)s[i + 2] == 0x8B) {
+            dirty = 1; break;
+        } else {
+            prev_sp = 0;
+        }
+    }
+    if (!dirty) {
+        Py_INCREF(str);
+        return str;
+    }
+
+    char *buf = (char *)PyMem_Malloc((size_t)(n ? n : 1));
+    if (!buf) return PyErr_NoMemory();
+    Py_ssize_t o = 0;
+    int pending = 0;
+    i = 0;
+    while (i < n) {
+        unsigned char c = (unsigned char)s[i];
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+            pending = 1; i++; continue;
+        }
+        if (c == 0xC2 && i + 1 < n) {
+            unsigned char d = (unsigned char)s[i + 1];
+            if (d == 0xA0) { pending = 1; i += 2; continue; }
+            if (d == 0xAD) { i += 2; continue; } /* invisible: drop */
+        } else if (c == 0xE2 && i + 2 < n &&
+                   (unsigned char)s[i + 1] == 0x80 &&
+                   (unsigned char)s[i + 2] == 0x8B) {
+            i += 3; continue; /* invisible: drop */
+        }
+        if (pending) {
+            if (o > 0 || !strip_leading) buf[o++] = ' ';
+            pending = 0;
+        }
+        buf[o++] = (char)c;
+        i++;
+    }
+    if (pending && (o > 0 || !strip_leading)) buf[o++] = ' ';
+    PyObject *res = PyUnicode_DecodeUTF8(buf, o, NULL);
+    PyMem_Free(buf);
+    return res;
+}
+
 static PyObject *py_set_interns(PyObject *self, PyObject *arg) {
     if (!PyList_Check(arg)) {
         PyErr_SetString(PyExc_TypeError, "expected list of str");
@@ -1213,6 +1288,8 @@ static PyMethodDef Methods[] = {
      " -> (tokens, next_byte, done)"},
     {"set_interns", py_set_interns, METH_O,
      "register common tag/attr names for interning"},
+    {"norm_ws", py_norm_ws, METH_VARARGS,
+     "norm_ws(s, strip_leading) -> normalized-whitespace str"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -35,6 +35,23 @@ _TRIM = " \t\n\r\f\v"
 # regex forms of the isActuallyWhitespace (incl. nbsp) / isInvisibleChar sets
 _WS_RUN = re.compile("[ \t\n\f\r\u00a0]+")
 _INVIS_RE = re.compile("[\u200b\u00ad]")
+
+
+def _c_norm_ws():
+    """The C norm_ws accelerator when the ctok module is buildable (same
+    cached .so as the tokenizer), else None. Resolved once at import; the
+    Python regex pair below stays the semantics reference and the fallback
+    (lone-surrogate strings can't take the UTF-8 C path)."""
+    try:
+        from .ctokenizer import _load
+
+        mod = _load()
+        return getattr(mod, "norm_ws", None) if mod is not None else None
+    except Exception:
+        return None
+
+
+_cnorm = _c_norm_ws()
 MEDIA_KIND = {"img": "image", "video": "video", "object": "object"}
 _MEDIA_REF_ATTR = {"img": "src", "video": "src", "object": "data"}
 
@@ -52,13 +69,24 @@ def append_normalised(accum: list[str], s: str, strip_leading: bool) -> None:
     actually-whitespace runs to single spaces, strip one leading space when
     the accumulator already ends in whitespace.
     """
+    if _cnorm is not None:
+        try:
+            s = _cnorm(s, strip_leading)
+        except UnicodeEncodeError:  # lone surrogates: regex path
+            s = _norm_ws_py(s, strip_leading)
+    else:
+        s = _norm_ws_py(s, strip_leading)
+    if s:
+        accum.append(s)
+
+
+def _norm_ws_py(s: str, strip_leading: bool) -> str:
     if _INVIS_RE.search(s):
         s = _INVIS_RE.sub("", s)
     s = _WS_RUN.sub(" ", s)
     if strip_leading and s.startswith(" "):
         s = s[1:]
-    if s:
-        accum.append(s)
+    return s
 
 
 class _Accum:
@@ -83,14 +111,24 @@ class _Accum:
 
     def append_normalised(self, s: str) -> None:
         # flattened hot path of append_normalised(chunk, s, last_is_ws())
+        if _cnorm is not None:
+            try:
+                s = _cnorm(s, self.last_char in _ACTUAL_WS)
+            except UnicodeEncodeError:  # lone surrogates: regex path
+                s = self._norm_py(s)
+        else:
+            s = self._norm_py(s)
+        if s:
+            self.parts.append(s)
+            self.last_char = s[-1]
+
+    def _norm_py(self, s: str) -> str:
         if _INVIS_RE.search(s):
             s = _INVIS_RE.sub("", s)
         s = _WS_RUN.sub(" ", s)
         if s and s[0] == " " and self.last_char in _ACTUAL_WS:
             s = s[1:]
-        if s:
-            self.parts.append(s)
-            self.last_char = s[-1]
+        return s
 
     def value(self) -> str:
         return "".join(self.parts)
