@@ -62,6 +62,9 @@ _IN_SCOPE_BASE = frozenset(
 _LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
 _BUTTON_SCOPE_EXTRA = frozenset(["button"])
 _TABLE_SCOPE = frozenset(["html", "table", "template"])
+# pre-merged base+extra boundary sets for the scope-query hot path
+_BUTTON_SCOPE_BOUND = _IN_SCOPE_BASE | _BUTTON_SCOPE_EXTRA
+_LIST_SCOPE_BOUND = _IN_SCOPE_BASE | _LIST_SCOPE_EXTRA
 
 IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
 IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
@@ -693,36 +696,56 @@ class HtmlTreeBuilder:
         if self.src_track:  # removeFromStack hits onNodeClosed (kt:421-430)
             self._track_end(nid)
 
-    def _in_scope(self, targets, extra=frozenset(), table: bool = False) -> bool:
+    def _in_scope(self, targets, bound) -> bool:
+        # hot path (runs for most block start/end tags): boundary sets are
+        # pre-merged per variant, tag/ns lists hoisted, and the ns!=HTML
+        # early-exit folded so each frame costs two lookups + set tests
         d = self.doc
-        depth = 0
-        if isinstance(targets, str):
+        tag = d.tag
+        ns = d.ns
+        nsh = dom.NS_HTML
+        if targets.__class__ is str:
             targets = (targets,)
-        for nid in reversed(self.stack):
-            t = d.tag[nid]
-            if d.ns[nid] == dom.NS_HTML and t in targets:
-                return True
-            if table:
-                if t in _TABLE_SCOPE:
-                    return False
-            elif (d.ns[nid] != dom.NS_HTML) or t in _IN_SCOPE_BASE or t in extra:
+        stk = self.stack
+        if len(stk) > MAX_SCOPE_SEARCH + 1:  # kt:1095-1097 bail cap
+            stk = stk[-(MAX_SCOPE_SEARCH + 1):]
+        for nid in reversed(stk):
+            if ns[nid] != nsh:
                 return False
-            depth += 1
-            if depth > MAX_SCOPE_SEARCH:
+            t = tag[nid]
+            if t in targets:
+                return True
+            if t in bound:
                 return False
         return False
 
     def in_scope(self, targets) -> bool:
-        return self._in_scope(targets)
+        return self._in_scope(targets, _IN_SCOPE_BASE)
 
     def in_button_scope(self, targets) -> bool:
-        return self._in_scope(targets, _BUTTON_SCOPE_EXTRA)
+        return self._in_scope(targets, _BUTTON_SCOPE_BOUND)
 
     def in_list_scope(self, targets) -> bool:
-        return self._in_scope(targets, _LIST_SCOPE_EXTRA)
+        return self._in_scope(targets, _LIST_SCOPE_BOUND)
 
     def in_table_scope(self, targets) -> bool:
-        return self._in_scope(targets, table=True)
+        # table scope: name-only boundary, no foreign-content early exit
+        d = self.doc
+        tag = d.tag
+        ns = d.ns
+        nsh = dom.NS_HTML
+        if targets.__class__ is str:
+            targets = (targets,)
+        stk = self.stack
+        if len(stk) > MAX_SCOPE_SEARCH + 1:
+            stk = stk[-(MAX_SCOPE_SEARCH + 1):]
+        for nid in reversed(stk):
+            t = tag[nid]
+            if ns[nid] == nsh and t in targets:
+                return True
+            if t in _TABLE_SCOPE:
+                return False
+        return False
 
     def in_select_scope(self, target) -> bool:
         d = self.doc
