@@ -88,6 +88,17 @@ def _valid_key(k: str) -> str | None:
     return k or None
 
 
+# HTML5 boolean attributes — under html syntax these collapse to bare keys
+# when the value is empty or case-insensitively equals the key
+# (Attribute.shouldCollapseAttribute, nodes/Attribute.kt:202-233,336-349)
+_BOOLEAN_ATTRS = frozenset(
+    """allowfullscreen async autofocus checked compact declare default defer
+    disabled formnovalidate hidden inert ismap itemscope multiple muted
+    nohref noresize noshade novalidate nowrap open readonly required
+    reversed seamless selected sortable truespeed typemustmatch""".split()
+)
+
+
 def _attrs_html(attrs: dict | None, xml: bool = False) -> str:
     if not attrs:
         return ""
@@ -101,6 +112,9 @@ def _attrs_html(attrs: dict | None, xml: bool = False) -> str:
         if v is None:
             # xml syntax: boolean attributes get an explicit empty value
             parts.append(f' {k}=""' if xml else f" {k}")
+        elif not xml and (v == "" or v.lower() == k.lower()) \
+                and k.lower() in _BOOLEAN_ATTRS:
+            parts.append(f" {k}")  # shouldCollapseAttribute
         else:
             parts.append(f' {k}="{_escape_attr(v, xml)}"')
     return "".join(parts)
