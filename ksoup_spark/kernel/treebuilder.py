@@ -100,6 +100,10 @@ _SVG_TAG_ADJUST = {
 
 # every tag with a dedicated InBody start-tag rule; others take the generic
 # reconstruct+insert fast path
+_TABLE_SECTION_STARTS = frozenset((
+    "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
+    "tr"))
+
 _INBODY_SPECIAL_START = frozenset(
     "a p form li dd dt plaintext button table hr image isindex textarea xmp iframe "
     "noembed select optgroup option rp rt math svg html body frameset "
@@ -183,6 +187,10 @@ class HtmlTreeBuilder:
         self.base_latched = False
         self.fragment_context: str | None = None
         self.has_foreign = False
+        # tags ever pushed onto the open-elements stack; a scope query for a
+        # tag never pushed is False without scanning (monotone latch — pops
+        # don't remove, so membership is conservative, absence is exact)
+        self.pushed_tags: set = set()
         # parse-error tracking (Parser.kt:92-107): None = disabled
         self.perrs = None
         self._cur_tok = None
@@ -260,10 +268,46 @@ class HtmlTreeBuilder:
         if next_batch is not None:
             # C tokenizer: iterate whole batches (state-switch-candidate
             # tags are always batch-final, so process() updates tok.state
-            # before the next batch is cut)
+            # before the next batch is cut). The two dominant token shapes
+            # — text and generic (non-special) start tags in body-equivalent
+            # modes — are dispatched flat here, replicating exactly the
+            # process() → mode handler → _in_body fall-through those tokens
+            # would take (text: _in_cell/_in_caption delegate anything-else
+            # to _in_body which routes text to _in_body_text; generic start:
+            # _in_body_start's not-in-_INBODY_SPECIAL_START branch). Every
+            # precondition that picks a different branch — foreign content,
+            # self-closing flag, special names (incl. all rawtext/RCDATA
+            # state-switch tags), table-section names in cell/caption — falls
+            # through to process(). Cuts 3-4 Python frames per token on the
+            # hot path.
+            in_body_text = self._in_body_text
+            norm_attrs = self.norm_attrs
+            reconstruct = self.reconstruct_formatting
+            insert_element = self.insert_element
+            special_start = _INBODY_SPECIAL_START
+            table_starts = _TABLE_SECTION_STARTS
+            body_modes = (IN_BODY, IN_CELL, IN_CAPTION)
             while True:
                 toks, done = next_batch()
                 for tok in toks:
+                    if not self.has_foreign:
+                        k = tok[0]
+                        mode = self.mode
+                        if k == "text":
+                            if mode in body_modes:
+                                self._cur_tok = tok
+                                in_body_text(tok[1])
+                                continue
+                        elif k == "start" and not tok[3] \
+                                and mode in body_modes:
+                            name = tok[1].lower()
+                            if name not in special_start and (
+                                    mode == IN_BODY
+                                    or name not in table_starts):
+                                self._cur_tok = tok
+                                reconstruct()
+                                insert_element(name, norm_attrs(tok[2]))
+                                continue
                     process(tok)
                 if done:
                     break
@@ -309,6 +353,8 @@ class HtmlTreeBuilder:
         root = self.doc.new_node(dom.ELEMENT, context, {})
         self.doc.append_child(html_el, root)
         self.stack = [html_el, root]
+        self.pushed_tags.add("html")
+        self.pushed_tags.add(context)
         if context in ("title", "textarea"):
             self.tok.state = TOK_RCDATA
             self.tok.rawtext_tag = context
@@ -537,6 +583,7 @@ class HtmlTreeBuilder:
         d.text.append(None)
         d.ns.append(ns)
         d.children.append([])
+        self.pushed_tags.add(name)
         if not self.foster_inserts:  # common case: append to current element
             parent = self.stack[-1] if self.stack else 0
             d.children[parent].append(nid)
@@ -685,6 +732,8 @@ class HtmlTreeBuilder:
             self.stack.pop()
 
     def on_stack(self, name: str) -> bool:
+        if name not in self.pushed_tags:
+            return False
         d = self.doc
         return any(d.tag[n] == name for n in self.stack)
 
@@ -705,6 +754,8 @@ class HtmlTreeBuilder:
         ns = d.ns
         nsh = dom.NS_HTML
         if targets.__class__ is str:
+            if targets not in self.pushed_tags:
+                return False
             targets = (targets,)
         stk = self.stack
         if len(stk) > MAX_SCOPE_SEARCH + 1:  # kt:1095-1097 bail cap
@@ -735,6 +786,8 @@ class HtmlTreeBuilder:
         ns = d.ns
         nsh = dom.NS_HTML
         if targets.__class__ is str:
+            if targets not in self.pushed_tags:
+                return False
             targets = (targets,)
         stk = self.stack
         if len(stk) > MAX_SCOPE_SEARCH + 1:
@@ -977,6 +1030,7 @@ class HtmlTreeBuilder:
             self._attach(nid)
             if not tok[3] and name not in VOID_TAGS:
                 self.stack.append(nid)
+                self.pushed_tags.add(name)
             elif tok[3]:
                 # foreign self-closing (<image /> in svg): serialize "<x />"
                 if d.self_closing is None:
@@ -1041,6 +1095,7 @@ class HtmlTreeBuilder:
                 self._track(nid)
             self.doc.append_child(0, nid)
             self.stack.append(nid)
+            self.pushed_tags.add("html")
             self.mode = BEFORE_HEAD
             return
         if k == "end" and tok[1].lower() not in ("head", "body", "html", "br"):
@@ -1051,6 +1106,7 @@ class HtmlTreeBuilder:
             self._track(nid)
         self.doc.append_child(0, nid)
         self.stack.append(nid)
+        self.pushed_tags.add("html")
         self.reprocess(tok, BEFORE_HEAD)
 
     def _before_head(self, tok) -> None:
@@ -1525,6 +1581,7 @@ class HtmlTreeBuilder:
             self._attach(nid)
             if not selfclosing:
                 self.stack.append(nid)
+                self.pushed_tags.add(name)
             return
         if name == "svg":
             self.has_foreign = True
@@ -1534,6 +1591,7 @@ class HtmlTreeBuilder:
             self._attach(nid)
             if not selfclosing:
                 self.stack.append(nid)
+                self.pushed_tags.add(name)
             return
         if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
                     "td", "tfoot", "th", "thead", "tr"):
@@ -2007,7 +2065,6 @@ class HtmlTreeBuilder:
             self.generate_implied_end()
             self.pop_until("caption")
             self.clear_formatting_to_marker()
-            self.reprocess(tok, IN_TABLE) if False else None
             self.mode = IN_TABLE
             self.process(tok)
             return
