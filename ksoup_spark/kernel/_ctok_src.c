@@ -33,6 +33,8 @@
 #include <string.h>
 
 #include "entities_gen.h"
+#include "tags_gen.h"
+#include <stdint.h>
 
 /* tokenizer content states (must match tokenizer.py) */
 #define ST_DATA 0
@@ -1282,6 +1284,306 @@ static PyObject *py_set_interns(PyObject *self, PyObject *arg) {
     Py_RETURN_NONE;
 }
 
+
+/* ---- span extraction (Element.text() + media interleave) ----------------
+ *
+ * C mirror of textops.extract_spans (Element.kt:1312-1351 text assembly +
+ * the graft's media segmentation): one DFS over the Doc's parallel lists
+ * (kind, tag, text, children) applying the normalization / block-boundary
+ * rules, flushing the accumulator at img/video/object elements. Media spans
+ * come back with the NODE ID in the media_ref slot; the Python wrapper
+ * resolves refs (absUrl + <video><source> fallback) — media spans are rare,
+ * the URL join is pure Python semantics (urljoin), and this keeps the C
+ * side free of any URL logic. Raises (and the wrapper falls back to the
+ * pure-Python path) on lone-surrogate text that can't view as UTF-8. */
+
+#define TF_BLOCK 1
+#define TF_FMT_INLINE 2
+#define TF_PRESERVE 4
+#define TF_MEDIA_IMG 8
+#define TF_MEDIA_VIDEO 16
+#define TF_MEDIA_OBJECT 32
+#define TF_BR 64
+#define TF_MEDIA (TF_MEDIA_IMG | TF_MEDIA_VIDEO | TF_MEDIA_OBJECT)
+
+static PyObject *S_image, *S_video, *S_object;
+
+typedef struct { PyObject *key[256]; int flags[256]; } TagCache;
+
+static int tag_flags_lookup(const char *s) {
+    int lo = 0, hi = N_TAGF - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) >> 1;
+        int c = strcmp(s, TAGF[mid].name);
+        if (c == 0) return TAGF[mid].flags;
+        if (c < 0) hi = mid - 1; else lo = mid + 1;
+    }
+    return 0;
+}
+
+static int tag_flags(TagCache *tc, PyObject *tagobj) {
+    if (tagobj == Py_None) return 0;
+    unsigned idx = (unsigned)(((uintptr_t)tagobj) >> 4) & 255u;
+    if (tc->key[idx] == tagobj) return tc->flags[idx];
+    Py_ssize_t l;
+    const char *s = PyUnicode_AsUTF8AndSize(tagobj, &l);
+    if (!s) { PyErr_Clear(); return 0; }
+    int f = tag_flags_lookup(s);
+    tc->key[idx] = tagobj;
+    tc->flags[idx] = f;
+    return f;
+}
+
+typedef struct { char *b; Py_ssize_t len, cap; int last_ws; } Acc;
+
+static int acc_reserve(Acc *a, Py_ssize_t extra) {
+    if (a->len + extra <= a->cap) return 0;
+    Py_ssize_t nc = a->cap ? a->cap * 2 : 256;
+    while (nc < a->len + extra) nc *= 2;
+    char *nb = (char *)PyMem_Realloc(a->b, (size_t)nc);
+    if (!nb) { PyErr_NoMemory(); return -1; }
+    a->b = nb; a->cap = nc;
+    return 0;
+}
+
+/* raw append (pre-preserved / CDATA text, boundary spaces) */
+static int acc_raw(Acc *a, const char *s, Py_ssize_t n) {
+    if (!n) return 0;
+    if (acc_reserve(a, n)) return -1;
+    memcpy(a->b + a->len, s, (size_t)n);
+    a->len += n;
+    unsigned char c = (unsigned char)a->b[a->len - 1];
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')
+        a->last_ws = 1;
+    else if (c == 0xA0 && a->len >= 2 &&
+             (unsigned char)a->b[a->len - 2] == 0xC2)
+        a->last_ws = 1;
+    else
+        a->last_ws = 0;
+    return 0;
+}
+
+/* normalized append: StringUtil.appendNormalisedWhitespace with
+ * strip_leading = accumulator-ends-in-whitespace (same loop as norm_ws) */
+static int acc_norm(Acc *a, const char *s, Py_ssize_t n) {
+    if (!n) return 0;
+    if (acc_reserve(a, n + 1)) return -1;
+    char *dst = a->b + a->len;
+    int strip_leading = a->last_ws;
+    Py_ssize_t o = 0, i = 0;
+    int pending = 0;
+    while (i < n) {
+        unsigned char c = (unsigned char)s[i];
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+            pending = 1; i++; continue;
+        }
+        if (c == 0xC2 && i + 1 < n) {
+            unsigned char d = (unsigned char)s[i + 1];
+            if (d == 0xA0) { pending = 1; i += 2; continue; }
+            if (d == 0xAD) { i += 2; continue; } /* invisible: drop */
+        } else if (c == 0xE2 && i + 2 < n &&
+                   (unsigned char)s[i + 1] == 0x80 &&
+                   (unsigned char)s[i + 2] == 0x8B) {
+            i += 3; continue; /* invisible: drop */
+        }
+        if (pending) {
+            if (o > 0 || !strip_leading) dst[o++] = ' ';
+            pending = 0;
+        }
+        dst[o++] = (char)c;
+        i++;
+    }
+    if (pending && (o > 0 || !strip_leading)) dst[o++] = ' ';
+    if (o > 0) {
+        a->len += o;
+        /* normalization emits ' ' for every ws run, so the only possible
+         * trailing ws char is ' ' itself */
+        a->last_ws = (dst[o - 1] == ' ');
+    }
+    return 0;
+}
+
+static int is_trim(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+           c == '\v';
+}
+
+/* flush accumulated text as a ("text", s, None, offset) span */
+static int acc_flush(Acc *a, PyObject *out) {
+    Py_ssize_t s = 0, e = a->len;
+    const char *b = a->b;
+    while (s < e && is_trim((unsigned char)b[s])) s++;
+    while (e > s && is_trim((unsigned char)b[e - 1])) e--;
+    a->len = 0;
+    a->last_ws = 0;
+    if (e <= s) return 0;
+    PyObject *txt = PyUnicode_DecodeUTF8(b + s, e - s, NULL);
+    if (!txt) return -1;
+    PyObject *tup = Py_BuildValue("(ONOn)", S_text, txt, Py_None,
+                                  PyList_GET_SIZE(out));
+    if (!tup) return -1;
+    int r = PyList_Append(out, tup);
+    Py_DECREF(tup);
+    return r;
+}
+
+typedef struct { Py_ssize_t node; Py_ssize_t ci; } Frame;
+
+static PyObject *py_extract_spans(PyObject *self, PyObject *args) {
+    PyObject *kindL, *tagL, *textL, *chL;
+    Py_ssize_t root;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!n", &PyList_Type, &kindL,
+                          &PyList_Type, &tagL, &PyList_Type, &textL,
+                          &PyList_Type, &chL, &root))
+        return NULL;
+    Py_ssize_t nn = PyList_GET_SIZE(kindL);
+    if (PyList_GET_SIZE(tagL) < nn || PyList_GET_SIZE(textL) < nn ||
+        PyList_GET_SIZE(chL) < nn || root < 0 || root >= nn) {
+        PyErr_SetString(PyExc_ValueError, "node table shape mismatch");
+        return NULL;
+    }
+
+    TagCache tc;
+    memset(&tc, 0, sizeof(tc));
+    Acc acc = {NULL, 0, 0, 0};
+    Py_ssize_t scap = 256, sp = 0;
+    Frame *st = (Frame *)PyMem_Malloc(sizeof(Frame) * (size_t)scap);
+    Py_ssize_t pcap = 64, npre = 0;
+    Py_ssize_t *pre = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) *
+                                                 (size_t)pcap);
+    PyObject *out = PyList_New(0);
+    if (!st || !pre || !out) goto fail;
+
+    st[0].node = root; st[0].ci = 0; sp = 1;
+
+    while (sp > 0) {
+        Frame *fr = &st[sp - 1];
+        Py_ssize_t node = fr->node;
+        Py_ssize_t ci = fr->ci;
+        PyObject *kids = PyList_GET_ITEM(chL, node);
+        if (!PyList_Check(kids)) {
+            PyErr_SetString(PyExc_TypeError, "children not a list");
+            goto fail;
+        }
+        if (ci == 0) { /* head */
+            long k = PyLong_AsLong(PyList_GET_ITEM(kindL, node));
+            if (k == 2) { /* TEXT */
+                PyObject *t = PyList_GET_ITEM(textL, node);
+                if (t != Py_None) {
+                    Py_ssize_t tn;
+                    const char *ts = PyUnicode_AsUTF8AndSize(t, &tn);
+                    if (!ts) goto fail; /* lone surrogates: wrapper falls back */
+                    /* inside pre (≤6 levels up): raw, else normalized */
+                    if (npre > 0 && (sp - 2) - pre[npre - 1] < 6) {
+                        if (acc_raw(&acc, ts, tn)) goto fail;
+                    } else {
+                        if (acc_norm(&acc, ts, tn)) goto fail;
+                    }
+                }
+            } else if (k == 5) { /* CDATA: raw */
+                PyObject *t = PyList_GET_ITEM(textL, node);
+                if (t != Py_None) {
+                    Py_ssize_t tn;
+                    const char *ts = PyUnicode_AsUTF8AndSize(t, &tn);
+                    if (!ts) goto fail;
+                    if (acc_raw(&acc, ts, tn)) goto fail;
+                }
+            } else if (k == 1) { /* ELEMENT */
+                int f = tag_flags(&tc, PyList_GET_ITEM(tagL, node));
+                if ((f & TF_MEDIA) && node != root) {
+                    /* flush text, emit media span carrying the node id;
+                     * the whole subtree (fallback content) is skipped —
+                     * equivalent to the Python path's skip_under latch */
+                    if (acc_flush(&acc, out)) goto fail;
+                    PyObject *mk = (f & TF_MEDIA_IMG) ? S_image
+                                 : (f & TF_MEDIA_VIDEO) ? S_video : S_object;
+                    PyObject *tup = Py_BuildValue(
+                        "(OOnn)", mk, Py_None, node, PyList_GET_SIZE(out));
+                    if (!tup) goto fail;
+                    int r = PyList_Append(out, tup);
+                    Py_DECREF(tup);
+                    if (r) goto fail;
+                    sp--;
+                    continue;
+                }
+                if (acc.len > 0 && (f & (TF_BLOCK | TF_BR)) && !acc.last_ws) {
+                    if (acc_raw(&acc, " ", 1)) goto fail;
+                }
+                if (f & TF_PRESERVE) {
+                    if (npre >= pcap) {
+                        pcap *= 2;
+                        Py_ssize_t *np = (Py_ssize_t *)PyMem_Realloc(
+                            pre, sizeof(Py_ssize_t) * (size_t)pcap);
+                        if (!np) { PyErr_NoMemory(); goto fail; }
+                        pre = np;
+                    }
+                    pre[npre++] = sp - 1;
+                }
+            }
+            /* COMMENT / DATA / DOCTYPE / XMLDECL: skipped */
+        }
+        if (ci < PyList_GET_SIZE(kids)) {
+            fr->ci = ci + 1;
+            long child = PyLong_AsLong(PyList_GET_ITEM(kids, ci));
+            if (child < 0 || child >= nn) {
+                if (PyErr_Occurred()) goto fail;
+                PyErr_SetString(PyExc_ValueError, "child id out of range");
+                goto fail;
+            }
+            if (sp >= scap) {
+                scap *= 2;
+                Frame *ns = (Frame *)PyMem_Realloc(
+                    st, sizeof(Frame) * (size_t)scap);
+                if (!ns) { PyErr_NoMemory(); goto fail; }
+                st = ns;
+            }
+            st[sp].node = child; st[sp].ci = 0; sp++;
+            continue;
+        }
+        /* tail */
+        sp--;
+        long k = PyLong_AsLong(PyList_GET_ITEM(kindL, node));
+        if (k == 1) {
+            if (npre > 0 && pre[npre - 1] == sp) npre--;
+            int f = tag_flags(&tc, PyList_GET_ITEM(tagL, node));
+            if ((f & TF_BLOCK) && sp > 0 && !acc.last_ws) {
+                /* space after a block element when the next sibling is text
+                 * or a non-format-as-block element (Element.kt:1339-1349) */
+                Frame *pf = &st[sp - 1];
+                PyObject *pkids = PyList_GET_ITEM(chL, pf->node);
+                if (pf->ci < PyList_GET_SIZE(pkids)) {
+                    long nxt = PyLong_AsLong(
+                        PyList_GET_ITEM(pkids, pf->ci));
+                    if (nxt >= 0 && nxt < nn) {
+                        long nk = PyLong_AsLong(
+                            PyList_GET_ITEM(kindL, nxt));
+                        int space = (nk == 2 || nk == 5);
+                        if (!space && nk == 1) {
+                            int nf = tag_flags(
+                                &tc, PyList_GET_ITEM(tagL, nxt));
+                            space = !((nf & TF_BLOCK) &&
+                                      !(nf & TF_FMT_INLINE));
+                        }
+                        if (space && acc_raw(&acc, " ", 1)) goto fail;
+                    }
+                }
+            }
+        }
+    }
+    if (acc_flush(&acc, out)) goto fail;
+    PyMem_Free(st);
+    PyMem_Free(pre);
+    PyMem_Free(acc.b);
+    return out;
+
+fail:
+    PyMem_Free(st);
+    PyMem_Free(pre);
+    PyMem_Free(acc.b);
+    Py_XDECREF(out);
+    return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"tokenize", py_tokenize, METH_VARARGS,
      "tokenize(s, start_byte, state, rawtext_tag, max_tokens)"
@@ -1290,6 +1592,9 @@ static PyMethodDef Methods[] = {
      "register common tag/attr names for interning"},
     {"norm_ws", py_norm_ws, METH_VARARGS,
      "norm_ws(s, strip_leading) -> normalized-whitespace str"},
+    {"extract_spans", py_extract_spans, METH_VARARGS,
+     "extract_spans(kind, tag, text, children, root) -> list of span"
+     " tuples; media spans carry the node id in the media_ref slot"},
     {NULL, NULL, 0, NULL},
 };
 
@@ -1307,6 +1612,10 @@ PyMODINIT_FUNC PyInit__ksoup_ctok(void) {
     S_eof = PyUnicode_InternFromString("eof");
     S_script = PyUnicode_InternFromString("script");
     S_empty = PyUnicode_InternFromString("");
+    S_image = PyUnicode_InternFromString("image");
+    S_video = PyUnicode_InternFromString("video");
+    S_object = PyUnicode_InternFromString("object");
+    if (!S_image || !S_video || !S_object) return NULL;
     if (!S_text || !S_start || !S_end || !S_comment || !S_cdata ||
         !S_doctype || !S_eof || !S_script || !S_empty)
         return NULL;

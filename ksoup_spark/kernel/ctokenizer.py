@@ -74,6 +74,34 @@ def _gen_entities_header() -> str:
     )
 
 
+def _gen_tags_header() -> str:
+    """Generate the C tag-classification table from tags.py (single source
+    of truth for block / format-as-inline / preserve-ws semantics), plus the
+    media tags and br used by the span extractor's boundary rules."""
+    from .tags import BLOCK_TAGS, FORMAT_AS_INLINE, PRESERVE_WS_TAGS
+
+    flags: dict[str, int] = {}
+
+    def mark(names, bit):
+        for t in names:
+            flags[t] = flags.get(t, 0) | bit
+
+    mark(BLOCK_TAGS, 1)           # TF_BLOCK
+    mark(FORMAT_AS_INLINE, 2)     # TF_FMT_INLINE
+    mark(PRESERVE_WS_TAGS, 4)     # TF_PRESERVE
+    mark(["img"], 8)              # TF_MEDIA_IMG
+    mark(["video"], 16)           # TF_MEDIA_VIDEO
+    mark(["object"], 32)          # TF_MEDIA_OBJECT
+    mark(["br"], 64)              # TF_BR
+    rows = ",\n".join('    {"%s", %d}' % (n, f)
+                      for n, f in sorted(flags.items()))
+    return (
+        "typedef struct { const char *name; int flags; } TagF;\n"
+        "static const TagF TAGF[] = {\n" + rows + "\n};\n"
+        f"static const int N_TAGF = {len(flags)};\n"
+    )
+
+
 def _cache_dir() -> str:
     d = os.environ.get("KSOUP_CTOK_CACHE")
     if not d:
@@ -98,11 +126,12 @@ def _build() -> str | None:
     try:
         src = _source()
         ents = _gen_entities_header()
+        tagsh = _gen_tags_header()
     except Exception:
         return None
     tag = sysconfig.get_config_var("SOABI") or sys.implementation.cache_tag
     key = hashlib.sha256(
-        (src + ents + str(tag)).encode("utf-8")).hexdigest()[:16]
+        (src + ents + tagsh + str(tag)).encode("utf-8")).hexdigest()[:16]
     cache = _cache_dir()
     so_path = os.path.join(cache, f"{_MODULE_NAME}-{key}.so")
     if os.path.exists(so_path):
@@ -116,6 +145,8 @@ def _build() -> str | None:
             cpath = os.path.join(tmp, "ctok.c")
             with open(os.path.join(tmp, "entities_gen.h"), "w") as f:
                 f.write(ents)
+            with open(os.path.join(tmp, "tags_gen.h"), "w") as f:
+                f.write(tagsh)
             with open(cpath, "w") as f:
                 f.write(src)
             out = os.path.join(tmp, "out.so")

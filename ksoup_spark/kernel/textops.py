@@ -284,6 +284,22 @@ def doc_title(doc: Doc) -> str:
 # span emission (the flagship extraction operator)
 # ---------------------------------------------------------------------------
 
+def _c_extract_spans():
+    """The C span extractor when the ctok module is buildable, else None.
+    Same .so as the tokenizer; the Python DFS below stays the semantics
+    reference and the fallback (lone-surrogate text can't view as UTF-8)."""
+    try:
+        from .ctokenizer import _load
+
+        mod = _load()
+        return getattr(mod, "extract_spans", None) if mod is not None else None
+    except Exception:
+        return None
+
+
+_cspans = _c_extract_spans()
+
+
 def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
     """Emit the ordered (kind, text, media_ref, offset) span sequence.
 
@@ -291,6 +307,11 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
     each media element (img/video/object) so media spans interleave at their
     DOM positions. Media descendants' fallback content (inside video/object)
     is skipped; refs resolve via absUrl against the doc base URI.
+
+    Hot path: the C mirror in _ctok_src.c (py_extract_spans) runs the DFS
+    and returns media spans carrying node ids; refs are resolved here
+    (absUrl + <video><source> fallback — media spans are rare). Any C-side
+    failure falls back to the pure-Python DFS below.
     """
     if root is None:
         root = doc.body()
@@ -298,6 +319,35 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
             root = doc.html_el()
         if root == -1:
             root = 0
+    if _cspans is not None:
+        try:
+            raw = _cspans(doc.kind, doc.tag, doc.text, doc.children, root)
+        except Exception:
+            raw = None
+        if raw is not None:
+            kind = doc.kind
+            tagv = doc.tag
+            children = doc.children
+            for i, sp in enumerate(raw):
+                mk = sp[0]
+                if mk == "text":
+                    continue
+                node = sp[2]
+                tag = tagv[node] or ""
+                ref = doc.abs_url(node, _MEDIA_REF_ATTR[tag])
+                if not ref and tag == "video":
+                    for c in children[node]:
+                        if kind[c] == dom.ELEMENT and tagv[c] == "source":
+                            r2 = doc.abs_url(c, "src")
+                            if r2:
+                                ref = r2
+                                break
+                raw[i] = (mk, None, ref or "", sp[3])
+            return raw
+    return _extract_spans_py(doc, root)
+
+
+def _extract_spans_py(doc: Doc, root: int) -> list[tuple]:
     spans: list[tuple] = []
     accum = _Accum()
     is_text = (dom.TEXT, dom.CDATA)
