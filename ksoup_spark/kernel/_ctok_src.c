@@ -1584,6 +1584,151 @@ fail:
     return NULL;
 }
 
+
+/* ---- element_text: Element.text() over a subtree ------------------------
+ * Same DFS as py_extract_spans with no media segmentation (media elements
+ * are ordinary elements whose fallback content contributes, matching
+ * textops.element_text); returns the normalized text stripped of
+ * " \t\n\r\f\v". */
+static PyObject *py_element_text(PyObject *self, PyObject *args) {
+    PyObject *kindL, *tagL, *textL, *chL;
+    Py_ssize_t root;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!n", &PyList_Type, &kindL,
+                          &PyList_Type, &tagL, &PyList_Type, &textL,
+                          &PyList_Type, &chL, &root))
+        return NULL;
+    Py_ssize_t nn = PyList_GET_SIZE(kindL);
+    if (PyList_GET_SIZE(tagL) < nn || PyList_GET_SIZE(textL) < nn ||
+        PyList_GET_SIZE(chL) < nn || root < 0 || root >= nn) {
+        PyErr_SetString(PyExc_ValueError, "node table shape mismatch");
+        return NULL;
+    }
+
+    TagCache tc;
+    memset(&tc, 0, sizeof(tc));
+    Acc acc = {NULL, 0, 0, 0};
+    Py_ssize_t scap = 256, sp = 0;
+    Frame *st = (Frame *)PyMem_Malloc(sizeof(Frame) * (size_t)scap);
+    Py_ssize_t pcap = 64, npre = 0;
+    Py_ssize_t *pre = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) *
+                                                 (size_t)pcap);
+    if (!st || !pre) goto fail;
+
+    st[0].node = root; st[0].ci = 0; sp = 1;
+
+    while (sp > 0) {
+        Frame *fr = &st[sp - 1];
+        Py_ssize_t node = fr->node;
+        Py_ssize_t ci = fr->ci;
+        PyObject *kids = PyList_GET_ITEM(chL, node);
+        if (!PyList_Check(kids)) {
+            PyErr_SetString(PyExc_TypeError, "children not a list");
+            goto fail;
+        }
+        if (ci == 0) { /* head */
+            long k = PyLong_AsLong(PyList_GET_ITEM(kindL, node));
+            if (k == 2) { /* TEXT */
+                PyObject *t = PyList_GET_ITEM(textL, node);
+                if (t != Py_None) {
+                    Py_ssize_t tn;
+                    const char *ts = PyUnicode_AsUTF8AndSize(t, &tn);
+                    if (!ts) goto fail;
+                    if (npre > 0 && (sp - 2) - pre[npre - 1] < 6) {
+                        if (acc_raw(&acc, ts, tn)) goto fail;
+                    } else {
+                        if (acc_norm(&acc, ts, tn)) goto fail;
+                    }
+                }
+            } else if (k == 5) { /* CDATA: raw */
+                PyObject *t = PyList_GET_ITEM(textL, node);
+                if (t != Py_None) {
+                    Py_ssize_t tn;
+                    const char *ts = PyUnicode_AsUTF8AndSize(t, &tn);
+                    if (!ts) goto fail;
+                    if (acc_raw(&acc, ts, tn)) goto fail;
+                }
+            } else if (k == 1) { /* ELEMENT */
+                int f = tag_flags(&tc, PyList_GET_ITEM(tagL, node));
+                if (acc.len > 0 && (f & (TF_BLOCK | TF_BR)) && !acc.last_ws) {
+                    if (acc_raw(&acc, " ", 1)) goto fail;
+                }
+                if (f & TF_PRESERVE) {
+                    if (npre >= pcap) {
+                        pcap *= 2;
+                        Py_ssize_t *np = (Py_ssize_t *)PyMem_Realloc(
+                            pre, sizeof(Py_ssize_t) * (size_t)pcap);
+                        if (!np) { PyErr_NoMemory(); goto fail; }
+                        pre = np;
+                    }
+                    pre[npre++] = sp - 1;
+                }
+            }
+        }
+        if (ci < PyList_GET_SIZE(kids)) {
+            fr->ci = ci + 1;
+            long child = PyLong_AsLong(PyList_GET_ITEM(kids, ci));
+            if (child < 0 || child >= nn) {
+                if (PyErr_Occurred()) goto fail;
+                PyErr_SetString(PyExc_ValueError, "child id out of range");
+                goto fail;
+            }
+            if (sp >= scap) {
+                scap *= 2;
+                Frame *ns = (Frame *)PyMem_Realloc(
+                    st, sizeof(Frame) * (size_t)scap);
+                if (!ns) { PyErr_NoMemory(); goto fail; }
+                st = ns;
+            }
+            st[sp].node = child; st[sp].ci = 0; sp++;
+            continue;
+        }
+        /* tail */
+        sp--;
+        long k = PyLong_AsLong(PyList_GET_ITEM(kindL, node));
+        if (k == 1) {
+            if (npre > 0 && pre[npre - 1] == sp) npre--;
+            int f = tag_flags(&tc, PyList_GET_ITEM(tagL, node));
+            if ((f & TF_BLOCK) && sp > 0 && !acc.last_ws) {
+                Frame *pf = &st[sp - 1];
+                PyObject *pkids = PyList_GET_ITEM(chL, pf->node);
+                if (pf->ci < PyList_GET_SIZE(pkids)) {
+                    long nxt = PyLong_AsLong(
+                        PyList_GET_ITEM(pkids, pf->ci));
+                    if (nxt >= 0 && nxt < nn) {
+                        long nk = PyLong_AsLong(
+                            PyList_GET_ITEM(kindL, nxt));
+                        int space = (nk == 2 || nk == 5);
+                        if (!space && nk == 1) {
+                            int nf = tag_flags(
+                                &tc, PyList_GET_ITEM(tagL, nxt));
+                            space = !((nf & TF_BLOCK) &&
+                                      !(nf & TF_FMT_INLINE));
+                        }
+                        if (space && acc_raw(&acc, " ", 1)) goto fail;
+                    }
+                }
+            }
+        }
+    }
+    {
+        Py_ssize_t b = 0, e = acc.len;
+        const char *buf = acc.b;
+        while (b < e && is_trim((unsigned char)buf[b])) b++;
+        while (e > b && is_trim((unsigned char)buf[e - 1])) e--;
+        PyObject *res = PyUnicode_DecodeUTF8(buf ? buf + b : "", e - b, NULL);
+        PyMem_Free(st);
+        PyMem_Free(pre);
+        PyMem_Free(acc.b);
+        return res;
+    }
+
+fail:
+    PyMem_Free(st);
+    PyMem_Free(pre);
+    PyMem_Free(acc.b);
+    return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"tokenize", py_tokenize, METH_VARARGS,
      "tokenize(s, start_byte, state, rawtext_tag, max_tokens)"
@@ -1592,6 +1737,8 @@ static PyMethodDef Methods[] = {
      "register common tag/attr names for interning"},
     {"norm_ws", py_norm_ws, METH_VARARGS,
      "norm_ws(s, strip_leading) -> normalized-whitespace str"},
+    {"element_text", py_element_text, METH_VARARGS,
+     "element_text(kind, tag, text, children, root) -> normalized text"},
     {"extract_spans", py_extract_spans, METH_VARARGS,
      "extract_spans(kind, tag, text, children, root) -> list of span"
      " tuples; media spans carry the node id in the media_ref slot"},

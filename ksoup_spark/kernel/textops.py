@@ -52,6 +52,20 @@ def _c_norm_ws():
 
 
 _cnorm = _c_norm_ws()
+
+
+def _c_element_text():
+    """The C element_text twin (same .so); None when unbuildable."""
+    try:
+        from .ctokenizer import _load
+
+        mod = _load()
+        return getattr(mod, "element_text", None) if mod is not None else None
+    except Exception:
+        return None
+
+
+_ctext = _c_element_text()
 MEDIA_KIND = {"img": "image", "video": "video", "object": "object"}
 _MEDIA_REF_ATTR = {"img": "src", "video": "src", "object": "data"}
 
@@ -178,7 +192,20 @@ def element_text(doc: Doc, root: int) -> str:
     Single non-recursive DFS; the stack frame carries the child cursor so
     tail-boundary next-sibling checks are O(1), and open preserve-whitespace
     elements are tracked by depth (≤6-level rule) instead of ancestor walks.
+
+    Hot path: the C mirror (py_element_text in _ctok_src.c) runs the whole
+    DFS; the Python loop below stays the semantics reference and the
+    fallback (lone-surrogate text can't view as UTF-8).
     """
+    if _ctext is not None:
+        try:
+            return _ctext(doc.kind, doc.tag, doc.text, doc.children, root)
+        except Exception:
+            pass
+    return _element_text_py(doc, root)
+
+
+def _element_text_py(doc: Doc, root: int) -> str:
     accum = _Accum()
     kind = doc.kind
     tag = doc.tag

@@ -115,3 +115,39 @@ def test_reference_page_parity():
         both(raw.decode("utf-8", "replace"))
         ran += 1
     assert ran > 0
+
+
+def test_element_text_parity():
+    from ksoup_spark.kernel import textops as T
+
+    if T._ctext is None:
+        pytest.skip("C module unavailable")
+    for html in CASES:
+        d = parse(html)
+        for node in range(len(d.kind)):
+            if d.kind[node] == dom.ELEMENT:
+                assert T.element_text(d, node) == \
+                    T._element_text_py(d, node), (html[:80], node)
+
+
+def test_element_text_reference_page_parity():
+    import gzip
+    import pathlib
+
+    from ksoup_spark.kernel import textops as T
+
+    if T._ctext is None:
+        pytest.skip("C module unavailable")
+    fx = pathlib.Path("/root/reference/ksoup-test/testResources")
+    pages = [fx / "test.txt"] + sorted((fx / "htmltests").glob("*.html"))
+    ran = 0
+    for p in pages:
+        if not p.exists():
+            continue
+        d = parse(p.read_bytes().decode("utf-8", "replace"))
+        for node in range(len(d.kind)):
+            if d.kind[node] == dom.ELEMENT:
+                assert T.element_text(d, node) == \
+                    T._element_text_py(d, node), (p.name, node)
+        ran += 1
+    assert ran > 0
