@@ -1729,6 +1729,1533 @@ fail:
     return NULL;
 }
 
+
+/* ---- tree-construction fast engine --------------------------------------
+ *
+ * Processes the common HTML5 insertion-mode cases (InBody / InCell /
+ * InCaption / Text) directly in C, operating on the SAME Python lists the
+ * Python HtmlTreeBuilder mutates (doc.kind/tag/attrs/text/ns/children/
+ * parent, builder.stack/formatting/pushed_tags). Any token outside the
+ * handled subset is returned ("bailed") to Python, which processes it with
+ * the full spec implementation and re-enters — zero state conversion in
+ * either direction. Semantics are an exact mirror of treebuilder.py's
+ * corresponding branches (each case cites the method it mirrors); the
+ * differential suite (tests/test_ctree.py) pins whole-tree equality vs the
+ * pure-Python path over the reference's pages and fuzz corpora.
+ *
+ * Entry preconditions (enforced by the Python wrapper): no parse-error
+ * collection, no source tracking, default ParseSettings, not a fragment
+ * parse, token names ASCII (non-ASCII tag/attr names bail per-token). */
+
+#define K_ELEM 1
+#define K_TEXT 2
+#define K_DATA 3
+#define K_COMMENT 4
+#define K_CDATA 5
+
+#define TF_SPECIAL 128
+#define TF_IMPLIED_END 256
+#define TF_P_CLOSER 512
+#define TF_HEADING 1024
+#define TF_FORMATTING 2048
+#define TF_SCOPE_BASE 4096
+#define TF_BUTTON_BOUND 8192
+#define TF_LIST_BOUND 16384
+#define TF_INBODY_SPECIAL 32768
+#define TF_FORM_LISTED 65536
+#define TF_VOID 131072
+#define TF_TSECTION 262144
+
+#define TR_OK 0
+#define TR_BAIL 1
+#define TR_ERR (-1)
+
+static long M_IN_BODY = -100, M_IN_CELL = -100, M_IN_CAPTION = -100,
+            M_TEXT = -100, M_IN_TABLE = -100, M_IN_TABLE_BODY = -100,
+            M_IN_ROW = -100, M_IN_TABLE_TEXT = -100;
+
+typedef struct {
+    PyObject *kind, *tag, *attrs, *text, *ns, *children, *parent;
+    PyObject *stack, *formatting, *pushed, *pending;
+    long mode, skip_lf, frameset_ok, original_mode, form_id, errors,
+         has_foreign;
+    TagCache tc;
+} Tree;
+
+static PyObject *py_set_tree_modes(PyObject *self, PyObject *args) {
+    if (!PyArg_ParseTuple(args, "llllllll", &M_IN_BODY, &M_IN_CELL,
+                          &M_IN_CAPTION, &M_TEXT, &M_IN_TABLE,
+                          &M_IN_TABLE_BODY, &M_IN_ROW, &M_IN_TABLE_TEXT))
+        return NULL;
+    Py_RETURN_NONE;
+}
+
+/* list element as C long (node ids / kinds); lists hold ints by invariant */
+static long tr_l(PyObject *lst, Py_ssize_t i) {
+    return PyLong_AsLong(PyList_GET_ITEM(lst, i));
+}
+
+static Py_ssize_t tr_top(Tree *tr) { /* -1 when stack empty */
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    return n ? (Py_ssize_t)tr_l(tr->stack, n - 1) : -1;
+}
+
+static PyObject *tr_toptag(Tree *tr) { /* borrowed; NULL when empty */
+    Py_ssize_t t = tr_top(tr);
+    return t < 0 ? NULL : PyList_GET_ITEM(tr->tag, t);
+}
+
+/* ASCII-lowered UTF-8 view of a str; returns 0 and sets *ok=0 when the
+ * name has non-ASCII bytes (caller bails: Python .lower() semantics). */
+static int tr_lower_name(PyObject *name, char *buf, Py_ssize_t cap,
+                         Py_ssize_t *lenp) {
+    Py_ssize_t l;
+    const char *p = PyUnicode_AsUTF8AndSize(name, &l);
+    if (!p) return -1; /* exception set (lone surrogate) */
+    if (l >= cap) return 1; /* absurdly long name: bail */
+    for (Py_ssize_t i = 0; i < l; i++) {
+        unsigned char c = (unsigned char)p[i];
+        if (c >= 0x80) return 1;
+        buf[i] = (c >= 'A' && c <= 'Z') ? (char)(c + 32) : (char)c;
+    }
+    buf[l] = 0;
+    *lenp = l;
+    return 0;
+}
+
+static int tr_flags_c(Tree *tr, const char *cname) {
+    return tag_flags_lookup(cname);
+}
+
+static int tr_flags_obj(Tree *tr, PyObject *tagobj) {
+    return tag_flags(&tr->tc, tagobj);
+}
+
+static int tr_tag_is(Tree *tr, Py_ssize_t nid, const char *cname) {
+    PyObject *tg = PyList_GET_ITEM(tr->tag, nid);
+    if (tg == Py_None) return 0;
+    Py_ssize_t l;
+    const char *p = PyUnicode_AsUTF8AndSize(tg, &l);
+    if (!p) { PyErr_Clear(); return 0; }
+    return strcmp(p, cname) == 0;
+}
+
+/* doc.new_node: appends one row to every parallel list; parent = -1
+ * (caller links). Steals nothing; attrs_dict/text_obj borrowed or NULL. */
+static Py_ssize_t tr_new_node(Tree *tr, long kind, PyObject *tagobj,
+                              PyObject *attrs_dict, PyObject *text_obj) {
+    Py_ssize_t nid = PyList_GET_SIZE(tr->kind);
+    PyObject *k = PyLong_FromLong(kind);
+    PyObject *chl = PyList_New(0);
+    PyObject *par = PyLong_FromLong(-1);
+    PyObject *nsv = PyLong_FromLong(0);
+    if (!k || !chl || !par || !nsv) goto fail;
+    if (PyList_Append(tr->kind, k)) goto fail;
+    if (PyList_Append(tr->tag, tagobj ? tagobj : Py_None)) goto fail;
+    if (PyList_Append(tr->attrs, attrs_dict ? attrs_dict : Py_None))
+        goto fail;
+    if (PyList_Append(tr->text, text_obj ? text_obj : Py_None)) goto fail;
+    if (PyList_Append(tr->ns, nsv)) goto fail;
+    if (PyList_Append(tr->children, chl)) goto fail;
+    if (PyList_Append(tr->parent, par)) goto fail;
+    Py_DECREF(k); Py_DECREF(chl); Py_DECREF(par); Py_DECREF(nsv);
+    return nid;
+fail:
+    Py_XDECREF(k); Py_XDECREF(chl); Py_XDECREF(par); Py_XDECREF(nsv);
+    return -1;
+}
+
+static int tr_set_parent(Tree *tr, Py_ssize_t nid, Py_ssize_t par) {
+    PyObject *p = PyLong_FromSsize_t(par);
+    if (!p) return -1;
+    if (PyList_SetItem(tr->parent, nid, p)) return -1; /* steals p */
+    return 0;
+}
+
+/* append nid under the current insertion parent (foster mode never active
+ * at tree_run boundaries); mirrors the non-foster path of _attach /
+ * insert_element */
+static int tr_attach(Tree *tr, Py_ssize_t nid) {
+    Py_ssize_t par = tr_top(tr);
+    if (par < 0) par = 0;
+    PyObject *sibs = PyList_GET_ITEM(tr->children, par);
+    PyObject *v = PyLong_FromSsize_t(nid);
+    if (!v) return -1;
+    int r = PyList_Append(sibs, v);
+    Py_DECREF(v);
+    if (r) return -1;
+    return tr_set_parent(tr, nid, par);
+}
+
+static int tr_push_stack(Tree *tr, Py_ssize_t nid) {
+    PyObject *v = PyLong_FromSsize_t(nid);
+    if (!v) return -1;
+    int r = PyList_Append(tr->stack, v);
+    Py_DECREF(v);
+    return r;
+}
+
+/* pop top of stack, return node id (or -1 when empty) */
+static Py_ssize_t tr_pop(Tree *tr) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    if (!n) return -1;
+    Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, n - 1);
+    if (PyList_SetSlice(tr->stack, n - 1, n, NULL)) return -1;
+    return nid;
+}
+
+/* insert_element (treebuilder.py insert_element, non-foster, untracked):
+ * attrs_dict is STOLEN. Returns node id or -1. */
+static Py_ssize_t tr_insert_element(Tree *tr, PyObject *name,
+                                    PyObject *attrs_dict, int push) {
+    Py_ssize_t nid = tr_new_node(tr, K_ELEM, name, attrs_dict, NULL);
+    Py_DECREF(attrs_dict);
+    if (nid < 0) return -1;
+    /* inline non-foster attach: parent BEFORE pushing self */
+    Py_ssize_t par = tr_top(tr);
+    if (par < 0) par = 0;
+    PyObject *sibs = PyList_GET_ITEM(tr->children, par);
+    PyObject *v = PyLong_FromSsize_t(nid);
+    if (!v) return -1;
+    int r = PyList_Append(sibs, v);
+    Py_DECREF(v);
+    if (r || tr_set_parent(tr, nid, par)) return -1;
+    if (push && tr_push_stack(tr, nid)) return -1;
+    if (PySet_Add(tr->pushed, name)) return -1;
+    return nid;
+}
+
+/* insert_empty (no push, no base-latch names reach here) */
+static Py_ssize_t tr_insert_empty(Tree *tr, PyObject *name,
+                                  PyObject *attrs_dict) {
+    Py_ssize_t nid = tr_new_node(tr, K_ELEM, name, attrs_dict, NULL);
+    Py_DECREF(attrs_dict);
+    if (nid < 0) return -1;
+    if (tr_attach(tr, nid)) return -1;
+    return nid;
+}
+
+/* _on_stack_capped: membership in the top 256 stack frames */
+static int tr_on_stack_capped(Tree *tr, long nid) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    Py_ssize_t lo = n > 256 ? n - 256 : 0;
+    for (Py_ssize_t i = n - 1; i >= lo; i--)
+        if (tr_l(tr->stack, i) == nid) return 1;
+    return 0;
+}
+
+/* value scan of the formatting list */
+static int tr_in_formatting(Tree *tr, long nid) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->formatting);
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (tr_l(tr->formatting, i) == nid) return 1;
+    return 0;
+}
+
+/* last_formatting(name): latest matching entry above the last MARKER */
+static long tr_last_formatting(Tree *tr, const char *cname) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->formatting);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        long fid = tr_l(tr->formatting, i);
+        if (fid == -1) break;
+        if (tr_tag_is(tr, fid, cname)) return fid;
+    }
+    return -1;
+}
+
+/* scope query matching by tag name, bounded by flag mask; cap 101 frames
+ * (_in_scope / MAX_SCOPE_SEARCH). pushed-tags latch makes never-pushed
+ * targets O(1). foreign frame => False, mirroring _in_scope. */
+static int tr_in_scope_name(Tree *tr, const char *cname, int bound_mask) {
+    PyObject *t = PyUnicode_FromString(cname);
+    if (!t) return -1;
+    int has = PySet_Contains(tr->pushed, t);
+    Py_DECREF(t);
+    if (has < 0) return -1;
+    if (!has) return 0;
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    Py_ssize_t lo = n > 101 ? n - 101 : 0;
+    for (Py_ssize_t i = n - 1; i >= lo; i--) {
+        Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+        if (tr_l(tr->ns, nid) != 0) return 0;
+        if (tr_tag_is(tr, nid, cname)) return 1;
+        int f = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+        if (f & bound_mask) return 0;
+    }
+    return 0;
+}
+
+/* scope query matching by flag mask (headings) */
+static int tr_in_scope_mask(Tree *tr, int match_mask, int bound_mask) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    Py_ssize_t lo = n > 101 ? n - 101 : 0;
+    for (Py_ssize_t i = n - 1; i >= lo; i--) {
+        Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+        if (tr_l(tr->ns, nid) != 0) return 0;
+        int f = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+        if (f & match_mask) return 1;
+        if (f & bound_mask) return 0;
+    }
+    return 0;
+}
+
+/* generate_implied_end(exclude): pop while top is an implied-end tag and
+ * not the excluded name (exclude NULL = none) */
+static int tr_implied_end(Tree *tr, const char *exclude) {
+    for (;;) {
+        PyObject *tt = tr_toptag(tr);
+        if (!tt || tt == Py_None) return 0;
+        int f = tr_flags_obj(tr, tt);
+        if (!(f & TF_IMPLIED_END)) return 0;
+        if (exclude) {
+            Py_ssize_t l;
+            const char *p = PyUnicode_AsUTF8AndSize(tt, &l);
+            if (p && strcmp(p, exclude) == 0) return 0;
+            if (!p) PyErr_Clear();
+        }
+        if (tr_pop(tr) < 0) return -1;
+    }
+}
+
+/* pop_until(name): pop until an element with the name is popped */
+static int tr_pop_until(Tree *tr, const char *cname) {
+    while (PyList_GET_SIZE(tr->stack)) {
+        Py_ssize_t nid = tr_pop(tr);
+        if (nid < 0) return -1;
+        if (tr_tag_is(tr, nid, cname)) break;
+    }
+    return 0;
+}
+
+/* close_p */
+static int tr_close_p(Tree *tr) {
+    if (tr_implied_end(tr, "p")) return -1;
+    Py_ssize_t top = tr_top(tr);
+    if (top < 0 || !tr_tag_is(tr, top, "p")) tr->errors++;
+    return tr_pop_until(tr, "p");
+}
+
+/* _close_element(name) */
+static int tr_close_element(Tree *tr, const char *cname) {
+    if (tr_implied_end(tr, cname)) return -1;
+    Py_ssize_t top = tr_top(tr);
+    if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+    return tr_pop_until(tr, cname);
+}
+
+/* reconstruct_formatting (treebuilder.py, incl. the 12-entry rewind cap) */
+static int tr_reconstruct(Tree *tr) {
+    Py_ssize_t fn = PyList_GET_SIZE(tr->formatting);
+    if (!fn) return 0;
+    long last = tr_l(tr->formatting, fn - 1);
+    if (last == -1 || tr_on_stack_capped(tr, last)) return 0;
+    Py_ssize_t i = fn - 1;
+    Py_ssize_t floor_ = i - 12 > 0 ? i - 12 : 0;
+    for (;;) {
+        if (i == floor_) break;
+        i--;
+        long entry = tr_l(tr->formatting, i);
+        if (entry == -1 || tr_on_stack_capped(tr, entry)) { i++; break; }
+    }
+    while (i < PyList_GET_SIZE(tr->formatting)) {
+        long entry = tr_l(tr->formatting, i);
+        PyObject *tg = PyList_GET_ITEM(tr->tag, entry);
+        PyObject *at = PyList_GET_ITEM(tr->attrs, entry);
+        PyObject *ad = (at == Py_None) ? PyDict_New() : PyDict_Copy(at);
+        if (!ad) return -1;
+        Py_ssize_t nid = tr_insert_element(tr, tg, ad, 1);
+        if (nid < 0) return -1;
+        PyObject *v = PyLong_FromSsize_t(nid);
+        if (!v) return -1;
+        if (PyList_SetItem(tr->formatting, i, v)) return -1;
+        i++;
+    }
+    return 0;
+}
+
+/* push_formatting with Noah's Ark (3 same tag+attrs since last marker) */
+static int tr_push_formatting(Tree *tr, Py_ssize_t nid) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->formatting);
+    int count = 0;
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        long fid = tr_l(tr->formatting, i);
+        if (fid == -1) break;
+        int teq = PyObject_RichCompareBool(
+            PyList_GET_ITEM(tr->tag, fid), PyList_GET_ITEM(tr->tag, nid),
+            Py_EQ);
+        if (teq < 0) return -1;
+        if (!teq) continue;
+        int aeq = PyObject_RichCompareBool(
+            PyList_GET_ITEM(tr->attrs, fid),
+            PyList_GET_ITEM(tr->attrs, nid), Py_EQ);
+        if (aeq < 0) return -1;
+        if (!aeq) continue;
+        if (++count == 3) {
+            /* list.remove(fid): node ids unique -> same element */
+            if (PyList_SetSlice(tr->formatting, i, i + 1, NULL)) return -1;
+            break;
+        }
+    }
+    PyObject *v = PyLong_FromSsize_t(nid);
+    if (!v) return -1;
+    int r = PyList_Append(tr->formatting, v);
+    Py_DECREF(v);
+    return r;
+}
+
+/* insert_char (non-foster): merge with a trailing sibling of same kind */
+static int tr_insert_char(Tree *tr, PyObject *txt, long kind) {
+    Py_ssize_t par = tr_top(tr);
+    if (par < 0) par = 0;
+    PyObject *sibs = PyList_GET_ITEM(tr->children, par);
+    Py_ssize_t sn = PyList_GET_SIZE(sibs);
+    if (sn && kind != K_CDATA) {
+        Py_ssize_t last = (Py_ssize_t)tr_l(sibs, sn - 1);
+        if (tr_l(tr->kind, last) == kind) {
+            PyObject *old = PyList_GET_ITEM(tr->text, last);
+            if (old == Py_None) old = S_empty;
+            PyObject *merged = PyUnicode_Concat(old, txt);
+            if (!merged) return -1;
+            if (PyList_SetItem(tr->text, last, merged)) return -1;
+            return 0;
+        }
+    }
+    Py_ssize_t nid = tr_new_node(tr, kind, NULL, NULL, txt);
+    if (nid < 0) return -1;
+    PyObject *v = PyLong_FromSsize_t(nid);
+    if (!v) return -1;
+    int r = PyList_Append(sibs, v);
+    Py_DECREF(v);
+    if (r) return -1;
+    return tr_set_parent(tr, nid, par);
+}
+
+/* norm_attrs: pairs list -> dict with ASCII-lowered names, first-dup-wins.
+ * Returns new dict, or NULL+no-exception to request a bail (non-ASCII
+ * name), or NULL+exception on real error. */
+static PyObject *tr_norm_attrs(Tree *tr, PyObject *pairs) {
+    PyObject *d = PyDict_New();
+    if (!d) return NULL;
+    Py_ssize_t n = PyList_GET_SIZE(pairs);
+    char kbuf[128];
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pair = PyList_GET_ITEM(pairs, i);
+        PyObject *k = PyTuple_GET_ITEM(pair, 0);
+        PyObject *v = PyTuple_GET_ITEM(pair, 1);
+        Py_ssize_t kl;
+        int lr = tr_lower_name(k, kbuf, sizeof(kbuf), &kl);
+        if (lr < 0) { Py_DECREF(d); return NULL; }
+        if (lr > 0) { Py_DECREF(d); return NULL; } /* bail: no exception */
+        if (kl == 0) continue;
+        PyObject *lk = name_obj(kbuf, kl);
+        if (!lk) { Py_DECREF(d); return NULL; }
+        int has = PyDict_Contains(d, lk);
+        if (has < 0) { Py_DECREF(lk); Py_DECREF(d); return NULL; }
+        if (!has && PyDict_SetItem(d, lk, v)) {
+            Py_DECREF(lk); Py_DECREF(d); return NULL;
+        }
+        Py_DECREF(lk);
+    }
+    return d;
+}
+
+/* _any_other_end_tag */
+static int tr_any_other_end(Tree *tr, const char *cname) {
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+        if (tr_tag_is(tr, nid, cname) && tr_l(tr->ns, nid) == 0) {
+            if (tr_implied_end(tr, cname)) return TR_ERR;
+            Py_ssize_t top = tr_top(tr);
+            if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+            while (PyList_GET_SIZE(tr->stack)) {
+                Py_ssize_t popped = tr_pop(tr);
+                if (popped < 0) return TR_ERR;
+                if (popped == nid) break;
+            }
+            return TR_OK;
+        }
+        int f = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+        if (f & TF_SPECIAL) { tr->errors++; return TR_OK; }
+    }
+    return TR_OK;
+}
+
+/* text token in body-equivalent modes (_in_body_text) */
+static int tr_body_text(Tree *tr, PyObject *txt) {
+    PyObject *owned = NULL;
+    if (tr->skip_lf) {
+        tr->skip_lf = 0;
+        Py_ssize_t l;
+        const char *p = PyUnicode_AsUTF8AndSize(txt, &l);
+        if (!p) return TR_ERR;
+        if (l > 0 && p[0] == '\n') {
+            if (l == 1) return TR_OK;
+            owned = PyUnicode_Substring(txt, 1, PyUnicode_GET_LENGTH(txt));
+            if (!owned) return TR_ERR;
+            txt = owned;
+        }
+    }
+    if (tr_reconstruct(tr)) { Py_XDECREF(owned); return TR_ERR; }
+    long kind = K_TEXT;
+    {
+        PyObject *tt = tr_toptag(tr);
+        if (tt && tt != Py_None) {
+            Py_ssize_t l;
+            const char *p = PyUnicode_AsUTF8AndSize(tt, &l);
+            if (p && (strcmp(p, "script") == 0 || strcmp(p, "style") == 0))
+                kind = K_DATA;
+            if (!p) PyErr_Clear();
+        }
+    }
+    if (tr_insert_char(tr, txt, kind)) { Py_XDECREF(owned); return TR_ERR; }
+    if (tr->frameset_ok) {
+        Py_ssize_t l;
+        const char *p = PyUnicode_AsUTF8AndSize(txt, &l);
+        if (!p) { Py_XDECREF(owned); return TR_ERR; }
+        for (Py_ssize_t i = 0; i < l; i++) {
+            char c = p[i];
+            if (c != ' ' && c != '\t' && c != '\n' && c != '\f' &&
+                c != '\r') { tr->frameset_ok = 0; break; }
+        }
+    }
+    Py_XDECREF(owned);
+    return TR_OK;
+}
+
+/* text token in TEXT mode (_text) */
+static int tr_text_mode_text(Tree *tr, PyObject *txt) {
+    long kind = K_TEXT;
+    PyObject *tt = tr_toptag(tr);
+    if (tt && tt != Py_None) {
+        Py_ssize_t l;
+        const char *p = PyUnicode_AsUTF8AndSize(tt, &l);
+        if (p && (strcmp(p, "script") == 0 || strcmp(p, "style") == 0 ||
+                  strcmp(p, "iframe") == 0 || strcmp(p, "noembed") == 0 ||
+                  strcmp(p, "noframes") == 0 || strcmp(p, "xmp") == 0))
+            kind = K_DATA;
+        if (!p) PyErr_Clear();
+    }
+    PyObject *owned = NULL;
+    if (tr->skip_lf) {
+        tr->skip_lf = 0;
+        Py_ssize_t l;
+        const char *p = PyUnicode_AsUTF8AndSize(txt, &l);
+        if (!p) return TR_ERR;
+        if (l > 0 && p[0] == '\n') {
+            if (l == 1) return TR_OK;
+            owned = PyUnicode_Substring(txt, 1, PyUnicode_GET_LENGTH(txt));
+            if (!owned) return TR_ERR;
+            txt = owned;
+        }
+    }
+    int r = tr_insert_char(tr, txt, kind);
+    Py_XDECREF(owned);
+    return r ? TR_ERR : TR_OK;
+}
+
+/* start tag in body-equivalent modes. cname: lowered ASCII name.
+ * name_l: its interned object (borrowed via caller). */
+static int tr_body_start(Tree *tr, const char *cname, PyObject *name_l,
+                         PyObject *pairs, int selfclosing) {
+    int f = tr_flags_c(tr, cname);
+    if (selfclosing && !(f & TF_VOID)) return TR_BAIL;
+    /* form-control association (insert_element/_empty -> _link_form_control)
+     * is Python-side bookkeeping: any listed control under an open form
+     * bails, whatever branch would insert it */
+    if (tr->form_id != -1 && (f & TF_FORM_LISTED)) return TR_BAIL;
+    if (!(f & TF_INBODY_SPECIAL)) { /* generic fast path */
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (f & TF_FORMATTING) {
+        if (strcmp(cname, "a") == 0 && tr_last_formatting(tr, "a") != -1)
+            return TR_BAIL;
+        if (strcmp(cname, "nobr") == 0) {
+            int sc = tr_in_scope_name(tr, "nobr", TF_SCOPE_BASE);
+            if (sc < 0) return TR_ERR;
+            if (sc) return TR_BAIL;
+        }
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        Py_ssize_t el = tr_insert_element(tr, name_l, ad, 1);
+        if (el < 0) return TR_ERR;
+        if (tr_push_formatting(tr, el)) return TR_ERR;
+        return TR_OK;
+    }
+    if ((f & TF_P_CLOSER) && strcmp(cname, "pre") != 0 &&
+        strcmp(cname, "listing") != 0 && strcmp(cname, "xmp") != 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (f & TF_HEADING) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        PyObject *tt = tr_toptag(tr);
+        if (tt && tt != Py_None &&
+            (tr_flags_obj(tr, tt) & TF_HEADING)) {
+            tr->errors++;
+            if (tr_pop(tr) < 0) { Py_DECREF(ad); return TR_ERR; }
+        }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "pre") == 0 || strcmp(cname, "listing") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        tr->skip_lf = 1;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "li") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        tr->frameset_ok = 0;
+        Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+        for (Py_ssize_t i = n - 1; i >= 0; i--) {
+            if (n - 1 - i > 256) break; /* MAX_QUEUE_DEPTH */
+            Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+            PyObject *tg = PyList_GET_ITEM(tr->tag, nid);
+            if (tr_tag_is(tr, nid, "li")) {
+                if (tr_close_element(tr, "li")) { Py_DECREF(ad); return TR_ERR; }
+                break;
+            }
+            int tf = tr_flags_obj(tr, tg);
+            if ((tf & TF_SPECIAL) && !tr_tag_is(tr, nid, "address") &&
+                !tr_tag_is(tr, nid, "div") && !tr_tag_is(tr, nid, "p"))
+                break;
+        }
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "dd") == 0 || strcmp(cname, "dt") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        tr->frameset_ok = 0;
+        Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+        for (Py_ssize_t i = n - 1; i >= 0; i--) {
+            if (n - 1 - i > 24) break; /* dd/dt scan cap */
+            Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+            if (tr_tag_is(tr, nid, "dd")) {
+                if (tr_close_element(tr, "dd")) { Py_DECREF(ad); return TR_ERR; }
+                break;
+            }
+            if (tr_tag_is(tr, nid, "dt")) {
+                if (tr_close_element(tr, "dt")) { Py_DECREF(ad); return TR_ERR; }
+                break;
+            }
+            int tf = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+            if ((tf & TF_SPECIAL) && !tr_tag_is(tr, nid, "address") &&
+                !tr_tag_is(tr, nid, "div") && !tr_tag_is(tr, nid, "p"))
+                break;
+        }
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "hr") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_empty(tr, name_l, ad) < 0) return TR_ERR;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "area") == 0 || strcmp(cname, "br") == 0 ||
+        strcmp(cname, "embed") == 0 || strcmp(cname, "img") == 0 ||
+        strcmp(cname, "keygen") == 0 || strcmp(cname, "wbr") == 0) {
+        if (tr->form_id != -1 && (f & TF_FORM_LISTED)) return TR_BAIL;
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_empty(tr, name_l, ad) < 0) return TR_ERR;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "input") == 0) {
+        if (tr->form_id != -1) return TR_BAIL; /* form-control association */
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        /* read type before ad is stolen */
+        int hidden = 0;
+        {
+            PyObject *tv = PyDict_GetItemString(ad, "type");
+            if (tv && tv != Py_None) {
+                Py_ssize_t l;
+                const char *p = PyUnicode_AsUTF8AndSize(tv, &l);
+                if (p) {
+                    char low[16];
+                    if (l < 16) {
+                        for (Py_ssize_t i = 0; i < l; i++)
+                            low[i] = lc(p[i]);
+                        low[l] = 0;
+                        hidden = strcmp(low, "hidden") == 0;
+                    }
+                } else PyErr_Clear();
+            }
+        }
+        if (tr_insert_empty(tr, name_l, ad) < 0) return TR_ERR;
+        if (!hidden) tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "param") == 0 || strcmp(cname, "source") == 0 ||
+        strcmp(cname, "track") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_insert_empty(tr, name_l, ad) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "option") == 0 || strcmp(cname, "optgroup") == 0) {
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        Py_ssize_t top = tr_top(tr);
+        if (top >= 0 && tr_tag_is(tr, top, "option")) {
+            if (tr_pop(tr) < 0) { Py_DECREF(ad); return TR_ERR; }
+        }
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "rp") == 0 || strcmp(cname, "rt") == 0) {
+        int has = tr_in_scope_name(tr, "ruby", TF_SCOPE_BASE);
+        if (has < 0) return TR_ERR;
+        if (has) return TR_BAIL; /* implied-end + error bookkeeping */
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "button") == 0) {
+        int sc = tr_in_scope_name(tr, "button", TF_SCOPE_BASE);
+        if (sc < 0) return TR_ERR;
+        if (sc) return TR_BAIL;
+        if (tr->form_id != -1) return TR_BAIL; /* FORM_LISTED */
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "applet") == 0 || strcmp(cname, "marquee") == 0 ||
+        strcmp(cname, "object") == 0) {
+        if (tr->form_id != -1 && (f & TF_FORM_LISTED)) return TR_BAIL;
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        if (tr_reconstruct(tr)) { Py_DECREF(ad); return TR_ERR; }
+        if (tr_insert_element(tr, name_l, ad, 1) < 0) return TR_ERR;
+        PyObject *m = PyLong_FromLong(-1);
+        if (!m) return TR_ERR;
+        int r = PyList_Append(tr->formatting, m);
+        Py_DECREF(m);
+        if (r) return TR_ERR;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    if (strcmp(cname, "form") == 0) {
+        PyObject *tmpl = PyUnicode_FromString("template");
+        if (!tmpl) return TR_ERR;
+        int has_t = PySet_Contains(tr->pushed, tmpl);
+        Py_DECREF(tmpl);
+        if (has_t < 0) return TR_ERR;
+        if (has_t || tr->form_id != -1) return TR_BAIL;
+        PyObject *ad = tr_norm_attrs(tr, pairs);
+        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) { Py_DECREF(ad); return TR_ERR; }
+        if (bs && tr_close_p(tr)) { Py_DECREF(ad); return TR_ERR; }
+        Py_ssize_t el = tr_insert_element(tr, name_l, ad, 1);
+        if (el < 0) return TR_ERR;
+        tr->form_id = (long)el;
+        return TR_OK;
+    }
+    return TR_BAIL;
+}
+
+/* end tag in body-equivalent modes (_in_body_end) */
+static int tr_body_end(Tree *tr, const char *cname) {
+    int f = tr_flags_c(tr, cname);
+    if (f & TF_FORMATTING) {
+        /* adoption agency (_adoption_agency): the fast path, the
+         * no-formatting-entry path, and the common no-furthest-block
+         * iteration; the clone dance bails to Python untouched */
+        Py_ssize_t cur = tr_top(tr);
+        if (cur >= 0 && tr_tag_is(tr, cur, cname) &&
+            !tr_in_formatting(tr, (long)cur)) {
+            if (tr_implied_end(tr, cname)) return TR_ERR;
+            if (tr_pop_until(tr, cname)) return TR_ERR;
+            return TR_OK;
+        }
+        long fmt = tr_last_formatting(tr, cname);
+        if (fmt == -1)
+            return tr_any_other_end(tr, cname);
+        if (!tr_on_stack_capped(tr, fmt)) {
+            /* capped scan: a deeper hit would mean >256 frames above the
+             * formatting element — defer to Python's uncapped .index() */
+            Py_ssize_t sn = PyList_GET_SIZE(tr->stack);
+            if (sn > 256) return TR_BAIL;
+            tr->errors++;
+            /* remove_formatting(fmt) */
+            Py_ssize_t fn = PyList_GET_SIZE(tr->formatting);
+            for (Py_ssize_t i = 0; i < fn; i++)
+                if (tr_l(tr->formatting, i) == fmt) {
+                    if (PyList_SetSlice(tr->formatting, i, i + 1, NULL))
+                        return TR_ERR;
+                    break;
+                }
+            return TR_OK;
+        }
+        {
+            int sc = tr_in_scope_name(tr, cname, TF_SCOPE_BASE);
+            if (sc < 0) return TR_ERR;
+            if (!sc) { tr->errors++; return TR_OK; }
+        }
+        /* find fmt's stack index (uncapped, mirrors stack.index) */
+        Py_ssize_t sn = PyList_GET_SIZE(tr->stack);
+        Py_ssize_t stack_idx = -1;
+        for (Py_ssize_t i = 0; i < sn; i++)
+            if (tr_l(tr->stack, i) == fmt) { stack_idx = i; break; }
+        if (stack_idx < 0) return TR_BAIL; /* unreachable; be safe */
+        /* furthest block: first SPECIAL above fmt (scan cap 64) */
+        Py_ssize_t lim = stack_idx + 1 + 64;
+        if (lim > sn) lim = sn;
+        for (Py_ssize_t i = stack_idx + 1; i < lim; i++) {
+            Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+            int nf = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+            if (nf & TF_SPECIAL) return TR_BAIL; /* clone dance: Python */
+        }
+        /* no furthest block: error if fmt != current, then pop through
+         * fmt and drop its formatting entry */
+        if ((long)tr_top(tr) != fmt) tr->errors++;
+        if (PyList_SetSlice(tr->stack, stack_idx, sn, NULL)) return TR_ERR;
+        Py_ssize_t fn = PyList_GET_SIZE(tr->formatting);
+        for (Py_ssize_t i = 0; i < fn; i++)
+            if (tr_l(tr->formatting, i) == fmt) {
+                if (PyList_SetSlice(tr->formatting, i, i + 1, NULL))
+                    return TR_ERR;
+                break;
+            }
+        return TR_OK;
+    }
+    if (strcmp(cname, "body") == 0 || strcmp(cname, "html") == 0 ||
+        strcmp(cname, "template") == 0 || strcmp(cname, "form") == 0)
+        return TR_BAIL;
+    if (strcmp(cname, "p") == 0) {
+        int bs = tr_in_scope_name(tr, "p", TF_BUTTON_BOUND);
+        if (bs < 0) return TR_ERR;
+        if (!bs) return TR_BAIL; /* error + synthesized <p> path */
+        if (tr_close_p(tr)) return TR_ERR;
+        return TR_OK;
+    }
+    if (((f & TF_P_CLOSER) && strcmp(cname, "p") != 0) ||
+        strcmp(cname, "button") == 0 || strcmp(cname, "fieldset") == 0) {
+        int sc = tr_in_scope_name(tr, cname, TF_SCOPE_BASE);
+        if (sc < 0) return TR_ERR;
+        if (!sc) { tr->errors++; return TR_OK; }
+        if (tr_implied_end(tr, NULL)) return TR_ERR;
+        Py_ssize_t top = tr_top(tr);
+        if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+        if (tr_pop_until(tr, cname)) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "li") == 0) {
+        int sc = tr_in_scope_name(tr, "li", TF_LIST_BOUND);
+        if (sc < 0) return TR_ERR;
+        if (!sc) { tr->errors++; return TR_OK; }
+        if (tr_close_element(tr, "li")) return TR_ERR;
+        return TR_OK;
+    }
+    if (strcmp(cname, "dd") == 0 || strcmp(cname, "dt") == 0) {
+        int sc = tr_in_scope_name(tr, cname, TF_SCOPE_BASE);
+        if (sc < 0) return TR_ERR;
+        if (!sc) { tr->errors++; return TR_OK; }
+        if (tr_close_element(tr, cname)) return TR_ERR;
+        return TR_OK;
+    }
+    if (f & TF_HEADING) {
+        int sc = tr_in_scope_mask(tr, TF_HEADING, TF_SCOPE_BASE);
+        if (sc < 0) return TR_ERR;
+        if (!sc) { tr->errors++; return TR_OK; }
+        if (tr_implied_end(tr, cname)) return TR_ERR;
+        Py_ssize_t top = tr_top(tr);
+        if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+        while (PyList_GET_SIZE(tr->stack)) {
+            Py_ssize_t nid = tr_pop(tr);
+            if (nid < 0) return TR_ERR;
+            int nf = tr_flags_obj(tr, PyList_GET_ITEM(tr->tag, nid));
+            if (nf & TF_HEADING) break;
+        }
+        return TR_OK;
+    }
+    if (strcmp(cname, "applet") == 0 || strcmp(cname, "marquee") == 0 ||
+        strcmp(cname, "object") == 0) {
+        int sc = tr_in_scope_name(tr, cname, TF_SCOPE_BASE);
+        if (sc < 0) return TR_ERR;
+        if (!sc) { tr->errors++; return TR_OK; }
+        if (tr_implied_end(tr, NULL)) return TR_ERR;
+        Py_ssize_t top = tr_top(tr);
+        if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+        if (tr_pop_until(tr, cname)) return TR_ERR;
+        /* clear_formatting_to_marker */
+        while (PyList_GET_SIZE(tr->formatting)) {
+            Py_ssize_t fn = PyList_GET_SIZE(tr->formatting);
+            long fid = tr_l(tr->formatting, fn - 1);
+            if (PyList_SetSlice(tr->formatting, fn - 1, fn, NULL))
+                return TR_ERR;
+            if (fid == -1) break;
+        }
+        return TR_OK;
+    }
+    if (strcmp(cname, "br") == 0) {
+        tr->errors++;
+        if (tr_reconstruct(tr)) return TR_ERR;
+        PyObject *nm = name_obj("br", 2);
+        if (!nm) return TR_ERR;
+        PyObject *ad = PyDict_New();
+        if (!ad) { Py_DECREF(nm); return TR_ERR; }
+        Py_ssize_t r = tr_insert_empty(tr, nm, ad);
+        Py_DECREF(nm);
+        if (r < 0) return TR_ERR;
+        tr->frameset_ok = 0;
+        return TR_OK;
+    }
+    return tr_any_other_end(tr, cname);
+}
+
+
+/* in_table_scope: name match (HTML ns) bounded by html/table/template */
+static int tr_in_table_scope(Tree *tr, const char *cname) {
+    PyObject *t = PyUnicode_FromString(cname);
+    if (!t) return -1;
+    int has = PySet_Contains(tr->pushed, t);
+    Py_DECREF(t);
+    if (has < 0) return -1;
+    if (!has) return 0;
+    Py_ssize_t n = PyList_GET_SIZE(tr->stack);
+    Py_ssize_t lo = n > 101 ? n - 101 : 0;
+    for (Py_ssize_t i = n - 1; i >= lo; i--) {
+        Py_ssize_t nid = (Py_ssize_t)tr_l(tr->stack, i);
+        if (tr_l(tr->ns, nid) == 0 && tr_tag_is(tr, nid, cname)) return 1;
+        if (tr_tag_is(tr, nid, "html") || tr_tag_is(tr, nid, "table") ||
+            tr_tag_is(tr, nid, "template"))
+            return 0;
+    }
+    return 0;
+}
+
+/* pop_until_before(names...): pop while top tag not among the 2-3 names */
+static int tr_clear_to(Tree *tr, const char *a, const char *b,
+                       const char *c) {
+    while (PyList_GET_SIZE(tr->stack)) {
+        Py_ssize_t top = tr_top(tr);
+        if (tr_tag_is(tr, top, a) || (b && tr_tag_is(tr, top, b)) ||
+            (c && tr_tag_is(tr, top, c)) || tr_tag_is(tr, top, "html") ||
+            tr_tag_is(tr, top, "template"))
+            return 0;
+        if (tr_pop(tr) < 0) return -1;
+    }
+    return 0;
+}
+
+static int tr_clear_formatting_to_marker(Tree *tr) {
+    while (PyList_GET_SIZE(tr->formatting)) {
+        Py_ssize_t fn = PyList_GET_SIZE(tr->formatting);
+        long fid = tr_l(tr->formatting, fn - 1);
+        if (PyList_SetSlice(tr->formatting, fn - 1, fn, NULL)) return -1;
+        if (fid == -1) break;
+    }
+    return 0;
+}
+
+static int tr_append_marker(Tree *tr) {
+    PyObject *m = PyLong_FromLong(-1);
+    if (!m) return -1;
+    int r = PyList_Append(tr->formatting, m);
+    Py_DECREF(m);
+    return r;
+}
+
+/* _close_cell */
+static int tr_close_cell(Tree *tr) {
+    int is_td = tr_in_table_scope(tr, "td");
+    if (is_td < 0) return -1;
+    const char *nm = is_td ? "td" : "th";
+    if (tr_implied_end(tr, NULL)) return -1;
+    Py_ssize_t top = tr_top(tr);
+    if (top < 0 || !tr_tag_is(tr, top, nm)) tr->errors++;
+    if (tr_pop_until(tr, nm)) return -1;
+    if (tr_clear_formatting_to_marker(tr)) return -1;
+    tr->mode = M_IN_ROW;
+    return 0;
+}
+
+static int tree_handle(Tree *tr, PyObject *tok); /* fwd */
+
+/* IN_TABLE "anything else" fall-through shared by body/row modes.
+ * Returns TR_OK / TR_BAIL / TR_ERR; TR_REDISPATCH means the caller should
+ * run tree_handle again on the same token (Python reprocess). */
+#define TR_REDISPATCH 2
+
+static int tr_in_table(Tree *tr, PyObject *tok) {
+    PyObject *k = PyTuple_GET_ITEM(tok, 0);
+    if (k == S_text) {
+        Py_ssize_t cur = tr_top(tr);
+        if (cur < 0) cur = 0;
+        if (tr_tag_is(tr, cur, "table") || tr_tag_is(tr, cur, "tbody") ||
+            tr_tag_is(tr, cur, "tfoot") || tr_tag_is(tr, cur, "thead") ||
+            tr_tag_is(tr, cur, "tr")) {
+            if (PyList_SetSlice(tr->pending, 0,
+                                PyList_GET_SIZE(tr->pending), NULL))
+                return TR_ERR;
+            tr->original_mode = tr->mode;
+            tr->mode = M_IN_TABLE_TEXT;
+            if (PyList_Append(tr->pending, PyTuple_GET_ITEM(tok, 1)))
+                return TR_ERR;
+            return TR_OK;
+        }
+        return TR_BAIL; /* foster-parented text */
+    }
+    if (k == S_comment) {
+        Py_ssize_t nid = tr_new_node(tr, K_COMMENT, NULL, NULL,
+                                     PyTuple_GET_ITEM(tok, 1));
+        if (nid < 0 || tr_attach(tr, nid)) return TR_ERR;
+        return TR_OK;
+    }
+    if (k == S_doctype) { tr->errors++; return TR_OK; }
+    if (k == S_start) {
+        char cname[96];
+        Py_ssize_t cl;
+        int lr = tr_lower_name(PyTuple_GET_ITEM(tok, 1), cname,
+                               sizeof(cname), &cl);
+        if (lr < 0) return TR_ERR;
+        if (lr > 0) return TR_BAIL;
+        if (strcmp(cname, "tbody") == 0 || strcmp(cname, "tfoot") == 0 ||
+            strcmp(cname, "thead") == 0) {
+            PyObject *ad = tr_norm_attrs(tr, PyTuple_GET_ITEM(tok, 2));
+            if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+            if (tr_clear_to(tr, "table", NULL, NULL)) { Py_DECREF(ad); return TR_ERR; }
+            PyObject *nm = name_obj(cname, cl);
+            if (!nm) { Py_DECREF(ad); return TR_ERR; }
+            Py_ssize_t r = tr_insert_element(tr, nm, ad, 1);
+            Py_DECREF(nm);
+            if (r < 0) return TR_ERR;
+            tr->mode = M_IN_TABLE_BODY;
+            return TR_OK;
+        }
+        if (strcmp(cname, "td") == 0 || strcmp(cname, "th") == 0 ||
+            strcmp(cname, "tr") == 0) {
+            if (tr_clear_to(tr, "table", NULL, NULL)) return TR_ERR;
+            PyObject *nm = name_obj("tbody", 5);
+            if (!nm) return TR_ERR;
+            PyObject *ad = PyDict_New();
+            if (!ad) { Py_DECREF(nm); return TR_ERR; }
+            Py_ssize_t r = tr_insert_element(tr, nm, ad, 1);
+            Py_DECREF(nm);
+            if (r < 0) return TR_ERR;
+            tr->mode = M_IN_TABLE_BODY;
+            return TR_REDISPATCH;
+        }
+        return TR_BAIL; /* caption/colgroup/col/table/script/input/form/… */
+    }
+    if (k == S_end) {
+        char cname[96];
+        Py_ssize_t cl;
+        int lr = tr_lower_name(PyTuple_GET_ITEM(tok, 1), cname,
+                               sizeof(cname), &cl);
+        if (lr < 0) return TR_ERR;
+        if (lr > 0) return TR_BAIL;
+        if (strcmp(cname, "table") == 0 || strcmp(cname, "template") == 0)
+            return TR_BAIL; /* reset_insertion_mode / template */
+        if (strcmp(cname, "body") == 0 || strcmp(cname, "caption") == 0 ||
+            strcmp(cname, "col") == 0 || strcmp(cname, "colgroup") == 0 ||
+            strcmp(cname, "html") == 0 || strcmp(cname, "tbody") == 0 ||
+            strcmp(cname, "td") == 0 || strcmp(cname, "tfoot") == 0 ||
+            strcmp(cname, "th") == 0 || strcmp(cname, "thead") == 0 ||
+            strcmp(cname, "tr") == 0) {
+            tr->errors++;
+            return TR_OK;
+        }
+        return TR_BAIL; /* foster-parented InBody end handling */
+    }
+    return TR_BAIL; /* eof */
+}
+
+/* _table_body_exit / _row_exit shared shape */
+static int tr_table_body_exit(Tree *tr) {
+    int a = tr_in_table_scope(tr, "tbody");
+    if (a < 0) return TR_ERR;
+    int b = a ? 1 : tr_in_table_scope(tr, "thead");
+    if (b < 0) return TR_ERR;
+    int c = b ? 1 : tr_in_table_scope(tr, "tfoot");
+    if (c < 0) return TR_ERR;
+    if (!c) { tr->errors++; return TR_OK; }
+    if (tr_clear_to(tr, "tbody", "tfoot", "thead")) return TR_ERR;
+    if (tr_pop(tr) < 0) return TR_ERR;
+    tr->mode = M_IN_TABLE;
+    return TR_REDISPATCH;
+}
+
+static int tr_row_exit(Tree *tr) {
+    int sc = tr_in_table_scope(tr, "tr");
+    if (sc < 0) return TR_ERR;
+    if (!sc) { tr->errors++; return TR_OK; }
+    if (tr_clear_to(tr, "tr", NULL, NULL)) return TR_ERR;
+    if (tr_pop(tr) < 0) return TR_ERR;
+    tr->mode = M_IN_TABLE_BODY;
+    return TR_REDISPATCH;
+}
+
+/* one token: TR_OK handled, TR_BAIL return to Python, TR_ERR exception */
+static int tree_handle_once(Tree *tr, PyObject *tok) {
+    PyObject *k = PyTuple_GET_ITEM(tok, 0);
+    /* foreign-content dispatch guard (process(), treebuilder.py) */
+    if (tr->has_foreign) {
+        Py_ssize_t top = tr_top(tr);
+        if (top >= 0 && tr_l(tr->ns, top) != 0) return TR_BAIL;
+    }
+    long mode = tr->mode;
+    if (mode == M_TEXT) {
+        if (k == S_text) return tr_text_mode_text(tr, PyTuple_GET_ITEM(tok, 1));
+        if (k == S_end) {
+            if (tr_pop(tr) < 0) return TR_ERR;
+            tr->mode = tr->original_mode;
+            return TR_OK;
+        }
+        return TR_BAIL; /* eof */
+    }
+    if (mode == M_IN_TABLE_TEXT) {
+        if (k == S_text) {
+            if (PyList_Append(tr->pending, PyTuple_GET_ITEM(tok, 1)))
+                return TR_ERR;
+            return TR_OK;
+        }
+        /* flush (_in_table_text): the all-whitespace case inserts here;
+         * non-ws needs foster parenting -> bail with pending + mode intact
+         * so Python's IN_TABLE_TEXT handler runs the identical flush */
+        Py_ssize_t np = PyList_GET_SIZE(tr->pending);
+        Py_ssize_t total = 0;
+        for (Py_ssize_t i = 0; i < np; i++) {
+            PyObject *t = PyList_GET_ITEM(tr->pending, i);
+            Py_ssize_t l;
+            const char *p = PyUnicode_AsUTF8AndSize(t, &l);
+            if (!p) return TR_ERR;
+            for (Py_ssize_t j = 0; j < l; j++) {
+                char c = p[j];
+                if (c != ' ' && c != '\t' && c != '\n' && c != '\f' &&
+                    c != '\r')
+                    return TR_BAIL; /* non-ws flush: Python path */
+            }
+            total += l;
+        }
+        if (total) {
+            PyObject *joined;
+            if (np == 1) {
+                joined = PyList_GET_ITEM(tr->pending, 0);
+                Py_INCREF(joined);
+            } else {
+                joined = PyUnicode_Join(S_empty, tr->pending);
+                if (!joined) return TR_ERR;
+            }
+            int r = tr_insert_char(tr, joined, K_TEXT);
+            Py_DECREF(joined);
+            if (r) return TR_ERR;
+        }
+        if (PyList_SetSlice(tr->pending, 0, np, NULL)) return TR_ERR;
+        tr->mode = tr->original_mode;
+        return TR_REDISPATCH;
+    }
+    if (mode == M_IN_TABLE || mode == M_IN_TABLE_BODY || mode == M_IN_ROW) {
+        if (k == S_start || k == S_end) {
+            char cname[96];
+            Py_ssize_t cl;
+            int lr = tr_lower_name(PyTuple_GET_ITEM(tok, 1), cname,
+                                   sizeof(cname), &cl);
+            if (lr < 0) return TR_ERR;
+            if (lr > 0) return TR_BAIL;
+            if (mode == M_IN_TABLE_BODY) {
+                if (k == S_start) {
+                    if (strcmp(cname, "tr") == 0) {
+                        PyObject *ad = tr_norm_attrs(tr,
+                                                     PyTuple_GET_ITEM(tok, 2));
+                        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+                        if (tr_clear_to(tr, "tbody", "tfoot", "thead")) {
+                            Py_DECREF(ad); return TR_ERR;
+                        }
+                        PyObject *nm = name_obj("tr", 2);
+                        if (!nm) { Py_DECREF(ad); return TR_ERR; }
+                        Py_ssize_t r = tr_insert_element(tr, nm, ad, 1);
+                        Py_DECREF(nm);
+                        if (r < 0) return TR_ERR;
+                        tr->mode = M_IN_ROW;
+                        return TR_OK;
+                    }
+                    if (strcmp(cname, "td") == 0 ||
+                        strcmp(cname, "th") == 0) {
+                        tr->errors++;
+                        if (tr_clear_to(tr, "tbody", "tfoot", "thead"))
+                            return TR_ERR;
+                        PyObject *nm = name_obj("tr", 2);
+                        if (!nm) return TR_ERR;
+                        PyObject *ad = PyDict_New();
+                        if (!ad) { Py_DECREF(nm); return TR_ERR; }
+                        Py_ssize_t r = tr_insert_element(tr, nm, ad, 1);
+                        Py_DECREF(nm);
+                        if (r < 0) return TR_ERR;
+                        tr->mode = M_IN_ROW;
+                        return TR_REDISPATCH;
+                    }
+                    if (strcmp(cname, "caption") == 0 ||
+                        strcmp(cname, "col") == 0 ||
+                        strcmp(cname, "colgroup") == 0 ||
+                        strcmp(cname, "tbody") == 0 ||
+                        strcmp(cname, "tfoot") == 0 ||
+                        strcmp(cname, "thead") == 0)
+                        return tr_table_body_exit(tr);
+                } else {
+                    if (strcmp(cname, "tbody") == 0 ||
+                        strcmp(cname, "tfoot") == 0 ||
+                        strcmp(cname, "thead") == 0) {
+                        int sc = tr_in_table_scope(tr, cname);
+                        if (sc < 0) return TR_ERR;
+                        if (!sc) { tr->errors++; return TR_OK; }
+                        if (tr_clear_to(tr, "tbody", "tfoot", "thead"))
+                            return TR_ERR;
+                        if (tr_pop(tr) < 0) return TR_ERR;
+                        tr->mode = M_IN_TABLE;
+                        return TR_OK;
+                    }
+                    if (strcmp(cname, "table") == 0)
+                        return tr_table_body_exit(tr);
+                    if (strcmp(cname, "body") == 0 ||
+                        strcmp(cname, "caption") == 0 ||
+                        strcmp(cname, "col") == 0 ||
+                        strcmp(cname, "colgroup") == 0 ||
+                        strcmp(cname, "html") == 0 ||
+                        strcmp(cname, "td") == 0 ||
+                        strcmp(cname, "th") == 0 ||
+                        strcmp(cname, "tr") == 0) {
+                        tr->errors++;
+                        return TR_OK;
+                    }
+                }
+            } else if (mode == M_IN_ROW) {
+                if (k == S_start) {
+                    if (strcmp(cname, "td") == 0 ||
+                        strcmp(cname, "th") == 0) {
+                        PyObject *ad = tr_norm_attrs(tr,
+                                                     PyTuple_GET_ITEM(tok, 2));
+                        if (!ad) return PyErr_Occurred() ? TR_ERR : TR_BAIL;
+                        if (tr_clear_to(tr, "tr", NULL, NULL)) {
+                            Py_DECREF(ad); return TR_ERR;
+                        }
+                        PyObject *nm = name_obj(cname, cl);
+                        if (!nm) { Py_DECREF(ad); return TR_ERR; }
+                        Py_ssize_t r = tr_insert_element(tr, nm, ad, 1);
+                        Py_DECREF(nm);
+                        if (r < 0) return TR_ERR;
+                        tr->mode = M_IN_CELL;
+                        if (tr_append_marker(tr)) return TR_ERR;
+                        return TR_OK;
+                    }
+                    if (strcmp(cname, "caption") == 0 ||
+                        strcmp(cname, "col") == 0 ||
+                        strcmp(cname, "colgroup") == 0 ||
+                        strcmp(cname, "tbody") == 0 ||
+                        strcmp(cname, "tfoot") == 0 ||
+                        strcmp(cname, "thead") == 0 ||
+                        strcmp(cname, "tr") == 0)
+                        return tr_row_exit(tr);
+                } else {
+                    if (strcmp(cname, "tr") == 0) {
+                        int sc = tr_in_table_scope(tr, "tr");
+                        if (sc < 0) return TR_ERR;
+                        if (!sc) { tr->errors++; return TR_OK; }
+                        if (tr_clear_to(tr, "tr", NULL, NULL)) return TR_ERR;
+                        if (tr_pop(tr) < 0) return TR_ERR;
+                        tr->mode = M_IN_TABLE_BODY;
+                        return TR_OK;
+                    }
+                    if (strcmp(cname, "table") == 0)
+                        return tr_row_exit(tr);
+                    if (strcmp(cname, "tbody") == 0 ||
+                        strcmp(cname, "tfoot") == 0 ||
+                        strcmp(cname, "thead") == 0) {
+                        int sc = tr_in_table_scope(tr, cname);
+                        if (sc < 0) return TR_ERR;
+                        if (!sc) { tr->errors++; return TR_OK; }
+                        return tr_row_exit(tr);
+                    }
+                    if (strcmp(cname, "body") == 0 ||
+                        strcmp(cname, "caption") == 0 ||
+                        strcmp(cname, "col") == 0 ||
+                        strcmp(cname, "colgroup") == 0 ||
+                        strcmp(cname, "html") == 0 ||
+                        strcmp(cname, "td") == 0 ||
+                        strcmp(cname, "th") == 0) {
+                        tr->errors++;
+                        return TR_OK;
+                    }
+                }
+            }
+        }
+        return tr_in_table(tr, tok);
+    }
+    if (mode != M_IN_BODY && mode != M_IN_CELL && mode != M_IN_CAPTION)
+        return TR_BAIL;
+    if (k == S_text) return tr_body_text(tr, PyTuple_GET_ITEM(tok, 1));
+    if (k == S_comment) {
+        Py_ssize_t nid = tr_new_node(tr, K_COMMENT, NULL, NULL,
+                                     PyTuple_GET_ITEM(tok, 1));
+        if (nid < 0 || tr_attach(tr, nid)) return TR_ERR;
+        return TR_OK;
+    }
+    if (k == S_start || k == S_end) {
+        char cname[96];
+        Py_ssize_t cl;
+        int lr = tr_lower_name(PyTuple_GET_ITEM(tok, 1), cname,
+                               sizeof(cname), &cl);
+        if (lr < 0) return TR_ERR;
+        if (lr > 0) return TR_BAIL; /* non-ASCII name */
+        if (mode == M_IN_CELL) {
+            /* _in_cell's cell-structure branches */
+            int f = tr_flags_c(tr, cname);
+            if (k == S_end) {
+                if (strcmp(cname, "td") == 0 || strcmp(cname, "th") == 0) {
+                    int sc = tr_in_table_scope(tr, cname);
+                    if (sc < 0) return TR_ERR;
+                    if (!sc) { tr->errors++; return TR_OK; }
+                    if (tr_implied_end(tr, NULL)) return TR_ERR;
+                    Py_ssize_t top = tr_top(tr);
+                    if (top < 0 || !tr_tag_is(tr, top, cname)) tr->errors++;
+                    if (tr_pop_until(tr, cname)) return TR_ERR;
+                    if (tr_clear_formatting_to_marker(tr)) return TR_ERR;
+                    tr->mode = M_IN_ROW;
+                    return TR_OK;
+                }
+                if (strcmp(cname, "body") == 0 ||
+                    strcmp(cname, "caption") == 0 ||
+                    strcmp(cname, "col") == 0 ||
+                    strcmp(cname, "colgroup") == 0 ||
+                    strcmp(cname, "html") == 0) {
+                    tr->errors++;
+                    return TR_OK;
+                }
+                if (strcmp(cname, "table") == 0 ||
+                    strcmp(cname, "tbody") == 0 ||
+                    strcmp(cname, "tfoot") == 0 ||
+                    strcmp(cname, "thead") == 0 ||
+                    strcmp(cname, "tr") == 0) {
+                    int sc = tr_in_table_scope(tr, cname);
+                    if (sc < 0) return TR_ERR;
+                    if (!sc) { tr->errors++; return TR_OK; }
+                    if (tr_close_cell(tr)) return TR_ERR;
+                    return TR_REDISPATCH;
+                }
+            } else if ((f & TF_TSECTION)) {
+                int a = tr_in_table_scope(tr, "td");
+                if (a < 0) return TR_ERR;
+                int b = a ? 1 : tr_in_table_scope(tr, "th");
+                if (b < 0) return TR_ERR;
+                if (!b) { tr->errors++; return TR_OK; }
+                if (tr_close_cell(tr)) return TR_ERR;
+                return TR_REDISPATCH;
+            }
+        }
+        if (mode == M_IN_CAPTION) {
+            /* caption exits: Python handles (reset / implied-end rules) */
+            int f = tr_flags_c(tr, cname);
+            if ((f & TF_TSECTION) || strcmp(cname, "table") == 0 ||
+                strcmp(cname, "body") == 0 || strcmp(cname, "html") == 0 ||
+                strcmp(cname, "caption") == 0)
+                return TR_BAIL;
+        }
+        if (k == S_start) {
+            PyObject *name_l = name_obj(cname, cl);
+            if (!name_l) return TR_ERR;
+            int r = tr_body_start(tr, cname, name_l,
+                                  PyTuple_GET_ITEM(tok, 2),
+                                  PyTuple_GET_ITEM(tok, 3) == Py_True);
+            Py_DECREF(name_l);
+            return r;
+        }
+        return tr_body_end(tr, cname);
+    }
+    if (k == S_doctype) { tr->errors++; return TR_OK; }
+    return TR_BAIL; /* cdata / eof */
+}
+
+static int tree_handle(Tree *tr, PyObject *tok) {
+    for (int hop = 0; hop < 8; hop++) {
+        int r = tree_handle_once(tr, tok);
+        if (r != TR_REDISPATCH) return r;
+    }
+    return TR_BAIL; /* reprocess chain too deep: let Python take it */
+}
+
+/* tree_run(s, start_byte, tok_state, rawtext_tag, shared, statelist)
+ *   shared: (kind, tag, attrs, text, ns, children, parent,
+ *            stack, formatting, pushed_tags)
+ *   statelist: [mode, skip_next_lf, frameset_ok, original_mode, form_id,
+ *               errors_delta, has_foreign]
+ * -> (bail_tokens_or_None, next_byte, done) */
+static PyObject *py_tree_run(PyObject *self, PyObject *args) {
+    PyObject *str, *rawtag, *shared, *statel;
+    Py_ssize_t start;
+    int state;
+    if (!PyArg_ParseTuple(args, "OniOO!O!", &str, &start, &state, &rawtag,
+                          &PyTuple_Type, &shared, &PyList_Type, &statel))
+        return NULL;
+    if (PyTuple_GET_SIZE(shared) != 11 || PyList_GET_SIZE(statel) != 7) {
+        PyErr_SetString(PyExc_ValueError, "bad shared/state shape");
+        return NULL;
+    }
+    Py_ssize_t n;
+    const char *s = PyUnicode_AsUTF8AndSize(str, &n);
+    if (!s) return NULL;
+
+    Tree tr;
+    memset(&tr.tc, 0, sizeof(tr.tc));
+    tr.kind = PyTuple_GET_ITEM(shared, 0);
+    tr.tag = PyTuple_GET_ITEM(shared, 1);
+    tr.attrs = PyTuple_GET_ITEM(shared, 2);
+    tr.text = PyTuple_GET_ITEM(shared, 3);
+    tr.ns = PyTuple_GET_ITEM(shared, 4);
+    tr.children = PyTuple_GET_ITEM(shared, 5);
+    tr.parent = PyTuple_GET_ITEM(shared, 6);
+    tr.stack = PyTuple_GET_ITEM(shared, 7);
+    tr.formatting = PyTuple_GET_ITEM(shared, 8);
+    tr.pushed = PyTuple_GET_ITEM(shared, 9);
+    tr.pending = PyTuple_GET_ITEM(shared, 10);
+    tr.mode = PyLong_AsLong(PyList_GET_ITEM(statel, 0));
+    tr.skip_lf = PyLong_AsLong(PyList_GET_ITEM(statel, 1));
+    tr.frameset_ok = PyLong_AsLong(PyList_GET_ITEM(statel, 2));
+    tr.original_mode = PyLong_AsLong(PyList_GET_ITEM(statel, 3));
+    tr.form_id = PyLong_AsLong(PyList_GET_ITEM(statel, 4));
+    tr.errors = PyLong_AsLong(PyList_GET_ITEM(statel, 5));
+    tr.has_foreign = PyLong_AsLong(PyList_GET_ITEM(statel, 6));
+
+    Tok t;
+    memset(&t, 0, sizeof(t));
+    t.s = s; t.n = n; t.p = start; t.state = state;
+    t.out = PyList_New(0);
+    if (!t.out) return NULL;
+    t.max = 64; /* tokens per state pump before the handler loop */
+    t.rawtext_tag = (rawtag == Py_None) ? NULL : rawtag;
+    char needle_stack[64];
+    char *needle_heap = NULL;
+    if (t.rawtext_tag) {
+        Py_ssize_t tl;
+        const char *tb = PyUnicode_AsUTF8AndSize(t.rawtext_tag, &tl);
+        if (!tb) { Py_DECREF(t.out); return NULL; }
+        char *nd = needle_stack;
+        if (tl + 2 > (Py_ssize_t)sizeof(needle_stack)) {
+            needle_heap = (char *)PyMem_Malloc((size_t)(tl + 2));
+            if (!needle_heap) { Py_DECREF(t.out); return PyErr_NoMemory(); }
+            nd = needle_heap;
+        }
+        nd[0] = '<'; nd[1] = '/';
+        memcpy(nd + 2, tb, (size_t)tl);
+        t.needle = nd;
+        t.nlen = tl + 2;
+    }
+
+    PyObject *bail = NULL;
+    int done = 0;
+    for (;;) {
+        /* pump the tokenizer */
+        int r = 0;
+        if (t.p >= n && t.state == ST_DATA && PyList_GET_SIZE(t.out) == 0) {
+            r = emit_eof(&t) ? -1 : 1;
+        }
+        while (r == 0 && !t.paused && t.ntok < t.max &&
+               PyList_GET_SIZE(t.out) == 0) {
+            switch (t.state) {
+            case ST_DATA: r = data_state(&t); break;
+            case ST_RCDATA: r = rcdata_state(&t, 1); break;
+            case ST_RAWTEXT: r = rcdata_state(&t, 0); break;
+            case ST_SCRIPT: r = script_state(&t); break;
+            default: r = plaintext_state(&t); break;
+            }
+        }
+        if (r < 0) goto fail;
+        if (r == 1) done = 1;
+        t.ntok = 0;
+        t.max = 64;
+        /* handle queued tokens */
+        Py_ssize_t nt = PyList_GET_SIZE(t.out);
+        Py_ssize_t i = 0;
+        for (; i < nt; i++) {
+            int h = tree_handle(&tr, PyList_GET_ITEM(t.out, i));
+            if (h == TR_ERR) goto fail;
+            if (h == TR_BAIL) break;
+        }
+        if (i < nt) { /* bail: return unconsumed tail */
+            bail = PyList_GetSlice(t.out, i, nt);
+            if (!bail) goto fail;
+            break;
+        }
+        if (PyList_SetSlice(t.out, 0, nt, NULL)) goto fail;
+        if (done) break;
+        if (t.paused) {
+            /* a pause tag was fully handled in-tree (can't happen for the
+             * current handled set, but be safe): hand control back */
+            bail = PyList_New(0);
+            if (!bail) goto fail;
+            break;
+        }
+    }
+    if (needle_heap) PyMem_Free(needle_heap);
+    PyMem_Free(t.buf);
+    Py_DECREF(t.out);
+    /* write back scalars */
+    {
+        long vals[7] = {tr.mode, tr.skip_lf, tr.frameset_ok,
+                        tr.original_mode, tr.form_id, tr.errors,
+                        tr.has_foreign};
+        for (int j = 0; j < 7; j++) {
+            PyObject *v = PyLong_FromLong(vals[j]);
+            if (!v) { Py_XDECREF(bail); return NULL; }
+            if (PyList_SetItem(statel, j, v)) { Py_XDECREF(bail); return NULL; }
+        }
+    }
+    if (!bail) {
+        bail = Py_None;
+        Py_INCREF(bail);
+    }
+    return Py_BuildValue("(NnO)", bail, t.p, done ? Py_True : Py_False);
+
+fail:
+    if (needle_heap) PyMem_Free(needle_heap);
+    PyMem_Free(t.buf);
+    Py_DECREF(t.out);
+    Py_XDECREF(bail);
+    return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"tokenize", py_tokenize, METH_VARARGS,
      "tokenize(s, start_byte, state, rawtext_tag, max_tokens)"
@@ -1737,6 +3264,11 @@ static PyMethodDef Methods[] = {
      "register common tag/attr names for interning"},
     {"norm_ws", py_norm_ws, METH_VARARGS,
      "norm_ws(s, strip_leading) -> normalized-whitespace str"},
+    {"set_tree_modes", py_set_tree_modes, METH_VARARGS,
+     "set_tree_modes(in_body, in_cell, in_caption, text)"},
+    {"tree_run", py_tree_run, METH_VARARGS,
+     "tree_run(s, start_byte, state, rawtext_tag, shared, statelist)"
+     " -> (bail_tokens_or_None, next_byte, done)"},
     {"element_text", py_element_text, METH_VARARGS,
      "element_text(kind, tag, text, children, root) -> normalized text"},
     {"extract_spans", py_extract_spans, METH_VARARGS,

@@ -80,6 +80,21 @@ def _gen_tags_header() -> str:
     media tags and br used by the span extractor's boundary rules."""
     from .tags import BLOCK_TAGS, FORMAT_AS_INLINE, PRESERVE_WS_TAGS
 
+    from .tags import (
+        BUTTON_SCOPE_BOUND,
+        FORM_LISTED,
+        FORMATTING_TAGS,
+        HEADINGS,
+        IMPLIED_END,
+        IN_SCOPE_BASE,
+        INBODY_SPECIAL_START,
+        LIST_SCOPE_BOUND,
+        P_CLOSERS,
+        SPECIAL_TAGS,
+        TABLE_SECTION_STARTS,
+        VOID_TAGS,
+    )
+
     flags: dict[str, int] = {}
 
     def mark(names, bit):
@@ -93,6 +108,18 @@ def _gen_tags_header() -> str:
     mark(["video"], 16)           # TF_MEDIA_VIDEO
     mark(["object"], 32)          # TF_MEDIA_OBJECT
     mark(["br"], 64)              # TF_BR
+    mark(SPECIAL_TAGS, 128)       # TF_SPECIAL
+    mark(IMPLIED_END, 256)        # TF_IMPLIED_END
+    mark(P_CLOSERS, 512)          # TF_P_CLOSER
+    mark(HEADINGS, 1024)          # TF_HEADING
+    mark(FORMATTING_TAGS, 2048)   # TF_FORMATTING
+    mark(IN_SCOPE_BASE, 4096)     # TF_SCOPE_BASE
+    mark(BUTTON_SCOPE_BOUND, 8192)    # TF_BUTTON_BOUND
+    mark(LIST_SCOPE_BOUND, 16384)     # TF_LIST_BOUND
+    mark(INBODY_SPECIAL_START, 32768)  # TF_INBODY_SPECIAL
+    mark(FORM_LISTED, 65536)      # TF_FORM_LISTED
+    mark(VOID_TAGS, 131072)       # TF_VOID
+    mark(TABLE_SECTION_STARTS, 262144)  # TF_TSECTION
     rows = ",\n".join('    {"%s", %d}' % (n, f)
                       for n, f in sorted(flags.items()))
     return (
@@ -273,6 +300,32 @@ class CTokenizer:
         self._toks = toks
         self._i = len(toks)
         return toks, done
+
+
+_tree_ready = False
+
+
+def tree_module():
+    """The C module with the tree-construction engine initialized, or None.
+
+    Lazily passes the Python insertion-mode constants to C (they're the
+    shared vocabulary between tree_run's C-handled subset and the Python
+    handlers it bails to). KSOUP_SPARK_NO_CTREE=1 disables just the tree
+    engine (the C tokenizer stays on)."""
+    global _tree_ready
+    if os.environ.get("KSOUP_SPARK_NO_CTREE") == "1":
+        return None
+    mod = _load()
+    if mod is None or not hasattr(mod, "tree_run"):
+        return None
+    if not _tree_ready:
+        from . import treebuilder as tb
+
+        mod.set_tree_modes(tb.IN_BODY, tb.IN_CELL, tb.IN_CAPTION, tb.TEXT,
+                           tb.IN_TABLE, tb.IN_TABLE_BODY, tb.IN_ROW,
+                           tb.IN_TABLE_TEXT)
+        _tree_ready = True
+    return mod
 
 
 def make_tokenizer(s: str, errors=None, track: bool = False):

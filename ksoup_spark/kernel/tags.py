@@ -81,3 +81,59 @@ def format_as_block(name: str) -> bool:
     # Element.text() tail rule uses tag.formatAsBlock (Element.kt:1339-1349):
     # block tags that are NOT in the format-as-inline list.
     return name in BLOCK_TAGS and name not in FORMAT_AS_INLINE
+
+
+# ---------------------------------------------------------------------------
+# Tree-construction spec sets (shared by treebuilder.py and the C engine's
+# generated tag-flag table; single source of truth).
+# ---------------------------------------------------------------------------
+
+FORMATTING_TAGS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+# The spec's "special" element categories (used by anyOtherEndTag & li/dd/dt).
+SPECIAL_TAGS = frozenset(
+    """address applet area article aside base basefont bgsound blockquote body
+    br button caption center col colgroup dd details dir div dl dt embed
+    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
+    head header hgroup hr html iframe img input isindex li link listing main
+    marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script section select source style summary table tbody td
+    template textarea tfoot th thead title tr track ul wbr xmp
+    mi mo mn ms mtext annotation-xml foreignObject desc""".split()
+)
+
+IN_SCOPE_BASE = frozenset(
+    "applet caption html marquee object table td th template".split()
+)
+BUTTON_SCOPE_BOUND = IN_SCOPE_BASE | frozenset(["button"])
+LIST_SCOPE_BOUND = IN_SCOPE_BASE | frozenset(["ol", "ul"])
+TABLE_SCOPE = frozenset(["html", "table", "template"])
+
+IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
+    "caption colgroup tbody td tfoot th thead tr".split()
+)
+
+P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer header hgroup main menu nav ol p
+    section summary ul xmp listing pre""".split()
+)
+HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+TABLE_SECTION_STARTS = frozenset((
+    "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
+    "tr"))
+
+# every tag with a dedicated InBody start-tag rule; others take the generic
+# reconstruct+insert fast path
+INBODY_SPECIAL_START = frozenset(
+    "a p form li dd dt plaintext button table hr image isindex textarea xmp iframe "
+    "noembed select optgroup option rp rt math svg html body frameset "
+    "head noframes area br embed img keygen wbr input param source track "
+    "caption col colgroup frame tbody td tfoot th thead tr pre listing "
+    "base basefont bgsound command link meta noscript script style title "
+    "template".split()
+) | FORMATTING_TAGS | P_CLOSERS | HEADINGS

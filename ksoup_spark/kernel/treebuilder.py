@@ -20,8 +20,23 @@ from . import dom
 from .dom import Doc
 from .parse_errors import ParseErrorList
 from .parse_settings import HTML_DEFAULT, ParseSettings
-from .tags import KNOWN_TAGS, VOID_TAGS
-from .ctokenizer import make_tokenizer
+from .tags import (
+    BUTTON_SCOPE_BOUND as _BUTTON_SCOPE_BOUND,
+    FORMATTING_TAGS,
+    HEADINGS,
+    IMPLIED_END,
+    IMPLIED_END_THOROUGH,
+    IN_SCOPE_BASE as _IN_SCOPE_BASE,
+    INBODY_SPECIAL_START as _INBODY_SPECIAL_START,
+    KNOWN_TAGS,
+    LIST_SCOPE_BOUND as _LIST_SCOPE_BOUND,
+    P_CLOSERS as _P_CLOSERS,
+    SPECIAL_TAGS,
+    TABLE_SCOPE as _TABLE_SCOPE,
+    TABLE_SECTION_STARTS as _TABLE_SECTION_STARTS,
+    VOID_TAGS,
+)
+from .ctokenizer import CTokenizer, make_tokenizer, tree_module
 from .tokenizer import (
     DATA as TOK_DATA,
     PLAINTEXT as TOK_PLAINTEXT,
@@ -40,43 +55,6 @@ from .tokenizer import (
 
 _WS = "\t\n\r\f "
 
-FORMATTING_TAGS = frozenset(
-    "a b big code em font i nobr s small strike strong tt u".split()
-)
-
-# The spec's "special" element categories (used by anyOtherEndTag & li/dd/dt).
-SPECIAL_TAGS = frozenset(
-    """address applet area article aside base basefont bgsound blockquote body
-    br button caption center col colgroup dd details dir div dl dt embed
-    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
-    head header hgroup hr html iframe img input isindex li link listing main
-    marquee menu meta nav noembed noframes noscript object ol p param
-    plaintext pre script section select source style summary table tbody td
-    template textarea tfoot th thead title tr track ul wbr xmp
-    mi mo mn ms mtext annotation-xml foreignObject desc""".split()
-)
-
-_IN_SCOPE_BASE = frozenset(
-    "applet caption html marquee object table td th template".split()
-)
-_LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
-_BUTTON_SCOPE_EXTRA = frozenset(["button"])
-_TABLE_SCOPE = frozenset(["html", "table", "template"])
-# pre-merged base+extra boundary sets for the scope-query hot path
-_BUTTON_SCOPE_BOUND = _IN_SCOPE_BASE | _BUTTON_SCOPE_EXTRA
-_LIST_SCOPE_BOUND = _IN_SCOPE_BASE | _LIST_SCOPE_EXTRA
-
-IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
-IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
-    "caption colgroup tbody td tfoot th thead tr".split()
-)
-
-_P_CLOSERS = frozenset(
-    """address article aside blockquote center details dialog dir div dl
-    fieldset figcaption figure footer header hgroup main menu nav ol p
-    section summary ul xmp listing pre""".split()
-)
-HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 
 _FOREIGN_BREAKOUT = frozenset(
     """b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4
@@ -97,21 +75,6 @@ _SVG_TAG_ADJUST = {
         "foreignObject glyphRef linearGradient radialGradient textPath"
     ).split()
 }
-
-# every tag with a dedicated InBody start-tag rule; others take the generic
-# reconstruct+insert fast path
-_TABLE_SECTION_STARTS = frozenset((
-    "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
-    "tr"))
-
-_INBODY_SPECIAL_START = frozenset(
-    "a p form li dd dt plaintext button table hr image isindex textarea xmp iframe "
-    "noembed select optgroup option rp rt math svg html body frameset "
-    "head noframes area br embed img keygen wbr input param source track "
-    "caption col colgroup frame tbody td tfoot th thead tr pre listing "
-    "base basefont bgsound command link meta noscript script style title "
-    "template".split()
-) | FORMATTING_TAGS | _P_CLOSERS | HEADINGS
 
 MARKER = -1  # active-formatting-list scope marker
 
@@ -264,6 +227,17 @@ class HtmlTreeBuilder:
         # hot path (~40k tokens for the 448KB benchmark page); parse_step
         # itself stays for the incremental StreamParser surface
         process = self.process
+        if type(self.tok) is CTokenizer and self.perrs is None \
+                and not self.src_track \
+                and not self.settings.preserve_tag_case \
+                and not self.settings.preserve_attribute_case:
+            mod = tree_module()
+            if mod is not None:
+                self._parse_ctree(mod)
+                if self.perrs is not None:
+                    self.doc.parse_errors = list(self.perrs)
+                self._finalize_positions()
+                return self.doc
         next_batch = getattr(self.tok, "next_batch", None)
         if next_batch is not None:
             # C tokenizer: iterate whole batches (state-switch-candidate
@@ -322,6 +296,53 @@ class HtmlTreeBuilder:
             self.doc.parse_errors = list(self.perrs)
         self._finalize_positions()
         return self.doc
+
+    def _parse_ctree(self, mod) -> None:
+        """Main parse loop over the C tree-construction engine.
+
+        tree_run processes the common insertion-mode cases directly in C,
+        mutating the SAME doc/stack/formatting lists this builder owns;
+        tokens outside the handled subset come back as tuples and run
+        through the full Python process() — then the loop re-enters C with
+        whatever mode/tokenizer state those handlers set. Scalars travel in
+        a 7-slot state list, synced both ways around each call."""
+        d = self.doc
+        tok = self.tok  # CTokenizer: carries .state/.rawtext_tag for handlers
+        html = tok.s
+        shared = (d.kind, d.tag, d.attrs, d.text, d.ns, d.children,
+                  d.parent, self.stack, self.formatting, self.pushed_tags,
+                  self.pending_table_text)
+        st = [0, 0, 0, 0, 0, 0, 0]
+        bp = 0
+        process = self.process
+        tree_run = mod.tree_run
+        while True:
+            st[0] = self.mode
+            st[1] = 1 if self.skip_next_lf else 0
+            st[2] = 1 if self.frameset_ok else 0
+            st[3] = self.original_mode
+            st[4] = self.form_id
+            st[5] = 0
+            st[6] = 1 if self.has_foreign else 0
+            toks, bp, done = tree_run(html, bp, tok.state, tok.rawtext_tag,
+                                      shared, st)
+            self.mode = st[0]
+            self.skip_next_lf = bool(st[1])
+            self.frameset_ok = bool(st[2])
+            self.original_mode = st[3]
+            self.form_id = st[4]
+            if st[5]:
+                d.errors += st[5]
+            # C always returns in DATA; bail-token handlers may set the
+            # rawtext/RCDATA state for the next entry (same contract as
+            # CTokenizer.next_batch)
+            tok.state = TOK_DATA
+            tok.rawtext_tag = None
+            if toks:
+                for tk in toks:
+                    process(tk)
+            if done:
+                break
 
     def parse_fragment(self, html: str, context: str = "body",
                        base_uri: str = "",
@@ -1923,7 +1944,8 @@ class HtmlTreeBuilder:
         d = self.doc
         if k == "text" and d.tag[self.current()] in (
                 "table", "tbody", "tfoot", "thead", "tr"):
-            self.pending_table_text = []
+            # in-place clear: the C tree engine shares this list object
+            del self.pending_table_text[:]
             self.original_mode = self.mode
             self.mode = IN_TABLE_TEXT
             self._in_table_text(tok)
@@ -2018,7 +2040,7 @@ class HtmlTreeBuilder:
             self.pending_table_text.append(tok[1])
             return
         text = "".join(self.pending_table_text)
-        self.pending_table_text = []
+        del self.pending_table_text[:]
         if text:
             if text.strip(_WS):
                 # non-ws: foster parent via InBody

@@ -1,0 +1,194 @@
+"""Differential parity: C tree-construction engine vs the pure-Python
+tree builder.
+
+tree_run (in _ctok_src.c) handles the common InBody/InCell/InCaption/Text
+insertion-mode cases in C, mutating the same lists the Python builder owns,
+and bails everything else back to Python. These tests pin WHOLE-TREE
+equality (every parallel node list + errors + doc fields) between a parse
+with the engine on and one with KSOUP_SPARK_NO_CTREE=1, across the
+reference's own pages, the fuzz crash corpora, and targeted cases for every
+C-handled branch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pathlib
+
+import pytest
+
+from ksoup_spark.kernel.ctokenizer import tree_module
+from ksoup_spark.kernel.treebuilder import parse
+
+pytestmark = pytest.mark.skipif(tree_module() is None,
+                                reason="C tree engine unavailable")
+
+
+def _table(d):
+    return {
+        "kind": d.kind, "tag": d.tag, "attrs": d.attrs, "text": d.text,
+        "ns": d.ns, "children": d.children, "parent": d.parent,
+        "errors": d.errors, "base_uri": d.base_uri, "quirks": d.quirks,
+        "self_closing": d.self_closing,
+        "form_links": getattr(d, "form_links", None),
+    }
+
+
+def parse_both(html: str, base_uri: str = ""):
+    assert "KSOUP_SPARK_NO_CTREE" not in os.environ
+    d1 = parse(html, base_uri)
+    os.environ["KSOUP_SPARK_NO_CTREE"] = "1"
+    try:
+        d2 = parse(html, base_uri)
+    finally:
+        del os.environ["KSOUP_SPARK_NO_CTREE"]
+    t1, t2 = _table(d1), _table(d2)
+    if t1 != t2:
+        for k in t1:
+            assert t1[k] == t2[k], (k, html[:160])
+    return d1
+
+
+CASES = [
+    # generic starts/ends, implicit scaffolding
+    "<div><span>a</span><custom-x data-y='1'>b</custom-x></div>",
+    # p-closers with and without an open p
+    "<div><p>one<div>two</div><p>three<ul><li>x</ul>",
+    "<p>a<p>b<p>c</p></p></p>",
+    # headings
+    "<h1>a<h2>b</h2><p>c<h3>d",
+    # formatting + Noah's ark + adoption fast path
+    "<b>x<b>y<b>z<b>w</b></b>",
+    "<b><i>both</i></b><em>e</em>",
+    "<b>1<p>2</b>3",  # adoption agency via Python bail
+    "<a href='1'>x<a href='2'>y</a>",
+    "<nobr>a<nobr>b",
+    # lists
+    "<ul><li>a<li>b<ol><li>c</ol><li>d</ul>",
+    "<dl><dt>t<dd>d<dt>t2<dd>d2</dl>",
+    # voids
+    "<div>a<br>b<hr><img src=x alt='i'><wbr>c<embed><area></div>",
+    "<input type=text><input type=HIDDEN><input>",
+    "<object><param name=a value=b><source src=s><track kind=captions>"
+    "</object>",
+    # pre/listing skip-lf
+    "<pre>\nkept</pre><listing>\nx</listing><pre>no-lf</pre>",
+    "<textarea>\nabc</textarea>",
+    # option/optgroup outside select
+    "<option>a<option>b<optgroup><option>c",
+    # button nesting
+    "<button>a</button><button>b<button>c</button>",
+    # applet/marquee/object markers
+    "<marquee><b>m</b></marquee><b>after</b>",
+    "<applet><i>x</applet>y",
+    # form handling (form_id set in C, controls bail)
+    "<form action=/a><input name=q><button>go</button></form>",
+    "<form><form>inner</form></form>",
+    # ruby
+    "<ruby>base<rt>anno</rt></ruby><rp>loose</rp>",
+    # tables (cells run through InBody in C, structure bails)
+    "<table><caption>cap<tr><td>a<td>b<tr><td>c</table>",
+    "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>d</td></tr>"
+    "</tbody></table>",
+    "<table><tr><td><table><tr><td>nested</table></table>",
+    "<table>loose text<tr><td>x</table>",  # foster parenting via Python
+    # script/style/rawtext (TEXT mode in C)
+    "<script>var a = '<div>';</script><style>.x{}</style>after",
+    "<title>t &amp; t</title><body>b",
+    "<xmp><b>raw</b></xmp>",
+    "<iframe>ignored</iframe>",
+    # comments + doctype errors
+    "<!doctype html><div><!-- c --><p>x<!doctype again>",
+    # entities in text and attrs
+    "<p title='a&amp;b'>x &lt; y &nbsp; z</p>",
+    # foreign content (bails, has_foreign latch)
+    "<svg><circle cx=1/><text>t</text></svg><p>after</p>",
+    "<math><mi>x</mi></math><b>b</b>",
+    "<svg><foreignObject><div>html island</div></foreignObject></svg>",
+    # frameset-ok interactions
+    "<p>text</p><frameset></frameset>",
+    "   <frameset><frame></frameset>",
+    # body/html attr merging (bails)
+    "<body class=a><body class=b onload=x>",
+    # plaintext
+    "<plaintext>rest <b>is</b> raw",
+    # end-tag edge: unmatched / special-blocked
+    "<div><span></div></span>",
+    "<p></p></p></div>",
+    "<li>loose</li>",
+    "<br/><div/><span attr/>",
+    # deep + wide
+    "<div>" * 120 + "deep" + "</div>" * 120,
+    "".join(f"<p id=p{i}>t{i}" for i in range(200)),
+    # isindex / image legacy
+    "<image src=i.png><isindex prompt=q action=/s>",
+    # select (bails to Python modes)
+    "<select><option>a<option>b</select><p>after",
+    "<table><tr><td><select><option>x</select></td></tr></table>",
+    # template (latch makes form starts bail)
+    "<template><form><input name=t></form></template><form></form>",
+    # non-ASCII text + tag-soup
+    "<p>téxt 中文 &euro;</p><DIV CLASS=UP>X</DIV>",
+    "<p><P><p >mixed case</P>",
+    # NULs and replacement chars
+    "<p>a\x00b</p><di\x00v>x</di\x00v>",
+    # cdata-ish in html
+    "<div><![CDATA[not real]]></div>",
+]
+
+
+@pytest.mark.parametrize("html", CASES, ids=range(len(CASES)))
+def test_tree_parity_cases(html):
+    parse_both(html)
+
+
+def test_tree_parity_base_uri():
+    d = parse_both("<base href='http://b.x/'><a href='r'>x</a>",
+                   base_uri="http://orig.x/")
+    assert d.base_uri == "http://b.x/"
+
+
+def test_tree_parity_reference_pages():
+    fx = pathlib.Path("/root/reference/ksoup-test/testResources")
+    pages = [fx / "test.txt"] + sorted((fx / "htmltests").glob("*.html")) \
+        + sorted((fx / "htmltests").glob("*.html.gz"))
+    ran = 0
+    for p in pages:
+        raw = p.read_bytes()
+        if p.name.endswith(".gz"):
+            try:
+                raw = gzip.decompress(raw)
+            except OSError:
+                continue
+        parse_both(raw.decode("utf-8", "replace"))
+        ran += 1
+    assert ran >= 20
+
+
+def test_tree_parity_fuzz_corpora():
+    fx = pathlib.Path("/root/reference/ksoup-test/testResources/fuzztests")
+    ran = 0
+    for p in sorted(fx.iterdir()):
+        if not p.is_file():
+            continue
+        parse_both(p.read_bytes().decode("utf-8", "replace"))
+        ran += 1
+    assert ran > 0
+
+
+def test_tree_parity_spans_and_text():
+    """End-to-end: spans + text from a ctree parse match the Python path."""
+    from ksoup_spark.kernel.textops import element_text, extract_spans
+
+    html = ("<base href='http://h.x/'><div><p>a b</p><img src='1.png'>"
+            "<table><tr><td>cell<video src='v.mp4'></video></td></tr>"
+            "</table><pre>  raw\n</pre></div>")
+    d1 = parse(html)
+    os.environ["KSOUP_SPARK_NO_CTREE"] = "1"
+    try:
+        d2 = parse(html)
+    finally:
+        del os.environ["KSOUP_SPARK_NO_CTREE"]
+    assert extract_spans(d1) == extract_spans(d2)
+    assert element_text(d1, d1.body()) == element_text(d2, d2.body())
