@@ -3163,7 +3163,10 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
     t.s = s; t.n = n; t.p = start; t.state = state;
     t.out = PyList_New(0);
     if (!t.out) return NULL;
-    t.max = 64; /* tokens per state pump before the handler loop */
+    /* small pump batches: a bail returns every already-tokenized-but-
+     * unhandled token to Python, so large batches would push C-handleable
+     * tokens through the slow path whenever a rare token bails mid-batch */
+    t.max = 2;
     t.rawtext_tag = (rawtag == Py_None) ? NULL : rawtag;
     char needle_stack[64];
     char *needle_heap = NULL;
@@ -3204,7 +3207,6 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
         if (r < 0) goto fail;
         if (r == 1) done = 1;
         t.ntok = 0;
-        t.max = 64;
         /* handle queued tokens */
         Py_ssize_t nt = PyList_GET_SIZE(t.out);
         Py_ssize_t i = 0;
