@@ -192,3 +192,38 @@ def test_tree_parity_spans_and_text():
         del os.environ["KSOUP_SPARK_NO_CTREE"]
     assert extract_spans(d1) == extract_spans(d2)
     assert element_text(d1, d1.body()) == element_text(d2, d2.body())
+
+
+def test_tree_parity_random_tag_soup():
+    """Fixed-seed adversarial soup over the C-handled tag vocabulary:
+    whole-tree equality on 400 random documents mixing every branch the
+    engine implements with the ones it bails on."""
+    import random
+
+    rng = random.Random(20260817)
+    tags = ["div", "span", "p", "b", "i", "a", "em", "ul", "li", "ol",
+            "dl", "dd", "dt", "h1", "h2", "table", "tr", "td", "th",
+            "tbody", "thead", "caption", "button", "form", "input",
+            "select", "option", "pre", "textarea", "script", "style",
+            "img", "br", "hr", "nobr", "marquee", "object", "ruby", "rt",
+            "template", "svg", "math", "custom-x", "fieldset", "output"]
+    texts = ["word", " ", "\n  ", "a&amp;b", "x<y", "&nbsp;", "\ttab",
+             "中文", ""]
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randint(4, 60)):
+            roll = rng.random()
+            t = rng.choice(tags)
+            if roll < 0.42:
+                attrs = ""
+                if rng.random() < 0.4:
+                    attrs = " class='c%d' id=i%d" % (rng.randint(0, 3),
+                                                     rng.randint(0, 9))
+                if rng.random() < 0.08:
+                    attrs += " /"
+                parts.append(f"<{t}{attrs}>")
+            elif roll < 0.72:
+                parts.append(f"</{t}>")
+            else:
+                parts.append(rng.choice(texts))
+        parse_both("".join(parts))
