@@ -121,6 +121,22 @@ class TokenQueue:
                 out.append(ident)
         return "".join(out)
 
+    @staticmethod
+    def unescape(s: str) -> str:
+        """TokenQueue.unescape (parser/TokenQueue.kt:344-360): drop lone
+        backslashes, collapse doubled ones."""
+        out: list[str] = []
+        last = ""
+        for c in s:
+            if c == "\\":
+                if last == "\\":
+                    out.append(c)
+                    c = ""
+            else:
+                out.append(c)
+            last = c
+        return "".join(out)
+
     def chomp_balanced(self, open_c: str, close_c: str) -> str:
         """Consume text inside balanced open/close, respecting quotes."""
         if self.is_empty() or self.q[self.pos] != open_c:
@@ -170,6 +186,9 @@ def _unquote(s: str) -> str:
 # ---------------------------------------------------------------------------
 # evaluation context
 # ---------------------------------------------------------------------------
+
+_tq_unescape = TokenQueue.unescape
+
 
 class EvalCtx:
     """Per-select state: doc, selection root, memo tables, text caches."""
@@ -964,16 +983,19 @@ class QueryParser:
             return Is(parse_query(arg))
         if name == "not":
             return Not(parse_query(arg))
+        # contains-family args are TokenQueue.unescape'd (QueryParser.kt:413,
+        # 420); :matches regexes are NOT (QueryParser.kt:435 — regex bits
+        # carry their own escapes)
         if name == "contains":
-            return ContainsText(arg)
+            return ContainsText(_tq_unescape(arg))
         if name == "containsown":
-            return ContainsOwnText(arg)
+            return ContainsOwnText(_tq_unescape(arg))
         if name == "containswholetext":
-            return ContainsWholeText(arg)
+            return ContainsWholeText(_tq_unescape(arg))
         if name == "containswholeowntext":
-            return ContainsWholeOwnText(arg)
+            return ContainsWholeOwnText(_tq_unescape(arg))
         if name == "containsdata":
-            return ContainsData(arg)
+            return ContainsData(_tq_unescape(arg))
         if name == "matches":
             return Matches(arg)
         if name == "matchesown":
@@ -1040,7 +1062,13 @@ def _contains_match_text(ev: Evaluator) -> bool:
 
 
 def select(doc: Doc, query: str | Evaluator, root: int | None = None) -> list[int]:
-    """Collector.collect: preorder scan testing the evaluator per element."""
+    """Collector.collect: preorder scan testing the evaluator per element.
+
+    The Document node itself is a candidate: the reference's Document IS an
+    Element (tag "#root"), so tagless predicates match it from a root-level
+    select — SelectorTest.testAllElements asserts select("*") counts it, and
+    testPseudoContains counts it for ":contains(rain)".
+    """
     if root is None:
         root = 0
     ev = parse_query(query) if isinstance(query, str) else query
@@ -1048,8 +1076,10 @@ def select(doc: Doc, query: str | Evaluator, root: int | None = None) -> list[in
         prepare_match_text(doc, root)
     ctx = EvalCtx(doc, root)
     out: list[int] = []
+    kinds = doc.kind
     for node, _ in doc.preorder(root):
-        if doc.kind[node] == dom.ELEMENT and ev.matches(ctx, node):
+        k = kinds[node]
+        if (k == dom.ELEMENT or k == dom.DOCUMENT) and ev.matches(ctx, node):
             out.append(node)
     return out
 
@@ -1061,7 +1091,9 @@ def select_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> i
     if _contains_match_text(ev):
         prepare_match_text(doc, root)
     ctx = EvalCtx(doc, root)
+    kinds = doc.kind
     for node, _ in doc.preorder(root):
-        if doc.kind[node] == dom.ELEMENT and ev.matches(ctx, node):
+        k = kinds[node]
+        if (k == dom.ELEMENT or k == dom.DOCUMENT) and ev.matches(ctx, node):
             return node
     return -1

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..kernel import selector as S
 
 ELEMENT_KIND = 1
+DOCUMENT_KIND = 0  # the Document IS an element (#root) in subject position
 
 
 class UnsupportedSelector(ValueError):
@@ -175,7 +176,11 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev) -> DataFrame:
 
 
 def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
-    elements = nodes.filter(F.col("kind") == ELEMENT_KIND)
+    # document rows participate as #root elements (kernel select() parity:
+    # the reference's Document extends Element, so tagless predicates match
+    # it — SelectorTest.testAllElements counts select("*") = elements + 1)
+    elements = nodes.filter(
+        (F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND))
     if isinstance(ev, S.Or):
         out = None
         for sub in ev.evals:

@@ -33,7 +33,7 @@ _MUTATING = re.compile(
     r'\.(append|prepend|before|after|wrap|remove|attr\(\s*"[^"]+"\s*,'
     r'|addClass|removeClass|toggleClass|html\(\s*"|text\(\s*"'
     r'|insertChildren|replaceWith|unwrap|empty\(\)|clearAttributes'
-    r'|removeAttr|forEach|filter|val\(|tagName\()'
+    r'|removeAttr|forEach|filter|val\(|tagName\(\s*")'
 )
 # known divergences: OutputSettings API (escape mode / charset objects) not
 # modeled by the plain body().html() replay
@@ -195,6 +195,119 @@ def test_selector_sweep(name, html, query, want, kind):
     else:  # assertSelectedOwnText (SelectorTest.kt:1290-1299)
         got = [own_text(d, n) for n in S.select(d, query)]
     assert got == want
+
+
+# -- select-result sweep: SelectorTest.kt size/text/attr assertions -----------
+#
+# The dominant SelectorTest shape (343 assertEquals) is
+#   val els = doc.select("Q")
+#   assertEquals(N, els.size) / ("T", els.text()) / ("V", els.first()!!.attr(k))
+# Harvest every such assertion from single-literal-parse, non-mutating tests
+# and replay through our selector. Elements.text() is joinToString(" ") over
+# per-element text (select/Elements.kt:201-203).
+
+_SEL_EQ_STR = r'"((?:[^"\\\n]|\\.)*)"'
+
+
+def _extract_select_eq_cases():
+    path = _REF / "select/SelectorTest.kt"
+    if not path.exists():
+        return []
+    src = path.read_text()
+    cases = []
+    for t in re.split(r"@Test\s*\n\s*fun ", src)[1:]:
+        name = t.split("(", 1)[0]
+        if _MUTATING.search(t):
+            continue
+        if len(re.findall(r"Ksoup\.parse\(", t)) != 1:
+            continue
+        vars_ = dict(re.findall(r"val (\w+)(?::\s*String)? = " + _KSTR, t))
+        mp = re.search(r"Ksoup\.parse\(\s*" + _KSTR + r"\s*[,)]", t)
+        if mp:
+            html = _unkotlin(mp.group(1))
+        else:
+            mv = re.search(r"Ksoup\.parse\((\w+)\s*[,)]", t)
+            if not (mv and mv.group(1) in vars_):
+                continue
+            html = _unkotlin(vars_[mv.group(1)])
+        # bind select-result vars: val X = doc.select("Q")
+        sel_vars = dict(
+            (m.group(1), _unkotlin(m.group(2)))
+            for m in re.finditer(
+                r"val (\w+)(?::\s*Elements)? =\s*\n?\s*(?:doc|document)"
+                r"\.select\(\s*" + _KSTR + r"\s*\)", t))
+
+        def _emit(query, op, arg, want, i):
+            cases.append((f"{name}:{i}:{op}:{query}", html, query, op, arg,
+                          want))
+
+        i = 0
+        for m in re.finditer(
+            r"assertEquals\(\s*\n?\s*(?:(\d+)|" + _SEL_EQ_STR + r")\s*,"
+            r"\s*\n?\s*(\w+)"
+            r"(?:\.size|\.text\(\)"
+            r"|\.(first|last)\(\)!!\.(?:attr\(\s*" + _SEL_EQ_STR +
+            r"\s*\)|(id|tagName)\(\)))",
+            t,
+        ):
+            n_want, s_want, var, fl, attr_key, idtag = m.groups()
+            # inline form: doc.select("Q").size — var is not a select var
+            if var in ("doc", "document"):
+                continue
+            if var not in sel_vars:
+                continue
+            query = sel_vars[var]
+            whole = m.group(0)
+            i += 1
+            if whole.endswith(".size") and n_want is not None:
+                _emit(query, "size", None, int(n_want), i)
+            elif whole.endswith(".text()") and s_want is not None:
+                _emit(query, "text", None, _unkotlin(s_want), i)
+            elif fl and s_want is not None:
+                pick = 0 if fl == "first" else -1
+                if attr_key is not None:
+                    _emit(query, "attr", (pick, _unkotlin(attr_key)),
+                          _unkotlin(s_want), i)
+                elif idtag == "id":
+                    _emit(query, "attr", (pick, "id"), _unkotlin(s_want), i)
+                elif idtag == "tagName":
+                    _emit(query, "tag", pick, _unkotlin(s_want), i)
+        # inline size form: assertEquals(N, doc.select("Q").size)
+        for m in re.finditer(
+            r"assertEquals\(\s*\n?\s*(\d+)\s*,\s*\n?\s*(?:doc|document)"
+            r"\.select\(\s*" + _KSTR + r"\s*\)\.size", t):
+            i += 1
+            _emit(_unkotlin(m.group(2)), "size", None, int(m.group(1)), i)
+    return cases
+
+
+_SEL_EQ_CASES = _extract_select_eq_cases()
+
+
+@pytest.mark.skipif(not _SEL_EQ_CASES, reason="reference checkout not available")
+def test_select_eq_sweep_count():
+    assert len(_SEL_EQ_CASES) >= 100
+
+
+@pytest.mark.parametrize("name,html,query,op,arg,want", _SEL_EQ_CASES,
+                         ids=[c[0] for c in _SEL_EQ_CASES])
+def test_select_eq_sweep(name, html, query, op, arg, want):
+    from ksoup_spark.kernel import selector as S
+    from ksoup_spark.kernel.textops import element_text
+
+    d = tb.parse(html)
+    got_nodes = S.select(d, query)
+    if op == "size":
+        assert len(got_nodes) == want
+    elif op == "text":
+        assert " ".join(element_text(d, n) for n in got_nodes) == want
+    elif op == "attr":
+        pick, key = arg
+        assert got_nodes, f"empty select for {query}"
+        assert (d.get_attr(got_nodes[pick], key) or "") == want
+    elif op == "tag":
+        assert got_nodes, f"empty select for {query}"
+        assert d.tag[got_nodes[arg]] == want
 
 
 # -- XML builder sweep: XmlTreeBuilderTest.kt doc.html() replays --------------
