@@ -141,6 +141,33 @@ def q_selector_nth(spark, sf_dir):
     )
 
 
+def q_css_paths(spark, sf_dir):
+    """Element.cssSelector over the corpus: one <p> per word (the first
+    carries a unique id, exercising the #id branch; the rest get
+    :nth-child disambiguators — nodes/Element.kt:836-880)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit("<div>"),
+        F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.when(i == 0, F.lit('<p id="h0">')).otherwise(F.lit("<p>")),
+                    w,
+                    F.lit("</p>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</div>"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(H.html_css_selector(html, "p"), "|").alias("css_paths"),
+    )
+
+
 def q_selector_count(spark, sf_dir):
     d = _docs(spark, sf_dir)
     html = _span_class_html()
@@ -774,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_media_spans": q_html_media_spans,
         "selector_class": q_selector_class,
         "selector_nth": q_selector_nth,
+        "css_paths": q_css_paths,
         "selector_count": q_selector_count,
         "attr_absurl": q_attr_absurl,
         "wholetext_pre": q_wholetext_pre,
@@ -846,6 +874,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                      list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 0),
                      ' ') AS matched
+            FROM documents
+        """,
+        "css_paths": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_prepend('#h0',
+                       list_transform(range(2, len(string_split(text, ' ')) + 1),
+                         i -> 'html > body > div > p:nth-child(' || i || ')')),
+                     '|') AS css_paths
             FROM documents
         """,
         "selector_count": """

@@ -89,6 +89,23 @@ def html_select_text(col: Column | str, css: str) -> Column:
     return _f(col)
 
 
+def html_css_selector(col: Column | str, css: str) -> Column:
+    """unique CSS paths (Element.cssSelector, nodes/Element.kt:836-858) of
+    the elements matching the query, in document order."""
+    sel.parse_query(css)  # validate on driver
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(s: pd.Series) -> pd.Series:
+        q = sel.parse_query(css)
+        out = []
+        for h in s:
+            d = _parse(h or "")
+            out.append([sel.css_selector(d, n) for n in sel.select(d, q)])
+        return pd.Series(out)
+
+    return _f(col)
+
+
 def html_select_own_text(col: Column | str, css: str) -> Column:
     sel.parse_query(css)
 

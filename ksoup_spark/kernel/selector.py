@@ -1097,3 +1097,47 @@ def select_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> i
         if (k == dom.ELEMENT or k == dom.DOCUMENT) and ev.matches(ctx, node):
             return node
     return -1
+
+
+def escape_css_identifier(s: str) -> str:
+    """TokenQueue.escapeCssIdentifier (parser/TokenQueue.kt:366-377):
+    backslash-escape every char that is not alphanumeric, '-', or '_'."""
+    return "".join(c if (c.isalnum() or c in "-_") else "\\" + c for c in s)
+
+
+def _css_component(doc: Doc, el: int) -> str:
+    """One path segment: tag.classes[:nth-child(n)] (Element.kt:860-880)."""
+    name = (doc.tag_display or {}).get(el) or doc.tag[el] or ""
+    # escaped namespace colon renders as CSS namespace syntax ns|tag
+    sel = escape_css_identifier(name).replace("\\:", "|")
+    classes = [escape_css_identifier(c) for c in dom.class_names(doc, el)]
+    if classes:
+        sel += "." + ".".join(classes)
+    p = doc.parent[el]
+    if p == -1 or doc.kind[p] == dom.DOCUMENT:
+        # don't add Document to the path: there is always a lone html node
+        return sel
+    ev = parse_query(sel)
+    ctx = EvalCtx(doc, p)
+    sibs = [c for c in doc.children[p] if doc.kind[c] == dom.ELEMENT]
+    if sum(1 for c in sibs if ev.matches(ctx, c)) > 1:
+        sel += f":nth-child({sibs.index(el) + 1})"
+    return " > " + sel
+
+
+def css_selector(doc: Doc, node: int) -> str:
+    """Element.cssSelector (nodes/Element.kt:836-858): a CSS path that
+    uniquely selects this element — #id when the id is document-unique,
+    else parent-path > tag.classes with :nth-child disambiguators."""
+    el_id = doc.get_attr(node, "id") or ""
+    if el_id:
+        id_sel = "#" + escape_css_identifier(el_id)
+        els = select(doc, id_sel)
+        if len(els) == 1 and els[0] == node:
+            return id_sel
+    parts: list[str] = []
+    el = node
+    while el != -1 and doc.kind[el] != dom.DOCUMENT:
+        parts.insert(0, _css_component(doc, el))
+        el = doc.parent[el]
+    return "".join(parts)
