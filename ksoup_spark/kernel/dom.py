@@ -377,6 +377,61 @@ def has_class(doc: "Doc", node: int, name: str) -> bool:
     return name in v.lower().split()
 
 
+def sibling_elements(doc: "Doc", node: int) -> list[int]:
+    """Element.siblingElements (Element.kt:886-895): the parent's element
+    children, excluding this element."""
+    p = doc.parent[node]
+    if p == -1:
+        return []
+    return [c for c in doc.children[p]
+            if c != node and doc.kind[c] == ELEMENT]
+
+
+_DATA_PREFIX = "data-"
+
+
+class Dataset:
+    """Attributes.Dataset (nodes/Attributes.kt:535-566): a live view over
+    the element's data-* attributes — writes go straight to the attrs map."""
+
+    def __init__(self, doc: "Doc", node: int):
+        self._doc, self._node = doc, node
+
+    def _attrs(self) -> dict:
+        a = self._doc.attrs[self._node]
+        if a is None:
+            a = {}
+            self._doc.attrs[self._node] = a
+        return a
+
+    def __len__(self) -> int:
+        return sum(1 for k in (self._doc.attrs[self._node] or {})
+                   if k.startswith(_DATA_PREFIX) and len(k) > len(_DATA_PREFIX))
+
+    def __getitem__(self, key: str) -> str | None:
+        if not key:
+            return None
+        v = (self._doc.attrs[self._node] or {}).get(_DATA_PREFIX + key)
+        return "" if v is None and _DATA_PREFIX + key in (
+            self._doc.attrs[self._node] or {}) else v
+
+    def __setitem__(self, key: str, value: str) -> None:
+        self._attrs()[_DATA_PREFIX + key] = value
+
+    def remove(self, key: str) -> None:
+        self._attrs().pop(_DATA_PREFIX + key, None)
+
+    def keys(self) -> list[str]:
+        return [k[len(_DATA_PREFIX):]
+                for k in (self._doc.attrs[self._node] or {})
+                if k.startswith(_DATA_PREFIX) and len(k) > len(_DATA_PREFIX)]
+
+
+def dataset(doc: "Doc", node: int) -> Dataset:
+    """Element.dataset (Element.kt:292-294)."""
+    return Dataset(doc, node)
+
+
 def form_value(doc: "Doc", node: int) -> str:
     """Element.value(): textarea -> text(), else value attr (Element.kt:1619-1631)."""
     from .textops import element_text

@@ -385,6 +385,15 @@ def text_nodes(doc: Doc, nodes: list[int]) -> list[int]:
     return out
 
 
+def data_nodes(doc: Doc, nodes: list[int]) -> list[int]:
+    """Element.dataNodes (Element.kt:433-439): data-node children
+    (script/style payloads), per element in order."""
+    out: list[int] = []
+    for n in nodes:
+        out.extend(c for c in doc.children[n] if doc.kind[c] == dom.DATA)
+    return out
+
+
 def clone(doc: Doc, node: int) -> int:
     """Node.clone (Node.kt:770-791): standalone deep copy of the subtree
     within the same Doc; returned root is unattached."""

@@ -1099,6 +1099,24 @@ def select_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> i
     return -1
 
 
+def element_is(doc: Doc, node: int, query: str | Evaluator) -> bool:
+    """Element.is / elementIs (Element.kt:522-533, 163): does this element
+    match the query, evaluated against its owner document root."""
+    ev = parse_query(query) if isinstance(query, str) else query
+    if _contains_match_text(ev):
+        prepare_match_text(doc, 0)
+    return ev.matches(EvalCtx(doc, 0), node)
+
+
+def expect_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> int:
+    """Element.expectFirst (Element.kt:498-508): selectFirst that raises
+    instead of returning a no-match sentinel."""
+    n = select_first(doc, query, root)
+    if n == -1:
+        raise SelectorError(f"no element matching {query!r}")
+    return n
+
+
 def escape_css_identifier(s: str) -> str:
     """TokenQueue.escapeCssIdentifier (parser/TokenQueue.kt:366-377):
     backslash-escape every char that is not alphanumeric, '-', or '_'."""

@@ -79,3 +79,18 @@ def test_namespaced_tag_renders_pipe():
     els = S.select(d, "fb|comment")
     assert els
     assert S.css_selector(d, els[0]).endswith("fb|comment")
+
+
+def test_element_is_and_expect_first():
+    # Element.is (Element.kt:522-533) / expectFirst (Element.kt:498-508)
+    d = tb.parse('<div><p class=a>one</p><p>two</p></div>')
+    pa, pb = S.select(d, "p")
+    assert S.element_is(d, pa, "p.a")
+    assert not S.element_is(d, pb, "p.a")
+    assert S.element_is(d, pa, "div > p:first-child")
+    assert S.expect_first(d, "p.a") == pa
+    try:
+        S.expect_first(d, "blockquote")
+        raise AssertionError("expected SelectorError")
+    except S.SelectorError:
+        pass

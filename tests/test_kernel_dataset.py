@@ -1,0 +1,58 @@
+"""Attributes.Dataset / small Element accessor ports.
+
+Reference: nodes/Attributes.kt:535-566 (Dataset), Element.kt:292 (dataset),
+433 (dataNodes), 886 (siblingElements); test from ElementTest.kt:930-952.
+"""
+
+from ksoup_spark.kernel import dom, mutate, selector as S
+from ksoup_spark.kernel import treebuilder as tb
+
+
+def test_dataset_live_view():
+    # ElementTest.kt:930-952
+    d = tb.parse(
+        "<div id=1 data-name=ksoup class=new data-package=jar>Hello</div>"
+        "<p id=2>Hello</p>")
+    div = S.select(d, "div")[0]
+    ds = dom.dataset(d, div)
+
+    assert len(ds) == 2
+    assert ds["name"] == "ksoup"
+    assert ds["package"] == "jar"
+    ds["name"] = "ksoup updated"
+    ds["language"] = "java"
+    ds.remove("package")
+    assert len(ds) == 2
+    assert len(d.attrs[div]) == 4
+    assert d.get_attr(div, "data-name") == "ksoup updated"
+    assert ds["name"] == "ksoup updated"
+    assert d.get_attr(div, "data-language") == "java"
+    assert ds["language"] == "java"
+    # writes through the plain attr API surface in the view too
+    mutate.set_attr(d, div, "data-food", "bacon")
+    assert len(ds) == 3
+    assert ds["food"] == "bacon"
+    # bare "data-" key (no name) is not a data attribute
+    mutate.set_attr(d, div, "data-", "empty")
+    assert len(ds) == 3
+    assert ds[""] is None
+
+
+def test_data_nodes():
+    d = tb.parse("<script>a=1</script><style>.x{}</style><p>t</p>")
+    script = S.select(d, "script")[0]
+    style = S.select(d, "style")[0]
+    p = S.select(d, "p")[0]
+    assert [d.text[n] for n in mutate.data_nodes(d, [script, style])] == \
+        ["a=1", ".x{}"]
+    assert mutate.data_nodes(d, [p]) == []
+
+
+def test_sibling_elements():
+    d = tb.parse("<div><p id=a>1</p>text<p id=b>2</p><span id=c>3</span></div>")
+    b = S.select(d, "#b")[0]
+    sibs = dom.sibling_elements(d, b)
+    assert [d.get_attr(n, "id") for n in sibs] == ["a", "c"]
+    # root html has no element siblings
+    html = S.select(d, "html")[0]
+    assert dom.sibling_elements(d, html) == []
