@@ -521,6 +521,30 @@ def q_nodequery_compiled(spark, sf_dir):
     )
 
 
+def q_nodequery_contains(spark, sf_dir):
+    """:contains compiled to a JVM string predicate over the opt-in
+    elem_text node-table column — one <p> per word, count the p's whose
+    text contains 'e' (case-insensitive), Catalyst end to end."""
+    from ksoup_spark.operators import nodequery
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit("<div>"),
+        F.array_join(
+            F.transform(words, lambda w: F.concat(F.lit("<p>"), w, F.lit("</p>"))),
+            "",
+        ),
+        F.lit("</div>"),
+    )
+    nodes = extract.node_table_df(
+        d.select("doc_id", html.alias("html")), include_elem_text=True)
+    matched = nodequery.compile_selector(nodes, "p:contains(e)")
+    return matched.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_contains")
+    )
+
+
 def q_spans_pipeline(spark, sf_dir):
     """Full interleaved pipeline: corpus table -> extract -> span summary."""
     corpus = build_docs_table(spark, sf_dir)
@@ -802,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_class": q_selector_class,
         "selector_nth": q_selector_nth,
         "css_paths": q_css_paths,
+        "nodequery_contains": q_nodequery_contains,
         "selector_count": q_selector_count,
         "attr_absurl": q_attr_absurl,
         "wholetext_pre": q_wholetext_pre,
@@ -875,6 +900,15 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 0),
                      ' ') AS matched
             FROM documents
+        """,
+        "nodequery_contains": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> contains(lower(w), 'e'))) AS INT)
+                     AS n_contains
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                                  w -> contains(lower(w), 'e'))) > 0
         """,
         "css_paths": """
             SELECT doc_id,

@@ -215,8 +215,14 @@ class Doc:
 
     # -- freeze to columnar table --------------------------------------------
 
-    def to_table(self) -> dict[str, list]:
-        """Preorder SoA node table (SURVEY.md §1.2 schema)."""
+    def to_table(self, include_elem_text: bool = False) -> dict[str, list]:
+        """Preorder SoA node table (SURVEY.md §1.2 schema).
+
+        include_elem_text adds a normalized element-text column (document
+        and element rows only) so corpus-side plans can evaluate text
+        pseudos (:contains) as JVM string predicates. Opt-in: it stores
+        each text fragment once per ancestor, so at corpus scale request
+        it only when the query needs it."""
         kind = self.kind
         children = self.children
         # inline preorder walk (generator + tuple per node is the hot cost)
@@ -286,6 +292,14 @@ class Doc:
             dstack.append(new_id)
         while dstack:
             send[dstack.pop()] = n_nodes - 1
+        if include_elem_text:
+            from .textops import element_text  # local: avoids module cycle
+
+            out["elem_text"] = [
+                element_text(self, o) if kind[o] in (DOCUMENT, ELEMENT)
+                else None
+                for o in order
+            ]
         return out
 
 

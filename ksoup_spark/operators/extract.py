@@ -69,6 +69,10 @@ NODE_TABLE_SCHEMA = StructType(
     ]
 )
 
+NODE_TABLE_TEXT_SCHEMA = StructType(
+    NODE_TABLE_SCHEMA.fields + [StructField("elem_text", StringType())]
+)
+
 _MEDIA_TAG = {"image": "img", "video": "video", "object": "object"}
 
 
@@ -183,50 +187,60 @@ def extract_spans_from_html_df(docs: DataFrame, html_col: str = "html",
 
 
 def node_table_df(docs: DataFrame, html_col: str = "html",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  include_elem_text: bool = False) -> DataFrame:
     """(doc_id, html) -> exploded node table (SURVEY.md §1.2): one row per
     DOM node with preorder ids, int parent/child/sibling indices, and a
     subtree interval enabling descendant joins
-    (ancestor iff anc.node_id < d.node_id <= anc.subtree_end)."""
+    (ancestor iff anc.node_id < d.node_id <= anc.subtree_end).
+
+    include_elem_text adds a normalized per-element ``elem_text`` column so
+    nodequery can compile :contains as a JVM string predicate. Opt-in:
+    each text fragment is stored once per ancestor element, so at corpus
+    scale request it only for query sets that need text pseudos."""
     docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        F.col(html_col).alias("html"))
+    schema = NODE_TABLE_TEXT_SCHEMA if include_elem_text else NODE_TABLE_SCHEMA
+    copy_keys = ("node_id", "parent_id", "depth", "kind", "tag",
+                 "ns", "sibling_index", "elem_sibling_index",
+                 "first_child", "next_sibling", "subtree_end", "text")
+    if include_elem_text:
+        copy_keys = copy_keys + ("elem_text",)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
-            cols: dict[str, list] = {f.name: [] for f in NODE_TABLE_SCHEMA.fields}
+            cols: dict[str, list] = {f.name: [] for f in schema.fields}
             for did, h in zip(ids, htmls):
-                t = _parse(h or "").to_table()
+                t = _parse(h or "").to_table(include_elem_text=include_elem_text)
                 n = len(t["node_id"])
                 cols["doc_id"].extend([did] * n)
-                for key in ("node_id", "parent_id", "depth", "kind", "tag",
-                            "ns", "sibling_index", "elem_sibling_index",
-                            "first_child", "next_sibling", "subtree_end",
-                            "text"):
+                for key in copy_keys:
                     cols[key].extend(t[key])
                 cols["attrs"].extend(t["attrs"])
+            arrays = [
+                pa.array(cols["doc_id"], type=pa.string()),
+                pa.array(cols["node_id"], type=pa.int32()),
+                pa.array(cols["parent_id"], type=pa.int32()),
+                pa.array(cols["depth"], type=pa.int32()),
+                pa.array(cols["kind"], type=pa.int32()),
+                pa.array(cols["tag"], type=pa.string()),
+                pa.array(cols["ns"], type=pa.int32()),
+                pa.array(cols["sibling_index"], type=pa.int32()),
+                pa.array(cols["elem_sibling_index"], type=pa.int32()),
+                pa.array(cols["first_child"], type=pa.int32()),
+                pa.array(cols["next_sibling"], type=pa.int32()),
+                pa.array(cols["subtree_end"], type=pa.int32()),
+                pa.array(cols["text"], type=pa.string()),
+                pa.array(cols["attrs"], type=pa.map_(pa.string(), pa.string())),
+            ]
+            if include_elem_text:
+                arrays.append(pa.array(cols["elem_text"], type=pa.string()))
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols["doc_id"], type=pa.string()),
-                    pa.array(cols["node_id"], type=pa.int32()),
-                    pa.array(cols["parent_id"], type=pa.int32()),
-                    pa.array(cols["depth"], type=pa.int32()),
-                    pa.array(cols["kind"], type=pa.int32()),
-                    pa.array(cols["tag"], type=pa.string()),
-                    pa.array(cols["ns"], type=pa.int32()),
-                    pa.array(cols["sibling_index"], type=pa.int32()),
-                    pa.array(cols["elem_sibling_index"], type=pa.int32()),
-                    pa.array(cols["first_child"], type=pa.int32()),
-                    pa.array(cols["next_sibling"], type=pa.int32()),
-                    pa.array(cols["subtree_end"], type=pa.int32()),
-                    pa.array(cols["text"], type=pa.string()),
-                    pa.array(cols["attrs"], type=pa.map_(pa.string(), pa.string())),
-                ],
-                names=[f.name for f in NODE_TABLE_SCHEMA.fields],
-            )
+                arrays, names=[f.name for f in schema.fields])
 
-    return docs.mapInArrow(kernel, NODE_TABLE_SCHEMA)
+    return docs.mapInArrow(kernel, schema)
 
 
 # node-kind codes re-exported for DataFrame-side filters

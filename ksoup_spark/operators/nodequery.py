@@ -19,8 +19,9 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   descendants; ``:not(compound)`` / ``:is(compound)`` -> null-safe negated /
   pass-through predicates
 
-Unsupported pieces (text pseudos, relative/structural :has forms, nth
-of-type formulas with a!=0) raise UnsupportedSelector — callers fall back
+Unsupported pieces (text pseudos other than :contains-with-elem_text,
+relative/structural :has forms, nth of-type formulas with a!=0) raise
+UnsupportedSelector — callers fall back
 to the kernel path (operators.extract.select_elements_df), which covers
 everything.
 """
@@ -40,18 +41,28 @@ class UnsupportedSelector(ValueError):
     pass
 
 
-def _compound_predicate(ev) -> "F.Column":
+def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
     """Column predicate for a non-structural evaluator."""
     if isinstance(ev, S.And):
         pred = F.lit(True)
         for e in ev.evals:
-            pred = pred & _compound_predicate(e)
+            pred = pred & _compound_predicate(e, has_text)
         return pred
     if isinstance(ev, S.Or):
         pred = F.lit(False)
         for e in ev.evals:
-            pred = pred | _compound_predicate(e)
+            pred = pred | _compound_predicate(e, has_text)
         return pred
+    if isinstance(ev, S.ContainsText):
+        # ev.text is pre-normalized+lowered (Evaluator ctor); elem_text is
+        # the kernel's normalized element text, so this is exactly the
+        # kernel's `self.text in ctx.text(el).lower()`
+        if not has_text:
+            raise UnsupportedSelector(
+                "ContainsText (node table lacks elem_text — build it with "
+                "node_table_df(include_elem_text=True))")
+        return F.lower(F.coalesce(F.col("elem_text"), F.lit(""))).contains(
+            ev.text)
     if isinstance(ev, S.AllElements):
         return F.lit(True)
     if isinstance(ev, S.Tag):
@@ -109,16 +120,16 @@ def _compound_predicate(ev) -> "F.Column":
     if isinstance(ev, S.IsNth) and ev.a == 0 and not ev.last and not ev.of_type:
         return F.col("elem_sibling_index") == ev.b - 1
     if isinstance(ev, S.Is):
-        return _compound_predicate(ev.inner)
+        return _compound_predicate(ev.inner, has_text)
     if isinstance(ev, S.Not):
         # null-safe negation: a NULL inner predicate (missing attr/map)
         # means "didn't match", so :not() must keep the row — Spark's
         # three-valued ~NULL would silently drop it
-        return ~F.coalesce(_compound_predicate(ev.inner), F.lit(False))
+        return ~F.coalesce(_compound_predicate(ev.inner, has_text), F.lit(False))
     raise UnsupportedSelector(type(ev).__name__)
 
 
-def _split_structural(ev):
+def _split_structural(ev, has_text: bool = False):
     """Decompose And(compound..., structural, :has...) ->
     (compound pred, structural, has_evals)."""
     _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
@@ -134,25 +145,29 @@ def _split_structural(ev):
                 plain.append(e)
         if len(structural) > 1:
             raise UnsupportedSelector("multiple structural conjuncts")
-        pred = _compound_predicate(S.And(plain)) if plain else F.lit(True)
+        pred = (_compound_predicate(S.And(plain), has_text)
+                if plain else F.lit(True))
         return pred, (structural[0] if structural else None), has_evals
     if isinstance(ev, _STRUCT):
         return F.lit(True), ev, []
     if isinstance(ev, S.Has) and not ev.relative_root:
         return F.lit(True), None, [ev]
-    return _compound_predicate(ev), None, []
+    return _compound_predicate(ev, has_text), None, []
 
 
 def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     """node table + CSS -> DataFrame of matched element rows.
 
     Catalyst sees only joins/filters — whole-stage codegen end to end.
+    When the table carries elem_text (node_table_df include_elem_text),
+    :contains compiles to a JVM string predicate too.
     """
     ev = S.parse_query(css)
-    return _compile_eval(nodes, ev)
+    return _compile_eval(nodes, ev, "elem_text" in nodes.columns)
 
 
-def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev) -> DataFrame:
+def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
+                   has_text: bool = False) -> DataFrame:
     """:has(sel) as a subtree-interval LEFT-SEMI join: keep subject rows
     with at least one strict descendant (anc.node_id < d.node_id <=
     anc.subtree_end) matching the inner selector — the reference's Has
@@ -163,7 +178,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev) -> DataFrame:
     inner (':has(div p)') raises UnsupportedSelector inside
     _compound_predicate and the caller falls back to the kernel, whose
     subtree-root memo semantics such queries need."""
-    dpred = _compound_predicate(has_ev.inner)
+    dpred = _compound_predicate(has_ev.inner, has_text)
     desc = nodes.filter((F.col("kind") == ELEMENT_KIND) & dpred).select(
         F.col("doc_id").alias("_d_doc"), F.col("node_id").alias("_d_id"))
     return out.join(
@@ -175,7 +190,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev) -> DataFrame:
     )
 
 
-def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
+def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
     # document rows participate as #root elements (kernel select() parity:
     # the reference's Document extends Element, so tagless predicates match
     # it — SelectorTest.testAllElements counts select("*") = elements + 1)
@@ -184,23 +199,23 @@ def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
     if isinstance(ev, S.Or):
         out = None
         for sub in ev.evals:
-            part = _compile_eval(nodes, sub)
+            part = _compile_eval(nodes, sub, has_text)
             out = part if out is None else out.unionByName(part)
         return out.dropDuplicates(["doc_id", "node_id"])
-    pred, structural, has_evals = _split_structural(ev)
+    pred, structural, has_evals = _split_structural(ev, has_text)
     subject = elements.filter(pred)
     if structural is None:
         out = subject
         for h in has_evals:
-            out = _has_semi_join(nodes, out, h)
+            out = _has_semi_join(nodes, out, h, has_text)
         return out
     if has_evals:
         # apply :has to the subject side first (left-semi keeps columns),
         # then the structural join below proceeds unchanged
         for h in has_evals:
-            subject = _has_semi_join(nodes, subject, h)
+            subject = _has_semi_join(nodes, subject, h, has_text)
     if isinstance(ev := structural, S.Ancestor):
-        anc = _compile_eval(nodes, ev.inner).select(
+        anc = _compile_eval(nodes, ev.inner, has_text).select(
             "doc_id",
             F.col("node_id").alias("_anc_id"),
             F.col("subtree_end").alias("_anc_end"),
@@ -219,7 +234,7 @@ def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
         for parent_ev in reversed(chain[:-1]):
             if isinstance(parent_ev, S.Root):
                 raise UnsupportedSelector("root-anchored child run")
-            par = _compile_eval(nodes, parent_ev).select(
+            par = _compile_eval(nodes, parent_ev, has_text).select(
                 "doc_id", F.col("node_id").alias("_p_id")
             )
             out = (
@@ -232,10 +247,10 @@ def _compile_eval(nodes: DataFrame, ev) -> DataFrame:
                 .drop("_p_id")
             )
         # subject predicate: the final chain entry
-        out = out.filter(_compound_predicate(chain[-1]))
+        out = out.filter(_compound_predicate(chain[-1], has_text))
         return out.dropDuplicates(["doc_id", "node_id"])
     if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
-        prev = _compile_eval(nodes, ev.inner).select(
+        prev = _compile_eval(nodes, ev.inner, has_text).select(
             "doc_id",
             F.col("parent_id").alias("_sp"),
             F.col("elem_sibling_index").alias("_si"),

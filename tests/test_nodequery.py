@@ -107,3 +107,52 @@ def test_has_plan_is_jvm_semi_join(spark, nodes):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+# -- :contains over the opt-in elem_text column -------------------------------
+
+CONTAINS_QUERIES = [
+    ":contains(one)",
+    "p:contains(one)",
+    "div:contains(two)",
+    "p:contains(ONE)",           # case-insensitive
+    "div:has(p:contains(three))",
+    "div:contains(one) > p",
+    "li:not(:contains(2))",
+    "p:contains(the title), span",
+]
+
+
+@pytest.fixture(scope="module")
+def nodes_text(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, html string")
+    return extract.node_table_df(df, include_elem_text=True).cache()
+
+
+@pytest.mark.parametrize("css", CONTAINS_QUERIES)
+def test_contains_compiled_matches_kernel(spark, nodes_text, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(nodes_text, css).collect()
+    }
+    assert got == _kernel_matches(css), css
+
+
+@pytest.mark.parametrize("css", QUERIES)
+def test_elem_text_table_matches_kernel_on_base_queries(spark, nodes_text, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(nodes_text, css).collect()
+    }
+    assert got == _kernel_matches(css), css
+
+
+def test_contains_plan_is_jvm_only(spark, nodes_text):
+    plan = nodequery.compile_selector(nodes_text, "p:contains(one)") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_contains_without_elem_text_still_falls_back(spark, nodes):
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "p:contains(x)")
