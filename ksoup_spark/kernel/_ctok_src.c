@@ -3258,6 +3258,150 @@ fail:
     return NULL;
 }
 
+/* ---- to_table int columns: preorder remap + sibling/subtree indices ----
+ *
+ * Mirrors Doc.to_table's integer-column construction (dom.py): preorder
+ * order/depth, remapped parent ids, sibling_index / elem_sibling_index /
+ * first_child / next_sibling, and the inclusive subtree_end interval.
+ * The Python caller gathers tag/text/attrs/ns by indexing with `order`.
+ */
+static PyObject *py_to_table_ints(PyObject *self, PyObject *args) {
+    PyObject *kindL, *parentL, *chL;
+    if (!PyArg_ParseTuple(args, "O!O!O!", &PyList_Type, &kindL,
+                          &PyList_Type, &parentL, &PyList_Type, &chL))
+        return NULL;
+    Py_ssize_t nn = PyList_GET_SIZE(kindL);
+    if (PyList_GET_SIZE(parentL) < nn || PyList_GET_SIZE(chL) < nn) {
+        PyErr_SetString(PyExc_ValueError, "node table shape mismatch");
+        return NULL;
+    }
+
+    Py_ssize_t *order = NULL, *depth = NULL, *remap = NULL, *stack = NULL;
+    PyObject *res = NULL;
+    PyObject *orderL = NULL, *depthL = NULL, *parL = NULL, *sibL = NULL,
+             *esibL = NULL, *firstL = NULL, *nextL = NULL, *sendL = NULL;
+    order = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) * (size_t)(nn ? nn : 1));
+    depth = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) * (size_t)(nn ? nn : 1));
+    remap = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) * (size_t)(nn ? nn : 1));
+    /* stack entries: (node, depth) pairs; at most nn live entries */
+    stack = (Py_ssize_t *)PyMem_Malloc(sizeof(Py_ssize_t) * 2 * (size_t)(nn ? nn : 1));
+    if (!order || !depth || !remap || !stack) { PyErr_NoMemory(); goto done; }
+
+    Py_ssize_t n_out = 0, sp = 0;
+    if (nn > 0) { stack[0] = 0; stack[1] = 0; sp = 1; }
+    while (sp > 0) {
+        sp--;
+        Py_ssize_t node = stack[sp * 2], d = stack[sp * 2 + 1];
+        if (node < 0 || node >= nn || n_out >= nn) {
+            PyErr_SetString(PyExc_ValueError, "bad node id in children");
+            goto done;
+        }
+        order[n_out] = node;
+        depth[n_out] = d;
+        remap[node] = n_out;
+        n_out++;
+        PyObject *kids = PyList_GET_ITEM(chL, node);
+        if (!PyList_Check(kids)) {
+            PyErr_SetString(PyExc_TypeError, "children not a list");
+            goto done;
+        }
+        Py_ssize_t nk = PyList_GET_SIZE(kids);
+        if (sp + nk > nn) {
+            PyErr_SetString(PyExc_ValueError, "children overflow");
+            goto done;
+        }
+        for (Py_ssize_t i = nk - 1; i >= 0; i--) {
+            long c = PyLong_AsLong(PyList_GET_ITEM(kids, i));
+            if (c == -1 && PyErr_Occurred()) goto done;
+            stack[sp * 2] = (Py_ssize_t)c;
+            stack[sp * 2 + 1] = d + 1;
+            sp++;
+        }
+    }
+
+    orderL = PyList_New(n_out); depthL = PyList_New(n_out);
+    parL = PyList_New(n_out); sibL = PyList_New(n_out);
+    esibL = PyList_New(n_out); firstL = PyList_New(n_out);
+    nextL = PyList_New(n_out); sendL = PyList_New(n_out);
+    if (!orderL || !depthL || !parL || !sibL || !esibL || !firstL ||
+        !nextL || !sendL) goto done;
+
+    for (Py_ssize_t i = 0; i < n_out; i++) {
+        Py_ssize_t o = order[i];
+        PyList_SET_ITEM(orderL, i, PyLong_FromSsize_t(o));
+        PyList_SET_ITEM(depthL, i, PyLong_FromSsize_t(depth[i]));
+        long p = PyLong_AsLong(PyList_GET_ITEM(parentL, o));
+        if (p == -1 && PyErr_Occurred()) goto done;
+        PyList_SET_ITEM(parL, i,
+                        PyLong_FromSsize_t(p == -1 ? -1 : remap[p]));
+        PyList_SET_ITEM(sibL, i, PyLong_FromLong(0));
+        PyList_SET_ITEM(esibL, i, PyLong_FromLong(-1));
+        PyList_SET_ITEM(firstL, i, PyLong_FromLong(-1));
+        PyList_SET_ITEM(nextL, i, PyLong_FromLong(-1));
+    }
+    if (PyErr_Occurred()) goto done;
+
+    for (Py_ssize_t i = 0; i < n_out; i++) {
+        Py_ssize_t o = order[i];
+        PyObject *kids = PyList_GET_ITEM(chL, o);
+        Py_ssize_t nk = PyList_GET_SIZE(kids);
+        if (nk == 0) continue;
+        Py_ssize_t elem_i = 0, prev_rc = -1;
+        for (Py_ssize_t si = 0; si < nk; si++) {
+            long c = PyLong_AsLong(PyList_GET_ITEM(kids, si));
+            Py_ssize_t rc = remap[c];
+            if (si == 0) {
+                Py_DECREF(PyList_GET_ITEM(firstL, i));
+                PyList_SET_ITEM(firstL, i, PyLong_FromSsize_t(rc));
+            }
+            Py_DECREF(PyList_GET_ITEM(sibL, rc));
+            PyList_SET_ITEM(sibL, rc, PyLong_FromSsize_t(si));
+            if (prev_rc != -1) {
+                Py_DECREF(PyList_GET_ITEM(nextL, prev_rc));
+                PyList_SET_ITEM(nextL, prev_rc, PyLong_FromSsize_t(rc));
+            }
+            prev_rc = rc;
+            long k = PyLong_AsLong(PyList_GET_ITEM(kindL, (Py_ssize_t)c));
+            if (k == 1) { /* ELEMENT */
+                Py_DECREF(PyList_GET_ITEM(esibL, rc));
+                PyList_SET_ITEM(esibL, rc, PyLong_FromSsize_t(elem_i));
+                elem_i++;
+            }
+        }
+    }
+    if (PyErr_Occurred()) goto done;
+
+    /* subtree_end: reuse `stack` as a depth stack of pending node ids */
+    {
+        Py_ssize_t dsp = 0;
+        for (Py_ssize_t i = 0; i < n_out; i++) {
+            Py_ssize_t d = depth[i];
+            while (dsp > d) {
+                dsp--;
+                PyList_SET_ITEM(sendL, stack[dsp],
+                                PyLong_FromSsize_t(i - 1));
+            }
+            stack[dsp] = i;
+            dsp++;
+        }
+        while (dsp > 0) {
+            dsp--;
+            PyList_SET_ITEM(sendL, stack[dsp],
+                            PyLong_FromSsize_t(n_out - 1));
+        }
+    }
+
+    res = PyTuple_Pack(8, orderL, depthL, parL, sibL, esibL, firstL,
+                       nextL, sendL);
+done:
+    PyMem_Free(order); PyMem_Free(depth); PyMem_Free(remap);
+    PyMem_Free(stack);
+    Py_XDECREF(orderL); Py_XDECREF(depthL); Py_XDECREF(parL);
+    Py_XDECREF(sibL); Py_XDECREF(esibL); Py_XDECREF(firstL);
+    Py_XDECREF(nextL); Py_XDECREF(sendL);
+    return res;
+}
+
 static PyMethodDef Methods[] = {
     {"tokenize", py_tokenize, METH_VARARGS,
      "tokenize(s, start_byte, state, rawtext_tag, max_tokens)"
@@ -3276,6 +3420,10 @@ static PyMethodDef Methods[] = {
     {"extract_spans", py_extract_spans, METH_VARARGS,
      "extract_spans(kind, tag, text, children, root) -> list of span"
      " tuples; media spans carry the node id in the media_ref slot"},
+    {"to_table_ints", py_to_table_ints, METH_VARARGS,
+     "to_table_ints(kind, parent, children) -> (order, depth, parent,"
+     " sibling_index, elem_sibling_index, first_child, next_sibling,"
+     " subtree_end) preorder int columns"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -16,6 +16,26 @@ from urllib.parse import urljoin
 
 from . import tags as T
 
+_C_TO_TABLE = False  # tri-state cache: False unset, None unavailable
+
+
+def _c_to_table_ints():
+    """The C integer-column builder (py_to_table_ints in _ctok_src.c) when
+    the ctok module is buildable; the pure-Python construction below stays
+    the semantics reference and the fallback."""
+    global _C_TO_TABLE
+    if _C_TO_TABLE is False:
+        try:
+            from .ctokenizer import _load
+
+            mod = _load()
+            _C_TO_TABLE = getattr(mod, "to_table_ints", None) \
+                if mod is not None else None
+        except Exception:
+            _C_TO_TABLE = None
+    return _C_TO_TABLE
+
+
 DOCUMENT = 0
 ELEMENT = 1
 TEXT = 2
@@ -225,6 +245,34 @@ class Doc:
         it only when the query needs it."""
         kind = self.kind
         children = self.children
+        ctab = _c_to_table_ints()
+        if ctab is not None:
+            (order, depth_of, par_col, sib, esib, first, nxt,
+             send) = ctab(kind, self.parent, children)
+            out = {
+                "node_id": list(range(len(order))),
+                "parent_id": par_col,
+                "depth": depth_of,
+                "kind": [kind[o] for o in order],
+                "tag": [self.tag[o] for o in order],
+                "ns": [self.ns[o] for o in order],
+                "sibling_index": sib,
+                "elem_sibling_index": esib,
+                "first_child": first,
+                "next_sibling": nxt,
+                "subtree_end": send,
+                "text": [self.text[o] for o in order],
+                "attrs": [self.attrs[o] for o in order],
+            }
+            if include_elem_text:
+                from .textops import element_text  # local: module cycle
+
+                out["elem_text"] = [
+                    element_text(self, o) if kind[o] in (DOCUMENT, ELEMENT)
+                    else None
+                    for o in order
+                ]
+            return out
         # inline preorder walk (generator + tuple per node is the hot cost)
         order: list[int] = []
         depth_of: list[int] = []
