@@ -420,3 +420,109 @@ def insert_children(doc: Doc, el: int, index: int, children: list[int]) -> None:
     for off, c in enumerate(children):
         doc.children[el].insert(index + off, c)
         doc.parent[c] = el
+
+
+# -- Elements bulk getters / navigators (Elements.kt:70-90, 210-224, 495-566) -
+
+def node_has_attr(doc: Doc, node: int, key: str) -> bool:
+    """Node.hasAttr incl. the abs: prefix (Node.kt:151-158): abs:k is true
+    only when k exists AND resolves to a non-empty absolute URL."""
+    if key.startswith("abs:"):
+        k = key[4:]
+        if doc.get_attr(node, k) is not None and doc.abs_url(node, k):
+            return True
+        return doc.get_attr(node, key) is not None
+    return doc.get_attr(node, key) is not None
+
+
+def _attr_or_abs(doc: Doc, node: int, key: str) -> str:
+    if key.startswith("abs:"):
+        return doc.abs_url(node, key[4:])
+    return doc.get_attr(node, key) or ""
+
+
+def bulk_has_attr(doc: Doc, nodes: list[int], key: str) -> bool:
+    """Elements.hasAttr (Elements.kt:70-75): any element has it."""
+    return any(node_has_attr(doc, n, key) for n in nodes)
+
+
+def each_attr(doc: Doc, nodes: list[int], key: str) -> list[str]:
+    """Elements.eachAttr (Elements.kt:84-90): values of elements that HAVE
+    the attribute — absent elements contribute nothing, not ''."""
+    return [_attr_or_abs(doc, n, key) for n in nodes
+            if node_has_attr(doc, n, key)]
+
+
+def element_has_text(doc: Doc, node: int) -> bool:
+    """Element.hasText (Element.kt:1433-1456): any non-blank text node in
+    the subtree."""
+    for n, _ in doc.preorder(node):
+        if doc.kind[n] in (dom.TEXT, dom.CDATA):
+            t = doc.text[n]
+            if t and t.strip(" \t\n\f\r"):
+                return True
+    return False
+
+
+def bulk_has_text(doc: Doc, nodes: list[int]) -> bool:
+    """Elements.hasText (Elements.kt:210-212)."""
+    return any(element_has_text(doc, n) for n in nodes)
+
+
+def each_text(doc: Doc, nodes: list[int]) -> list[str]:
+    """Elements.eachText (Elements.kt:222-224): texts of elements that have
+    text — textless elements are skipped, not ''."""
+    from .textops import element_text
+
+    return [element_text(doc, n) for n in nodes if element_has_text(doc, n)]
+
+
+def _sibling_walk(doc: Doc, nodes: list[int], query: str | None,
+                  forward: bool, all_sibs: bool) -> list[int]:
+    """Elements.next/prev/nextAll/prevAll (Elements.kt:543-566): walk each
+    element's element-siblings, optionally filtered; no cross-element dedup
+    (faithful to the reference's list semantics)."""
+    from . import selector as S
+
+    ev = S.parse_query(query) if query else None
+    out: list[int] = []
+    for e in nodes:
+        cur = e
+        while True:
+            sib = (dom.next_element_sibling(doc, cur) if forward
+                   else dom.previous_element_sibling(doc, cur))
+            if sib == -1:
+                break
+            if ev is None or S.element_is(doc, sib, ev):
+                out.append(sib)
+            cur = sib
+            if not all_sibs:
+                break
+    return out
+
+
+def next_all(doc: Doc, nodes: list[int], query: str | None = None) -> list[int]:
+    """Elements.nextAll (Elements.kt:495-506)."""
+    return _sibling_walk(doc, nodes, query, True, True)
+
+
+def prev_all(doc: Doc, nodes: list[int], query: str | None = None) -> list[int]:
+    """Elements.prevAll (Elements.kt:516-527)."""
+    return _sibling_walk(doc, nodes, query, False, True)
+
+
+def select_within(doc: Doc, nodes: list[int], query: str) -> list[int]:
+    """Elements.select via Selector.select(query, roots)
+    (select/Selector.kt:123-141): per-root collect, identity-deduped in
+    first-seen order."""
+    from . import selector as S
+
+    ev = S.parse_query(query)
+    seen: set[int] = set()
+    out: list[int] = []
+    for root in nodes:
+        for n in S.select(doc, ev, root):
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+    return out

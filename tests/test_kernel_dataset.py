@@ -56,3 +56,47 @@ def test_sibling_elements():
     # root html has no element siblings
     html = S.select(d, "html")[0]
     assert dom.sibling_elements(d, html) == []
+
+
+def test_elements_bulk_getters():
+    # Elements.hasAttr/eachAttr (Elements.kt:70-90): absent -> skipped
+    d = tb.parse('<head><base href="http://x.y/"></head>'
+                 '<a href=/p>1</a><a>2</a><a href=http://z/>3</a>')
+    links = S.select(d, "a")
+    assert mutate.bulk_has_attr(d, links, "href")
+    assert not mutate.bulk_has_attr(d, links, "rel")
+    assert mutate.each_attr(d, links, "href") == ["/p", "http://z/"]
+    # abs: prefix resolves against the base latch (Node.kt:151-158)
+    assert mutate.each_attr(d, links, "abs:href") == \
+        ["http://x.y/p", "http://z/"]
+    assert mutate.bulk_has_attr(d, links, "abs:href")
+
+
+def test_elements_each_text_skips_textless():
+    # Elements.eachText (Elements.kt:222-224)
+    d = tb.parse("<div>one</div><div></div><div>  </div><div>two</div>")
+    divs = S.select(d, "div")
+    assert mutate.each_text(d, divs) == ["one", "two"]
+    assert mutate.bulk_has_text(d, divs)
+    assert not mutate.bulk_has_text(d, divs[1:3])
+
+
+def test_next_all_prev_all():
+    # Elements.nextAll/prevAll (Elements.kt:495-527)
+    d = tb.parse("<p id=1>1</p><p id=2>2</p><p id=3>3</p><p id=4>4</p>")
+    second = S.select(d, "#2")
+    assert [d.get_attr(n, "id") for n in mutate.next_all(d, second)] == \
+        ["3", "4"]
+    assert [d.get_attr(n, "id") for n in mutate.prev_all(d, second)] == ["1"]
+    third = S.select(d, "#3")
+    assert [d.get_attr(n, "id")
+            for n in mutate.prev_all(d, third, "p:not(#1)")] == ["2"]
+
+
+def test_select_within_dedups_in_order():
+    # Selector.select(query, roots) (Selector.kt:123-141)
+    d = tb.parse("<div id=a><span id=s1>x</span></div>"
+                 "<div id=b><div id=c><span id=s2>y</span></div></div>")
+    roots = S.select(d, "div")  # a, b, c — c nested under b
+    got = [d.get_attr(n, "id") for n in mutate.select_within(d, roots, "span")]
+    assert got == ["s1", "s2"]  # s2 reachable from both b and c: deduped
