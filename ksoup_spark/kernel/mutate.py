@@ -526,3 +526,83 @@ def select_within(doc: Doc, nodes: list[int], query: str) -> list[int]:
                 seen.add(n)
                 out.append(n)
     return out
+
+
+# -- small Node/Document surface (Node.kt:802-850, Document.kt:57-162, 619) --
+
+def shallow_clone(doc: Doc, node: int) -> int:
+    """Node.shallowClone (Node.kt:848-850): copy without children,
+    unattached."""
+    attrs = doc.attrs[node]
+    return doc.new_node(doc.kind[node], doc.tag[node],
+                        dict(attrs) if attrs else attrs,
+                        doc.text[node], doc.ns[node])
+
+
+def has_same_value(doc: Doc, a: int, b: int) -> bool:
+    """Node.hasSameValue (Node.kt:802-805): same node kind and identical
+    outerHtml."""
+    from .serialize import outer_html
+
+    if a == b:
+        return True
+    if doc.kind[a] != doc.kind[b]:
+        return False
+    return outer_html(doc, a) == outer_html(doc, b)
+
+
+def child_nodes_copy(doc: Doc, node: int) -> list[int]:
+    """Node.childNodesCopy (Node.kt): independent deep copies of the
+    children, unattached."""
+    return [clone(doc, c) for c in doc.children[node]]
+
+
+def clear_attributes(doc: Doc, node: int) -> None:
+    """Node.clearAttributes."""
+    doc.attrs[node] = None
+
+
+def sibling_nodes(doc: Doc, node: int) -> list[int]:
+    """Node.siblingNodes: all siblings of any kind, excluding self."""
+    p = doc.parent[node]
+    if p == -1:
+        return []
+    return [c for c in doc.children[p] if c != node]
+
+
+def document_type(doc: Doc) -> int:
+    """Document.documentType (Document.kt:57-68): the doctype if it leads
+    the document's children (leaf nodes scan past, an element stops)."""
+    for c in doc.children[0]:
+        if doc.kind[c] == dom.DOCTYPE:
+            return c
+        if doc.kind[c] == dom.ELEMENT:
+            break
+    return -1
+
+
+def expect_form(doc: Doc, css: str) -> int:
+    """Document.expectForm (Document.kt:155-162): first <form> among the
+    matches, else error."""
+    from . import selector as S
+
+    for n in S.select(doc, css):
+        if doc.tag[n] == "form":
+            return n
+    raise ValueError(f"No form elements matched the query {css!r}")
+
+
+def create_element(doc: Doc, tag: str) -> int:
+    """Document.createElement: new unattached element owned by doc."""
+    return doc.new_node(dom.ELEMENT, tag, None, None)
+
+
+def create_shell(base_uri: str = "") -> Doc:
+    """Document.createShell (Document.kt:619-625): html > head + body."""
+    d = Doc()
+    d.base_uri = base_uri
+    html = d.new_node(dom.ELEMENT, "html")
+    d.append_child(0, html)
+    d.append_child(html, d.new_node(dom.ELEMENT, "head"))
+    d.append_child(html, d.new_node(dom.ELEMENT, "body"))
+    return d

@@ -100,3 +100,41 @@ def test_select_within_dedups_in_order():
     roots = S.select(d, "div")  # a, b, c — c nested under b
     got = [d.get_attr(n, "id") for n in mutate.select_within(d, roots, "span")]
     assert got == ["s1", "s2"]  # s2 reachable from both b and c: deduped
+
+
+def test_node_document_small_surface():
+    # Node.kt:802-850, Document.kt:57-162, 619-625
+    d = tb.parse("<!doctype html><!--c--><html><body>"
+                 "<p id=a>x</p><p id=b>x</p><p id=c>y</p>text</body></html>")
+    pa, pb, pc = S.select(d, "p")
+    assert mutate.has_same_value(d, pa, pa)
+    assert not mutate.has_same_value(d, pa, pb)  # ids differ
+    assert not mutate.has_same_value(d, pa, pc)
+    sc = mutate.shallow_clone(d, pa)
+    assert d.parent[sc] == -1 and d.children[sc] == [] and \
+        d.get_attr(sc, "id") == "a"
+    # doctype found past the leading comment? comment comes after doctype
+    assert d.kind[mutate.document_type(d)] == dom.DOCTYPE
+    sibs = mutate.sibling_nodes(d, pb)
+    assert pa in sibs and pc in sibs and pb not in sibs
+    assert len(sibs) == 3  # two <p> + the trailing text node
+    cps = mutate.child_nodes_copy(d, S.select(d, "body")[0])
+    assert len(cps) == 4 and all(d.parent[c] == -1 for c in cps)
+    mutate.clear_attributes(d, pa)
+    assert d.get_attr(pa, "id") is None
+
+
+def test_expect_form_and_create_shell():
+    d = tb.parse("<div><form id=f><input name=q></form></div>")
+    assert d.get_attr(mutate.expect_form(d, "form"), "id") == "f"
+    try:
+        mutate.expect_form(d, "div")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    shell = mutate.create_shell("http://x/")
+    from ksoup_spark.kernel.serialize import outer_html
+    assert outer_html(shell, shell.html_el(), pretty=False) == \
+        "<html><head></head><body></body></html>"
+    el = mutate.create_element(shell, "span")
+    assert shell.tag[el] == "span" and shell.parent[el] == -1
