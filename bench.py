@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     # round-3 additions (kept at the end so earlier rounds' keys align)
     "url_dedup",
     "unigram_logprob",
+    # round-4 additions
+    "css_paths",
+    "nodequery_contains",
 ]
 
 
