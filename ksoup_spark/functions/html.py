@@ -100,7 +100,7 @@ def html_css_selector(col: Column | str, css: str) -> Column:
         out = []
         for h in s:
             d = _parse(h or "")
-            out.append([sel.css_selector(d, n) for n in sel.select(d, q)])
+            out.append(sel.css_selectors(d, sel.select(d, q)))
         return pd.Series(out)
 
     return _f(col)

@@ -1117,14 +1117,30 @@ def expect_first(doc: Doc, query: str | Evaluator, root: int | None = None) -> i
     return n
 
 
+# chars OUTSIDE this class keep the slow exact path; a pure ASCII
+# alnum/-/_ string needs no escapes (the common case for tags/classes)
+_CSS_IDENT_UNSAFE = re.compile(r"[^0-9A-Za-z_-]")
+
+
 def escape_css_identifier(s: str) -> str:
     """TokenQueue.escapeCssIdentifier (parser/TokenQueue.kt:366-377):
     backslash-escape every char that is not alphanumeric, '-', or '_'."""
+    if not _CSS_IDENT_UNSAFE.search(s):
+        return s
     return "".join(c if (c.isalnum() or c in "-_") else "\\" + c for c in s)
 
 
-def _css_component(doc: Doc, el: int) -> str:
-    """One path segment: tag.classes[:nth-child(n)] (Element.kt:860-880)."""
+def _css_component(doc: Doc, el: int, memo: dict | None = None) -> str:
+    """One path segment: tag.classes[:nth-child(n)] (Element.kt:860-880).
+
+    memo (shared by css_selectors) caches per-(parent, selector) sibling
+    match counts and per-parent element-children lists — without it a
+    bulk path computation over W same-parent elements is O(W²)."""
+    if memo is None:
+        memo = {}
+    cached = memo.get(el)
+    if cached is not None:
+        return cached
     name = (doc.tag_display or {}).get(el) or doc.tag[el] or ""
     # escaped namespace colon renders as CSS namespace syntax ns|tag
     sel = escape_css_identifier(name).replace("\\:", "|")
@@ -1134,28 +1150,55 @@ def _css_component(doc: Doc, el: int) -> str:
     p = doc.parent[el]
     if p == -1 or doc.kind[p] == dom.DOCUMENT:
         # don't add Document to the path: there is always a lone html node
+        memo[el] = sel
         return sel
-    ev = parse_query(sel)
-    ctx = EvalCtx(doc, p)
-    sibs = [c for c in doc.children[p] if doc.kind[c] == dom.ELEMENT]
-    if sum(1 for c in sibs if ev.matches(ctx, c)) > 1:
-        sel += f":nth-child({sibs.index(el) + 1})"
-    return " > " + sel
+    pos = memo.get(("pos", p))
+    if pos is None:
+        sibs = [c for c in doc.children[p] if doc.kind[c] == dom.ELEMENT]
+        pos = {c: i for i, c in enumerate(sibs)}
+        memo[("pos", p)] = pos
+        memo[("sibs", p)] = sibs
+    n_match = memo.get((p, sel))
+    if n_match is None:
+        ev = parse_query(sel)
+        ctx = EvalCtx(doc, p)
+        n_match = sum(1 for c in memo[("sibs", p)] if ev.matches(ctx, c))
+        memo[(p, sel)] = n_match
+    out = " > " + sel
+    if n_match > 1:
+        out = f"{out}:nth-child({pos[el] + 1})"
+    memo[el] = out
+    return out
+
+
+def _css_selector_one(doc: Doc, node: int, memo: dict) -> str:
+    el_id = doc.get_attr(node, "id") or ""
+    if el_id:
+        id_sel = "#" + escape_css_identifier(el_id)
+        n_ids = memo.get(("id", id_sel))
+        if n_ids is None:
+            n_ids = select(doc, id_sel)
+            memo[("id", id_sel)] = n_ids
+        if len(n_ids) == 1 and n_ids[0] == node:
+            return id_sel
+    parts: list[str] = []
+    el = node
+    while el != -1 and doc.kind[el] != dom.DOCUMENT:
+        parts.insert(0, _css_component(doc, el, memo))
+        el = doc.parent[el]
+    return "".join(parts)
 
 
 def css_selector(doc: Doc, node: int) -> str:
     """Element.cssSelector (nodes/Element.kt:836-858): a CSS path that
     uniquely selects this element — #id when the id is document-unique,
     else parent-path > tag.classes with :nth-child disambiguators."""
-    el_id = doc.get_attr(node, "id") or ""
-    if el_id:
-        id_sel = "#" + escape_css_identifier(el_id)
-        els = select(doc, id_sel)
-        if len(els) == 1 and els[0] == node:
-            return id_sel
-    parts: list[str] = []
-    el = node
-    while el != -1 and doc.kind[el] != dom.DOCUMENT:
-        parts.insert(0, _css_component(doc, el))
-        el = doc.parent[el]
-    return "".join(parts)
+    return _css_selector_one(doc, node, {})
+
+
+def css_selectors(doc: Doc, nodes: list[int]) -> list[str]:
+    """Bulk cssSelector sharing the per-parent match-count memo across
+    elements (linear in total path length instead of O(W²) for W
+    same-parent subjects)."""
+    memo: dict = {}
+    return [_css_selector_one(doc, n, memo) for n in nodes]
