@@ -827,10 +827,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_nth": q_selector_nth,
         "css_paths": q_css_paths,
         "nodequery_contains": q_nodequery_contains,
-        "selector_count": q_selector_count,
+        # cosine rows live early in the registry: the driver's oracle window
+        # covers the first 50 entries, and these two fell outside it in r4
+        # (VERDICT r4 task #1).  The redundant selector_count / html_title
+        # rows moved to the tail instead.
+        "cosine_near_dups": q_cosine_near_dups,
+        "cosine_near_dup_recall": q_cosine_near_dup_recall,
         "attr_absurl": q_attr_absurl,
         "wholetext_pre": q_wholetext_pre,
-        "html_title": q_html_title,
         "node_table": q_node_table,
         "xml_mode": q_xml_mode,
         "bytes_charset": q_bytes_charset,
@@ -870,8 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_recall": q_ann_lsh_recall,
-        "cosine_near_dups": q_cosine_near_dups,
-        "cosine_near_dup_recall": q_cosine_near_dup_recall,
+        # redundant-coverage rows (selector_count duplicates select_elements,
+        # html_title duplicates the roundtrip family) parked at the tail.
+        "selector_count": q_selector_count,
+        "html_title": q_html_title,
     }
 
 
