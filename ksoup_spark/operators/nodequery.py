@@ -19,11 +19,22 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   descendants; ``:not(compound)`` / ``:is(compound)`` -> null-safe negated /
   pass-through predicates
 
+``:has`` compiles for structural inners too (round 5):
+
+- ``:has(div p)`` -> three-way interval join: a descendant d matching the
+  subject-pred, an ancestor a of d matching the outer pred, with a bounded
+  to the subject's subtree-or-self (the kernel's Has walk stops at the
+  subject root — StructuralEvaluator.kt:50-99)
+- ``:has(span > p)`` / ``:has(> p)`` / ``:has(> div > p)`` -> chained
+  parent equi-joins; a Root-anchored chain pins its topmost parent to the
+  subject's node_id
+- ``:has(p + span)`` / ``:has(p ~ span)`` -> sibling-index witness join
+
 Unsupported pieces (text pseudos other than :contains-with-elem_text,
-relative/structural :has forms, nth of-type formulas with a!=0) raise
-UnsupportedSelector — callers fall back
-to the kernel path (operators.extract.select_elements_df), which covers
-everything.
+sibling-of-root :has forms like ``:has(~ p)`` (kernel: never match),
+multi-level descendant inners like ``:has(a b c)``, nth of-type formulas
+with a!=0) raise UnsupportedSelector — callers fall back to the kernel
+path (operators.extract.select_elements_df), which covers everything.
 """
 
 from __future__ import annotations
@@ -139,7 +150,7 @@ def _split_structural(ev, has_text: bool = False):
         for e in ev.evals:
             if isinstance(e, _STRUCT):
                 structural.append(e)
-            elif isinstance(e, S.Has) and not e.relative_root:
+            elif isinstance(e, S.Has):
                 has_evals.append(e)
             else:
                 plain.append(e)
@@ -150,7 +161,7 @@ def _split_structural(ev, has_text: bool = False):
         return pred, (structural[0] if structural else None), has_evals
     if isinstance(ev, _STRUCT):
         return F.lit(True), ev, []
-    if isinstance(ev, S.Has) and not ev.relative_root:
+    if isinstance(ev, S.Has):
         return F.lit(True), None, [ev]
     return _compound_predicate(ev, has_text), None, []
 
@@ -166,28 +177,162 @@ def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     return _compile_eval(nodes, ev, "elem_text" in nodes.columns)
 
 
+def _split_inner(inner, has_text: bool = False):
+    """Decompose a :has inner evaluator into (plain predicate, structural).
+
+    Raises UnsupportedSelector for shapes the relational form can't
+    express (nested :has, >1 structural conjunct, Or over structural)."""
+    _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
+               S.PreviousSibling)
+    if isinstance(inner, S.And):
+        structural, plain = [], []
+        for e in inner.evals:
+            if isinstance(e, _STRUCT):
+                structural.append(e)
+            else:
+                plain.append(e)
+        if len(structural) > 1:
+            raise UnsupportedSelector(":has with multiple structural conjuncts")
+        pred = (_compound_predicate(S.And(plain), has_text)
+                if plain else F.lit(True))
+        return pred, (structural[0] if structural else None)
+    if isinstance(inner, _STRUCT):
+        return F.lit(True), inner
+    return _compound_predicate(inner, has_text), None
+
+
+def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
+    """Keep subject rows with a witness (_w_doc, _w_d) in their STRICT
+    subtree (anc.node_id < d <= anc.subtree_end) — the Has preorder loop
+    skips the subject itself."""
+    return out.join(
+        w,
+        (out["doc_id"] == w["_w_doc"])
+        & (out["node_id"] < w["_w_d"])
+        & (w["_w_d"] <= out["subtree_end"]),
+        "left_semi",
+    )
+
+
 def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                    has_text: bool = False) -> DataFrame:
-    """:has(sel) as a subtree-interval LEFT-SEMI join: keep subject rows
-    with at least one strict descendant (anc.node_id < d.node_id <=
-    anc.subtree_end) matching the inner selector — the reference's Has
+    """:has(sel) as subtree-interval LEFT-SEMI joins — the reference's Has
     semantics (select/StructuralEvaluator.kt:50-99) relationally, staying
     pure-JVM for corpus-wide node-table queries.
 
-    Only compound (non-structural) inner selectors compile; a structural
-    inner (':has(div p)') raises UnsupportedSelector inside
-    _compound_predicate and the caller falls back to the kernel, whose
-    subtree-root memo semantics such queries need."""
-    dpred = _compound_predicate(has_ev.inner, has_text)
-    desc = nodes.filter((F.col("kind") == ELEMENT_KIND) & dpred).select(
-        F.col("doc_id").alias("_d_doc"), F.col("node_id").alias("_d_id"))
-    return out.join(
-        desc,
-        (out["doc_id"] == desc["_d_doc"])
-        & (out["node_id"] < desc["_d_id"])
-        & (desc["_d_id"] <= out["subtree_end"]),
-        "left_semi",
+    Compiled inner shapes:
+    - compound: witness = matching elements; strict-subtree semi-join
+    - ``div p`` (Ancestor): the kernel evaluates the inner with the SUBJECT
+      as root, so the ancestor walk from the candidate stops at (and
+      includes) the subject — witness = (a, d) pairs with a an ancestor of
+      d; semi-join pins subject.node_id <= a and d <= subject.subtree_end,
+      bounding a to the subject's subtree-or-self
+    - ``span > p`` / ``> p`` chains: chained parent equi-joins; the kernel's
+      ImmediateParentRun walk is NOT root-bounded (parents above the
+      subject can match), so non-rooted chains are subject-independent;
+      a Root anchor pins the topmost parent to the subject's node_id
+    - ``p + span`` / ``p ~ span``: sibling-index witness joins (element-only
+      sibling index; also subject-independent in the kernel)
+
+    Sibling-of-root forms (':has(~ p)') and multi-level descendant inners
+    (':has(a b c)') raise UnsupportedSelector -> kernel fallback."""
+    plain, struct = _split_inner(has_ev.inner, has_text)
+    elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
+
+    if struct is None:
+        w = elems.filter(plain).select(
+            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
+        return _interval_semi(out, w)
+
+    if isinstance(struct, S.Ancestor):
+        # inner of the Ancestor must itself be predicate-only: a deeper
+        # structural level (':has(a b c)') would need its own root bound
+        apred = _compound_predicate(struct.inner, has_text)
+        d = elems.filter(plain).select(
+            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
+        # the bounded walk may stop AT the subject, which can be the
+        # Document (#root) row — include kind-0 rows; the node_id <= _w_a
+        # bound below pins any document witness to the subject row itself
+        a = nodes.filter(
+            ((F.col("kind") == ELEMENT_KIND)
+             | (F.col("kind") == DOCUMENT_KIND)) & apred
+        ).select(
+            F.col("doc_id").alias("_a_doc"),
+            F.col("node_id").alias("_w_a"),
+            F.col("subtree_end").alias("_a_end"),
+        )
+        w = d.join(
+            a,
+            (d["_w_doc"] == a["_a_doc"])
+            & (a["_w_a"] < d["_w_d"])
+            & (d["_w_d"] <= a["_a_end"]),
+        ).select("_w_doc", "_w_a", "_w_d")
+        return out.join(
+            w,
+            (out["doc_id"] == w["_w_doc"])
+            & (out["node_id"] <= w["_w_a"])
+            & (w["_w_d"] <= out["subtree_end"]),
+            "left_semi",
+        )
+
+    if isinstance(struct, S.ImmediateParentRun):
+        chain = struct.chain
+        rooted = isinstance(chain[0], S.Root)
+        entries = list(chain[1:]) if rooted else list(chain)
+        if not entries or any(isinstance(e, S.Root) for e in entries):
+            raise UnsupportedSelector(":has chain shape")
+        dpred = _compound_predicate(entries[-1], has_text) & plain
+        w = elems.filter(dpred).select(
+            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
+            F.col("parent_id").alias("_w_up"))
+        for e in reversed(entries[:-1]):
+            # parents filter to kind==ELEMENT: the kernel walk fails on
+            # reaching the document for non-Root entries
+            par = elems.filter(_compound_predicate(e, has_text)).select(
+                F.col("doc_id").alias("_p_doc"),
+                F.col("node_id").alias("_p_id"),
+                F.col("parent_id").alias("_p_up"))
+            w = (
+                w.join(par, (w["_w_doc"] == par["_p_doc"])
+                       & (w["_w_up"] == par["_p_id"]))
+                .select("_w_doc", "_w_d", F.col("_p_up").alias("_w_up"))
+            )
+        if rooted:
+            # Root consumes the next parent step: the subject IS that node
+            # (works for a Document subject too — node_id equality)
+            return out.join(
+                w,
+                (out["doc_id"] == w["_w_doc"])
+                & (out["node_id"] == w["_w_up"]),
+                "left_semi",
+            )
+        return _interval_semi(out, w.select("_w_doc", "_w_d"))
+
+    # ImmediatePrevious / PreviousSibling
+    if isinstance(struct.inner, S.Root):
+        # ':has(~ p)' / ':has(+ p)': the Has loop only visits descendants,
+        # and a sibling of the subject is never a descendant — the kernel
+        # never matches these; keep them on the (equally empty) kernel path
+        raise UnsupportedSelector(":has sibling-of-root")
+    xpred = _compound_predicate(struct.inner, has_text)
+    d = elems.filter(plain).select(
+        F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
+        F.col("parent_id").alias("_d_par"),
+        F.col("elem_sibling_index").alias("_d_si"))
+    prev = elems.filter(xpred).select(
+        F.col("doc_id").alias("_p_doc"), F.col("parent_id").alias("_p_par"),
+        F.col("elem_sibling_index").alias("_p_si"))
+    sicond = (
+        (d["_d_si"] == prev["_p_si"] + 1)
+        if isinstance(struct, S.ImmediatePrevious)
+        else (d["_d_si"] > prev["_p_si"])
     )
+    w = d.join(
+        prev,
+        (d["_w_doc"] == prev["_p_doc"]) & (d["_d_par"] == prev["_p_par"])
+        & sicond,
+    ).select("_w_doc", "_w_d")
+    return _interval_semi(out, w)
 
 
 def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:

@@ -19,6 +19,12 @@ DOCS = [
            '<table><tr><td id=t1>c</td></tr></table>'),
     ("d3", '<article><section><p id=q1 title="The Title">deep</p></section>'
            '</article><p id=q2>top</p>'),
+    # nesting for structural :has inners — divs inside divs, chains, siblings
+    ("d4", '<div id=o1><div id=i1><p id=w1>a</p><span id=w2>b</span></div>'
+           '<p id=w3>c</p></div>'
+           '<div id=o2><section id=s1><div id=i2><p id=w4>d</p></div>'
+           '</section></div>'
+           '<div id=o3><p id=w5>e</p><em>f</em><span id=w6>g</span></div>'),
 ]
 
 QUERIES = [
@@ -47,6 +53,26 @@ QUERIES = [
     "div:has(p):has(span)",
     "div:has(p) > p",
     "article :has(p)",
+    # structural :has inners — compiled since round 5
+    "div:has(div p)",
+    "div:has(section p)",
+    "body:has(div p)",
+    "div:has(span > p)",
+    "div:has(section > div > p)",
+    "div:has(> p)",
+    "*:has(> p)",
+    "div:has(> div > p)",
+    "div:has(p + span)",
+    "div:has(p ~ span)",
+    "div:has(p ~ em)",
+    "section:has(div p)",
+    "div:has(.x p)",
+    "ul:has(li + li)",
+    "table:has(tr > td)",
+    "article:has(section > p)",
+    "div:has(* > p)",           # tagless parent: must NOT match the document
+    "*:has(* p)",
+    "div:has(> div > p):has(span)",
     "li:not(.x)",
     "p:not(#p1)",
     "div:not([data-k])",
@@ -86,13 +112,27 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # structural inner selector: the kernel's subtree-root memo semantics
-    # apply — keep it on the fallback path
+    # two structural levels inside :has — the second Ancestor would need
+    # its own subject-root bound; kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(section p)")
-    # relative :has also falls back
+        nodequery.compile_selector(nodes, "div:has(a b c)")
+    # sibling-of-root :has never matches in the kernel (descendants-only
+    # loop); stays on the kernel path
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(> p)")
+        nodequery.compile_selector(nodes, "div:has(~ p)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(+ p)")
+
+
+def test_structural_has_plan_is_jvm_only(spark, nodes):
+    for css in ("div:has(div p)", "div:has(> p)", "div:has(span > p)",
+                "div:has(p + span)", "div:has(p ~ span)"):
+        plan = nodequery.compile_selector(nodes, css) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, css
+        assert "BatchEvalPython" not in plan, css
+        assert "LeftSemi" in plan, css
+        assert "CartesianProduct" not in plan, css
 
 
 def test_compiled_plan_is_jvm_only(spark, nodes):
