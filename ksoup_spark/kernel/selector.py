@@ -40,9 +40,19 @@ class SelectorError(ValueError):
     pass
 
 
+_QE_SPAN = re.compile(r"\\Q(.*?)(?:\\E|$)", re.DOTALL)
+
+
 def _compile_re(pattern: str):
     """Compile a :matches*/[a~=re] pattern; invalid patterns are query
-    errors, not raw re.error leaks."""
+    errors, not raw re.error leaks.
+
+    Kotlin/JVM Regex supports ``\\Q..\\E`` literal quoting (what
+    Regex.escape()/Pattern.quote() emit, exercised by
+    TokenQueueTest.kt:testQuotedPattern); Python re does not, so those
+    spans are rewritten to re.escape'd literals first."""
+    if "\\Q" in pattern:
+        pattern = _QE_SPAN.sub(lambda m: re.escape(m.group(1)), pattern)
     try:
         return re.compile(pattern)
     except re.error as e:
@@ -83,6 +93,53 @@ class TokenQueue:
 
     def matches(self, seq: str) -> bool:
         return self.q.startswith(seq, self.pos)
+
+    def remainder(self) -> str:
+        """parser/TokenQueue.kt:316-321: consume-and-return the rest."""
+        out = self.q[self.pos:]
+        self.pos = len(self.q)
+        return out
+
+    def consume_to(self, seq: str) -> str:
+        """Consume up to (not including) seq, or the remainder if absent —
+        case-SENSITIVE (TokenQueue.kt:126-135)."""
+        off = self.q.find(seq, self.pos)
+        if off == -1:
+            return self.remainder()
+        out = self.q[self.pos:off]
+        self.pos = off
+        return out
+
+    def _matches_ic(self, seq: str) -> bool:
+        return self.q[self.pos:self.pos + len(seq)].lower() == seq.lower()
+
+    def consume_to_ignore_case(self, seq: str) -> str:
+        """TokenQueue.kt:137-160 — scan to a case-insensitive match of seq
+        (or the end), leaving the terminator on the queue."""
+        start = self.pos
+        while not self.is_empty() and not self._matches_ic(seq):
+            self.pos += 1
+        return self.q[start:self.pos]
+
+    def chomp_to_ignore_case(self, seq: str) -> str:
+        """TokenQueue.kt:192-196: consumeToIgnoreCase + chomp the matched
+        terminator (case-insensitively; a missing terminator is a no-op)."""
+        out = self.consume_to_ignore_case(seq)
+        if self._matches_ic(seq):
+            self.pos += len(seq)
+        return out
+
+    def add_first(self, seq: str) -> None:
+        """TokenQueue.kt:25-29: push seq back onto the queue head."""
+        self.q = seq + self.q[self.pos:]
+        self.pos = 0
+
+    def consume_word(self) -> str:
+        """TokenQueue.kt:272-277: next run of letters/digits."""
+        start = self.pos
+        while not self.is_empty() and self.q[self.pos].isalnum():
+            self.pos += 1
+        return self.q[start:self.pos]
 
     def consume_css_identifier(self) -> str:
         out: list[str] = []
@@ -138,32 +195,52 @@ class TokenQueue:
         return "".join(out)
 
     def chomp_balanced(self, open_c: str, close_c: str) -> str:
-        """Consume text inside balanced open/close, respecting quotes."""
-        if self.is_empty() or self.q[self.pos] != open_c:
-            raise SelectorError(f"expected {open_c!r} at {self.pos} in {self.q!r}")
+        """Scan-forward balanced chomp (parser/TokenQueue.kt:207-255):
+        consumes until the balance closes, hiding openers/closers inside
+        quotes (when the quote char isn't itself the opener), honoring
+        ``\\Q..\\E`` regex quoting from Pattern.quote(), and preserving
+        backslash escapes in the output (suitable for regexes; use
+        unescape() for contains-text strings)."""
+        start = -1
+        end = -1
         depth = 0
-        start = self.pos
-        in_quote: str | None = None
-        q, n = self.q, len(self.q)
-        while self.pos < n:
+        last = "\0"
+        in_sq = in_dq = in_qe = False
+        q = self.q
+        while True:
+            if self.is_empty():
+                break
             c = q[self.pos]
-            if c == "\\":
-                self.pos += 2
-                continue
-            if in_quote:
-                if c == in_quote:
-                    in_quote = None
-            elif c in "'\"":
-                in_quote = c
-            elif c == open_c:
-                depth += 1
-            elif c == close_c:
-                depth -= 1
-                if depth == 0:
-                    self.pos += 1
-                    return q[start + 1 : self.pos - 1]
             self.pos += 1
-        raise SelectorError(f"unbalanced {open_c!r} in {self.q!r}")
+            if last != "\\":
+                if c == "'" and c != open_c and not in_dq:
+                    in_sq = not in_sq
+                elif c == '"' and c != open_c and not in_sq:
+                    in_dq = not in_dq
+                if in_sq or in_dq or in_qe:
+                    last = c
+                    if depth > 0:
+                        continue
+                    break
+                if c == open_c:
+                    depth += 1
+                    if start == -1:
+                        start = self.pos
+                elif c == close_c:
+                    depth -= 1
+            elif c == "Q":
+                in_qe = True
+            elif c == "E":
+                in_qe = False
+            if depth > 0 and last != "\0":
+                end = self.pos  # don't include the outer match pair
+            last = c
+            if depth <= 0:
+                break
+        out = q[start:end] if end >= 0 else ""
+        if depth > 0:  # ran out of queue before seeing enough closers
+            raise SelectorError(f"Did not find balanced marker at '{out}'")
+        return out
 
     def consume_to_any(self, *seqs: str) -> str:
         start = self.pos
