@@ -8,6 +8,10 @@ or NotImplementedError when strict=True. The Spark-side plumbing (schemas,
 batch iteration, partitioning) is real and tested; swapping the stub for a
 Pillow/ffmpeg call changes no plan shape.
 
+Codec availability is re-probed each round (PIL, cv2, imageio, soundfile,
+librosa, av, ffmpeg/ffprobe binaries). Round 5 probe (2026-08-18): all
+absent — the strict=True stub remains the honest posture.
+
 At 100 TB: media rows are large and skewed — process with
 maxRecordsPerBatch kept small and media tables bucketed by media_id so
 joins against span tables (media_ref) co-locate.

@@ -13,8 +13,10 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
 - ``E > F`` (child) -> equi-join on (doc_id, parent_id)
 - ``E + F`` / ``E ~ F`` -> sibling joins on (doc_id, parent_id) with
   elem_sibling_index arithmetic
-- positional pseudos (:first-child, :nth-child(b), :lt/:gt/:eq) -> index
-  arithmetic on elem_sibling_index
+- positional pseudos (:first-child, :nth-child(an+b) incl. odd/even,
+  :lt/:gt/:eq) -> index arithmetic on elem_sibling_index, with the
+  kernel's document-parent/root guards (html is nobody's :first-child;
+  the #root Document matches :eq(0) but never :lt)
 - ``:has(compound)`` -> subtree-interval LEFT-SEMI join against matching
   descendants; ``:not(compound)`` / ``:is(compound)`` -> null-safe negated /
   pass-through predicates
@@ -32,9 +34,11 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
 
 Unsupported pieces (text pseudos other than :contains-with-elem_text,
 sibling-of-root :has forms like ``:has(~ p)`` (kernel: never match),
-multi-level descendant inners like ``:has(a b c)``, nth of-type formulas
-with a!=0) raise UnsupportedSelector — callers fall back to the kernel
-path (operators.extract.select_elements_df), which covers everything.
+multi-level descendant inners like ``:has(a b c)``, nth-last-child /
+nth-of-type families — they need sibling counts / per-type indexes the
+node table doesn't carry) raise UnsupportedSelector — callers fall back
+to the kernel path (operators.extract.select_elements_df), which covers
+everything.
 """
 
 from __future__ import annotations
@@ -121,15 +125,30 @@ def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
             ev.re.pattern
         )
     if isinstance(ev, S.IsFirstChild):
-        return F.col("elem_sibling_index") == 0
+        # kernel guard: no match when the parent is the Document (html) or
+        # absent — parent_id 0 is the document row, -1 the document itself
+        return (F.col("parent_id") > 0) & (F.col("elem_sibling_index") == 0)
     if isinstance(ev, S.IndexLessThan):
-        return F.col("elem_sibling_index") < ev.idx
+        # kernel: el != ctx.root — the #root Document (node 0) never matches
+        return (F.col("node_id") > 0) & (F.col("elem_sibling_index") < ev.idx)
     if isinstance(ev, S.IndexGreaterThan):
         return F.col("elem_sibling_index") > ev.idx
     if isinstance(ev, S.IndexEquals):
-        return F.col("elem_sibling_index") == ev.idx
-    if isinstance(ev, S.IsNth) and ev.a == 0 and not ev.last and not ev.of_type:
-        return F.col("elem_sibling_index") == ev.b - 1
+        pred = F.col("elem_sibling_index") == ev.idx
+        if ev.idx == 0:
+            # kernel _elem_index of the #root Document is 0 (no parent)
+            pred = pred | (F.col("node_id") == 0)
+        return pred
+    if isinstance(ev, S.IsNth) and not ev.last and not ev.of_type:
+        # nth-child(an+b), pos = elem_sibling_index + 1, with the kernel's
+        # document-parent guard; general a: (pos-b)*a >= 0 and a | (pos-b)
+        guard = F.col("parent_id") > 0
+        pos = F.col("elem_sibling_index") + 1
+        if ev.a == 0:
+            return guard & (pos == ev.b)
+        return (guard
+                & ((pos - ev.b) * ev.a >= 0)
+                & ((pos - ev.b) % ev.a == 0))
     if isinstance(ev, S.Is):
         return _compound_predicate(ev.inner, has_text)
     if isinstance(ev, S.Not):

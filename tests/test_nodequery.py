@@ -43,6 +43,17 @@ QUERIES = [
     "p:first-child",
     "li:nth-child(2)",
     "li:lt(2)",
+    # root/document-guard parity + general an+b (round 5)
+    "*:first-child",
+    "*:eq(0)",
+    "*:lt(2)",
+    "*:gt(0)",
+    "li:nth-child(2n+1)",
+    "li:nth-child(odd)",
+    "li:nth-child(even)",
+    "p:nth-child(-n+2)",
+    "li:nth-child(3n)",
+    "*:nth-child(2n+1)",
     "p, span",
     "ul > li.x",
     # :has / :not / :is — compiled since round 4
