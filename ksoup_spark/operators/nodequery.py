@@ -17,6 +17,13 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   :lt/:gt/:eq) -> index arithmetic on elem_sibling_index, with the
   kernel's document-parent/root guards (html is nobody's :first-child;
   the #root Document matches :eq(0) but never :lt)
+- the counted positional family (round 5): :last-child /
+  :nth-last-child(an+b) via a per-(doc, parent) element-count window;
+  :first-of-type / :last-of-type / :nth-of-type / :nth-last-of-type /
+  :only-of-type via per-(doc, parent, tag) count + running-position
+  windows; :only-child; :empty via a per-parent content-child flag
+  joined back from the child rows; :root as the document's first
+  element child — windows/joins added lazily per query (_augment)
 - ``:has(compound)`` -> subtree-interval LEFT-SEMI join against matching
   descendants; ``:not(compound)`` / ``:is(compound)`` -> null-safe negated /
   pass-through predicates
@@ -26,7 +33,10 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
 - ``:has(div p)`` -> three-way interval join: a descendant d matching the
   subject-pred, an ancestor a of d matching the outer pred, with a bounded
   to the subject's subtree-or-self (the kernel's Has walk stops at the
-  subject root — StructuralEvaluator.kt:50-99)
+  subject root — StructuralEvaluator.kt:50-99); chains of ANY depth
+  (``:has(a b c)``) fold the interval join per level, with one union
+  branch per intermediate level for the subject-is-witness case (where
+  the kernel's outer walk continues unbounded above the subject)
 - ``:has(span > p)`` / ``:has(> p)`` / ``:has(> div > p)`` -> chained
   parent equi-joins; a Root-anchored chain pins its topmost parent to the
   subject's node_id
@@ -34,16 +44,14 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
 
 Unsupported pieces (text pseudos other than :contains-with-elem_text,
 sibling-of-root :has forms like ``:has(~ p)`` (kernel: never match),
-multi-level descendant inners like ``:has(a b c)``, nth-last-child /
-nth-of-type families — they need sibling counts / per-type indexes the
-node table doesn't carry) raise UnsupportedSelector — callers fall back
-to the kernel path (operators.extract.select_elements_df), which covers
-everything.
+mixed structural :has inners like ``:has(a > b c)``, :matchText)
+raise UnsupportedSelector — callers fall back to the kernel path
+(operators.extract.select_elements_df), which covers everything.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel import selector as S
@@ -139,16 +147,45 @@ def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
             # kernel _elem_index of the #root Document is 0 (no parent)
             pred = pred | (F.col("node_id") == 0)
         return pred
-    if isinstance(ev, S.IsNth) and not ev.last and not ev.of_type:
-        # nth-child(an+b), pos = elem_sibling_index + 1, with the kernel's
-        # document-parent guard; general a: (pos-b)*a >= 0 and a | (pos-b)
+    if isinstance(ev, S.IsNth):
+        # nth-child family (Evaluator.kt:434-500) with the kernel's
+        # document-parent guard.  pos sources:
+        #   nth-child          -> elem_sibling_index + 1
+        #   nth-last-child     -> _sib_count - elem_sibling_index
+        #   nth-of-type        -> _type_pos (running same-tag count)
+        #   nth-last-of-type   -> _type_count - _type_pos + 1
+        # (window columns added by _augment only when the query needs them)
         guard = F.col("parent_id") > 0
-        pos = F.col("elem_sibling_index") + 1
+        if ev.of_type:
+            pos = (F.col("_type_count") - F.col("_type_pos") + 1
+                   if ev.last else F.col("_type_pos"))
+        else:
+            pos = (F.col("_sib_count") - F.col("elem_sibling_index")
+                   if ev.last else F.col("elem_sibling_index") + 1)
         if ev.a == 0:
             return guard & (pos == ev.b)
+        # general a: (pos-b)*a >= 0 and a | (pos-b); remainder-is-zero is
+        # sign-convention-independent, so Spark's Java-style % is safe
         return (guard
                 & ((pos - ev.b) * ev.a >= 0)
                 & ((pos - ev.b) % ev.a == 0))
+    if isinstance(ev, S.IsLastChild):
+        return ((F.col("parent_id") > 0)
+                & (F.col("elem_sibling_index") == F.col("_sib_count") - 1))
+    if isinstance(ev, S.IsOnlyChild):
+        return (F.col("parent_id") > 0) & (F.col("_sib_count") == 1)
+    if isinstance(ev, S.IsOnlyOfType):
+        return (F.col("parent_id") > 0) & (F.col("_type_count") == 1)
+    if isinstance(ev, S.IsRoot):
+        # corpus queries always run with the Document as root, so :root is
+        # html_el(): the FIRST element child of the document row
+        return ((F.col("kind") == ELEMENT_KIND)
+                & (F.col("parent_id") == 0)
+                & (F.col("elem_sibling_index") == 0))
+    if isinstance(ev, S.IsEmpty):
+        # _nonempty joined in by _augment: any ELEMENT/CDATA child, or a
+        # TEXT child with non-whitespace content (kernel IsEmpty)
+        return ~F.coalesce(F.col("_nonempty"), F.lit(False))
     if isinstance(ev, S.Is):
         return _compound_predicate(ev.inner, has_text)
     if isinstance(ev, S.Not):
@@ -185,14 +222,87 @@ def _split_structural(ev, has_text: bool = False):
     return _compound_predicate(ev, has_text), None, []
 
 
+def _scan_needed(ev, out: set) -> set:
+    """Walk the evaluator tree, collecting which derived columns the
+    compiled predicates will reference (so _augment only pays for the
+    windows/joins a query actually uses)."""
+    if isinstance(ev, S.IsNth):
+        if ev.of_type:
+            out.add("type")
+        elif ev.last:
+            out.add("sib_count")
+    elif isinstance(ev, (S.IsOnlyChild, S.IsLastChild)):
+        out.add("sib_count")
+    elif isinstance(ev, S.IsOnlyOfType):
+        out.add("type")
+    elif isinstance(ev, S.IsEmpty):
+        out.add("empty")
+    for attr in ("inner", "evals", "chain"):
+        sub = getattr(ev, attr, None)
+        if isinstance(sub, S.Evaluator):
+            _scan_needed(sub, out)
+        elif isinstance(sub, (list, tuple)):
+            for e in sub:
+                if isinstance(e, S.Evaluator):
+                    _scan_needed(e, out)
+    return out
+
+
+# node kinds with content that disqualifies :empty (dom.py constants)
+_TEXT_KIND = 2
+_CDATA_KIND = 5
+# kernel IsEmpty strips _WS + NBSP from text children
+_NON_WS_RE = "[^ \\t\\n\\r\\f\\u00a0]"
+
+
+def _augment(nodes: DataFrame, needed: set) -> DataFrame:
+    """Attach the derived columns the query's predicates reference.
+
+    sib_count/type are per-(doc, parent[, tag]) window aggregates — one
+    Exchange each, pure JVM, and only siblings co-shuffle (bounded
+    partitions at any corpus size).  empty is a per-parent existence
+    flag joined back from the child rows."""
+    is_elem = F.when(F.col("kind") == ELEMENT_KIND, F.lit(1))
+    if "sib_count" in needed:
+        w = Window.partitionBy("doc_id", "parent_id")
+        nodes = nodes.withColumn("_sib_count", F.count(is_elem).over(w))
+    if "type" in needed:
+        wt = Window.partitionBy("doc_id", "parent_id", "tag")
+        nodes = nodes.withColumn("_type_count", F.count(is_elem).over(wt))
+        wp = wt.orderBy("sibling_index").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        nodes = nodes.withColumn("_type_pos", F.count(is_elem).over(wp))
+    if "empty" in needed:
+        disq = (
+            nodes.filter(
+                (F.col("kind") == ELEMENT_KIND)
+                | (F.col("kind") == _CDATA_KIND)
+                | ((F.col("kind") == _TEXT_KIND)
+                   & F.coalesce(F.col("text"), F.lit("")).rlike(_NON_WS_RE))
+            )
+            .select(F.col("doc_id").alias("_e_doc"),
+                    F.col("parent_id").alias("_e_par"))
+            .distinct()
+            .withColumn("_nonempty", F.lit(True))
+        )
+        nodes = nodes.join(
+            disq,
+            (nodes["doc_id"] == disq["_e_doc"])
+            & (nodes["node_id"] == disq["_e_par"]),
+            "left",
+        ).drop("_e_doc", "_e_par")
+    return nodes
+
+
 def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     """node table + CSS -> DataFrame of matched element rows.
 
-    Catalyst sees only joins/filters — whole-stage codegen end to end.
-    When the table carries elem_text (node_table_df include_elem_text),
-    :contains compiles to a JVM string predicate too.
+    Catalyst sees only joins/filters/windows — whole-stage codegen end to
+    end.  When the table carries elem_text (node_table_df
+    include_elem_text), :contains compiles to a JVM string predicate too.
     """
     ev = S.parse_query(css)
+    nodes = _augment(nodes, _scan_needed(ev, set()))
     return _compile_eval(nodes, ev, "elem_text" in nodes.columns)
 
 
@@ -233,6 +343,153 @@ def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
+def _unroll_ancestor_preds(struct, has_text: bool) -> list:
+    """Nested Ancestor levels -> [pred_level1 (closest to the witness
+    descendant), ..., pred_topmost].  Mixed structural inners (child/
+    sibling combinators inside the descendant chain) raise
+    UnsupportedSelector -> kernel fallback."""
+    _OTHER = (S.ImmediateParentRun, S.ImmediatePrevious, S.PreviousSibling)
+    preds = []
+    cur = struct
+    while cur is not None:
+        inner = cur.inner
+        deeper = None
+        if isinstance(inner, S.And):
+            anc = [e for e in inner.evals if isinstance(e, S.Ancestor)]
+            others = [e for e in inner.evals if not isinstance(e, S.Ancestor)]
+            if len(anc) > 1 or any(isinstance(e, _OTHER) for e in others):
+                raise UnsupportedSelector(":has mixed structural inner")
+            preds.append(_compound_predicate(S.And(others), has_text)
+                         if others else F.lit(True))
+            deeper = anc[0] if anc else None
+        elif isinstance(inner, S.Ancestor):
+            preds.append(F.lit(True))
+            deeper = inner
+        elif isinstance(inner, _OTHER):
+            raise UnsupportedSelector(":has mixed structural inner")
+        else:
+            preds.append(_compound_predicate(inner, has_text))
+        cur = deeper
+    return preds
+
+
+def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
+                        struct, plain, has_text: bool) -> DataFrame:
+    """':has(a b c ...)' — descendant-chain inner of arbitrary depth.
+
+    The kernel evaluates the inner with the SUBJECT as root; each Ancestor
+    walk from a witness stops at (and includes) the subject
+    (StructuralEvaluator.kt:50-99, selector.py Ancestor.matches).  Two
+    relational branches reproduce that exactly:
+
+    - bounded chain: subject <= w_top < ... < w_1 < d <= subject.subtree_end
+      (preorder ids; each w an interval-ancestor of the next).  The topmost
+      witness may BE the subject — including a Document subject, so kind-0
+      rows join the topmost candidate set; the node_id <= w_top pin keeps
+      any document witness at the subject row itself.
+    - subject-is-witness-i (i < top): when an INTERMEDIATE witness equals
+      the subject, the kernel's next walk starts ABOVE the root and the
+      break-at-root test never fires — the outer levels match unbounded
+      ELEMENT ancestors strictly above the subject.  One union branch per
+      intermediate level: subject matches pred_i, the inner levels sit
+      strictly inside its subtree, the outer levels chain above it.
+    """
+    preds = _unroll_ancestor_preds(struct, has_text)
+    d = elems.filter(plain).select(
+        F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
+
+    def _fold_up(base: DataFrame, level_preds) -> DataFrame:
+        # attach, per witness row, the chain of interval-ancestors matching
+        # level_preds (innermost-first); `_cur` tracks the topmost id so far
+        w = base
+        for pred in level_preds:
+            anc = elems.filter(pred).select(
+                F.col("doc_id").alias("_l_doc"),
+                F.col("node_id").alias("_l_id"),
+                F.col("subtree_end").alias("_l_end"))
+            w = (
+                w.join(anc, (w["_w_doc"] == anc["_l_doc"])
+                       & (anc["_l_id"] < w["_cur"])
+                       & (w["_cur"] <= anc["_l_end"]))
+                .select("_w_doc", "_w_d", F.col("_l_id").alias("_cur"))
+            )
+        return w
+
+    base = d.select("_w_doc", "_w_d", F.col("_w_d").alias("_cur"))
+
+    # branch A: fully bounded chain, topmost witness element-or-subject
+    w = _fold_up(base, preds[:-1])
+    top = nodes.filter(
+        ((F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND))
+        & preds[-1]
+    ).select(
+        F.col("doc_id").alias("_a_doc"),
+        F.col("node_id").alias("_w_a"),
+        F.col("subtree_end").alias("_a_end"),
+    )
+    w = w.join(
+        top,
+        (w["_w_doc"] == top["_a_doc"])
+        & (top["_w_a"] < w["_cur"])
+        & (w["_cur"] <= top["_a_end"]),
+    ).select("_w_doc", "_w_a", "_w_d")
+    res = out.join(
+        w,
+        (out["doc_id"] == w["_w_doc"])
+        & (out["node_id"] <= w["_w_a"])
+        & (w["_w_d"] <= out["subtree_end"]),
+        "left_semi",
+    )
+    if len(preds) == 1:
+        return res
+
+    branches = [res]
+    for i in range(1, len(preds)):  # subject is witness level i (1-based)
+        sub = out.filter(preds[i - 1])
+        # inner levels 1..i-1 strictly inside the subject's subtree
+        wi = _fold_up(base, preds[:i - 1])
+        sub = sub.join(
+            wi,
+            (sub["doc_id"] == wi["_w_doc"])
+            & (sub["node_id"] < wi["_cur"])
+            & (wi["_w_d"] <= sub["subtree_end"]),
+            "left_semi",
+        )
+        # outer levels i+1..k: element ancestors strictly above the
+        # subject, chained topmost-down
+        chain = preds[i:]
+        oc = elems.filter(chain[-1]).select(
+            F.col("doc_id").alias("_o_doc"),
+            F.col("node_id").alias("_o_id"),
+            F.col("subtree_end").alias("_o_end"))
+        for pred in reversed(chain[:-1]):
+            nxt = elems.filter(pred).select(
+                F.col("doc_id").alias("_n_doc"),
+                F.col("node_id").alias("_n_id"),
+                F.col("subtree_end").alias("_n_end"))
+            oc = nxt.join(
+                oc,
+                (nxt["_n_doc"] == oc["_o_doc"])
+                & (oc["_o_id"] < nxt["_n_id"])
+                & (nxt["_n_id"] <= oc["_o_end"]),
+            ).select(
+                F.col("_n_doc").alias("_o_doc"),
+                F.col("_n_id").alias("_o_id"),
+                F.col("_n_end").alias("_o_end"))
+        sub = sub.join(
+            oc,
+            (sub["doc_id"] == oc["_o_doc"])
+            & (oc["_o_id"] < sub["node_id"])
+            & (sub["node_id"] <= oc["_o_end"]),
+            "left_semi",
+        )
+        branches.append(sub)
+    merged = branches[0]
+    for b in branches[1:]:
+        merged = merged.unionByName(b)
+    return merged.dropDuplicates(["doc_id", "node_id"])
+
+
 def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                    has_text: bool = False) -> DataFrame:
     """:has(sel) as subtree-interval LEFT-SEMI joins — the reference's Has
@@ -253,8 +510,8 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     - ``p + span`` / ``p ~ span``: sibling-index witness joins (element-only
       sibling index; also subject-independent in the kernel)
 
-    Sibling-of-root forms (':has(~ p)') and multi-level descendant inners
-    (':has(a b c)') raise UnsupportedSelector -> kernel fallback."""
+    Sibling-of-root forms (':has(~ p)') and mixed structural inners
+    (':has(a > b c)') raise UnsupportedSelector -> kernel fallback."""
     plain, struct = _split_inner(has_ev.inner, has_text)
     elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
 
@@ -264,35 +521,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         return _interval_semi(out, w)
 
     if isinstance(struct, S.Ancestor):
-        # inner of the Ancestor must itself be predicate-only: a deeper
-        # structural level (':has(a b c)') would need its own root bound
-        apred = _compound_predicate(struct.inner, has_text)
-        d = elems.filter(plain).select(
-            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
-        # the bounded walk may stop AT the subject, which can be the
-        # Document (#root) row — include kind-0 rows; the node_id <= _w_a
-        # bound below pins any document witness to the subject row itself
-        a = nodes.filter(
-            ((F.col("kind") == ELEMENT_KIND)
-             | (F.col("kind") == DOCUMENT_KIND)) & apred
-        ).select(
-            F.col("doc_id").alias("_a_doc"),
-            F.col("node_id").alias("_w_a"),
-            F.col("subtree_end").alias("_a_end"),
-        )
-        w = d.join(
-            a,
-            (d["_w_doc"] == a["_a_doc"])
-            & (a["_w_a"] < d["_w_d"])
-            & (d["_w_d"] <= a["_a_end"]),
-        ).select("_w_doc", "_w_a", "_w_d")
-        return out.join(
-            w,
-            (out["doc_id"] == w["_w_doc"])
-            & (out["node_id"] <= w["_w_a"])
-            & (w["_w_d"] <= out["subtree_end"]),
-            "left_semi",
-        )
+        return _has_ancestor_chain(nodes, elems, out, struct, plain, has_text)
 
     if isinstance(struct, S.ImmediateParentRun):
         chain = struct.chain

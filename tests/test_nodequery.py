@@ -25,6 +25,24 @@ DOCS = [
            '<div id=o2><section id=s1><div id=i2><p id=w4>d</p></div>'
            '</section></div>'
            '<div id=o3><p id=w5>e</p><em>f</em><span id=w6>g</span></div>'),
+    # same-tag runs, only-children, empties (round 5: counted positional
+    # pseudos + :empty + :root)
+    ("d5", '<div id=m><p>1</p><p>2</p><span>s1</span><p>3</p><em>e</em>'
+           '<span>s2</span></div>'
+           '<div id=only><p id=solo>x</p></div>'
+           '<div id=e1></div><div id=e2> \t\n</div><div id=e3><!--c--></div>'
+           '<div id=e4>&nbsp;</div><p id=e5>text</p>'),
+    # deep descendant chains for multi-level :has inners, incl. the
+    # subject-is-intermediate-witness shape (outer level above the subject)
+    ("d6", '<div id=top><section id=mid><article id=art><p id=deep>t</p>'
+           '</article></section></div>'
+           '<section id=plain><p>u</p></section>'
+           '<div id=solo2><span><b>z</b></span></div>'),
+    # interleaved text/comment siblings: element-sibling-index vs overall
+    # sibling-index must not be conflated by the window arithmetic
+    ("d7", '<div id=ix>head<p>a</p> mid <!--x--><span>b</span><p>c</p>'
+           'tail<span>d</span><!--y--><p>e</p></div>'
+           '<ul id=ux><!--c--><li>1</li>txt<li>2</li><li>3</li> <li>4</li></ul>'),
 ]
 
 QUERIES = [
@@ -90,6 +108,47 @@ QUERIES = [
     "p:is(#p1)",
     "p[*]",
     "span[*]",
+    # counted positional family — compiled via windows since round 5
+    "p:last-child",
+    "li:last-child",
+    "*:last-child",
+    "p:nth-last-child(1)",
+    "li:nth-last-child(2n)",
+    "span:nth-last-child(-n+2)",
+    "p:nth-last-child(odd)",
+    "p:first-of-type",
+    "span:last-of-type",
+    "p:nth-of-type(2)",
+    "p:nth-of-type(2n+1)",
+    "*:nth-of-type(1)",
+    "span:nth-last-of-type(1)",
+    "p:nth-last-of-type(odd)",
+    "p:only-child",
+    "td:only-child",
+    "*:only-child",
+    "em:only-of-type",
+    "p:only-of-type",
+    "div:empty",
+    "*:empty",
+    "div:not(:empty)",
+    ":root",
+    "html:root",
+    "div:root",
+    "div:has(p:only-child)",
+    "div:has(p:last-child)",
+    "div:has(span:first-of-type)",
+    "div > p:nth-last-child(2)",
+    # multi-level :has descendant inners — compiled since round 5
+    "div:has(div section p)",
+    "section:has(div section p)",   # subject IS the intermediate witness
+    "div:has(section article p)",
+    "body:has(div section p)",
+    "*:has(* * *)",
+    "article:has(div section p)",
+    "div:has(div span b)",
+    "span:has(div span b)",         # intermediate witness + outer div above
+    "section:has(* article p)",
+    "div:has(section article p):has(span)",
 ]
 
 
@@ -123,10 +182,15 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # two structural levels inside :has — the second Ancestor would need
-    # its own subject-root bound; kernel fallback
+    # mixed structural inners (child/sibling combinators inside the
+    # descendant chain) stay on the kernel path
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(a b c)")
+        nodequery.compile_selector(nodes, "div:has(a > b c)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(a b + c)")
+    # nested :has inside :has — predicate form can't express it
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(p:has(span))")
     # sibling-of-root :has never matches in the kernel (descendants-only
     # loop); stays on the kernel path
     with pytest.raises(nodequery.UnsupportedSelector):
@@ -150,6 +214,32 @@ def test_compiled_plan_is_jvm_only(spark, nodes):
     plan = nodequery.compile_selector(nodes, "div > p")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_counted_positional_plan_is_jvm_window(spark, nodes):
+    # nth-last/of-type/only/empty ride JVM window aggregates / joins —
+    # never a Python eval node, never a cartesian
+    for css in ("p:last-child", "p:nth-of-type(2)", "p:only-child",
+                "div:empty", "span:nth-last-of-type(1)", ":root"):
+        plan = nodequery.compile_selector(nodes, css) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, css
+        assert "BatchEvalPython" not in plan, css
+        assert "CartesianProduct" not in plan, css
+    # the window is only paid when the query needs it
+    plain = nodequery.compile_selector(nodes, "div > p") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plain
+
+
+def test_multilevel_has_plan_is_jvm_only(spark, nodes):
+    for css in ("div:has(div section p)", "section:has(div section p)"):
+        plan = nodequery.compile_selector(nodes, css) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, css
+        assert "BatchEvalPython" not in plan, css
+        assert "CartesianProduct" not in plan, css
+        assert "LeftSemi" in plan, css
 
 
 def test_has_plan_is_jvm_semi_join(spark, nodes):
