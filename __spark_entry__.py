@@ -510,12 +510,18 @@ def q_src_ranges(spark, sf_dir):
 
 def q_nodequery_compiled(spark, sf_dir):
     """CSS compiled to Catalyst plan over the node table (no Python in the
-    query itself — only the parse kernel that builds the table)."""
+    query itself — only the parse kernel that builds the table).  Round 5:
+    the selector also exercises the counted positional family —
+    :nth-last-child rides a per-(doc, parent) element-count window
+    (operators/nodequery.py _augment), so the per-doc count is the words
+    with index%3==1 whose position-from-end is ≡1 (mod 3), predictable in
+    pure SQL over the word list."""
     from ksoup_spark.operators import nodequery
 
     d = _docs(spark, sf_dir)
     nodes = extract.node_table_df(d.select("doc_id", _span_class_html().alias("html")))
-    matched = nodequery.compile_selector(nodes, "div > span.w1")
+    matched = nodequery.compile_selector(
+        nodes, "div > span.w1:nth-last-child(3n+1)")
     return matched.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_matched")
     )
@@ -1026,11 +1032,13 @@ def oracle_sql() -> dict[str, str]:
         "nodequery_compiled": """
             SELECT doc_id,
                    CAST(len(list_filter(string_split(text, ' '),
-                                        (w, i) -> (i-1) % 3 = 1)) AS INT)
-                     AS n_matched
+                                        (w, i) -> (i-1) % 3 = 1
+                                          AND (len(string_split(text, ' ')) - i) % 3 = 0))
+                     AS INT) AS n_matched
             FROM documents
             WHERE len(list_filter(string_split(text, ' '),
-                                  (w, i) -> (i-1) % 3 = 1)) > 0
+                                  (w, i) -> (i-1) % 3 = 1
+                                    AND (len(string_split(text, ' ')) - i) % 3 = 0)) > 0
         """,
         "select_elements": """
             SELECT doc_id,
