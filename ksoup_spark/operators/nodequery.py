@@ -621,35 +621,40 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
             .dropDuplicates(["doc_id", "node_id"])
         )
     if isinstance(ev, S.ImmediateParentRun):
-        # chain outermost-first; subject matches the last entry
-        out = subject
+        # chain outermost-first; subject matches the last entry.  `_up`
+        # walks the ancestor ids one level per join (the subject's parent,
+        # then ITS parent, ...) — each level must match the corresponding
+        # chain entry, not the subject's own parent again
+        out = subject.withColumn("_up", F.col("parent_id"))
         chain = ev.chain
         for parent_ev in reversed(chain[:-1]):
             if isinstance(parent_ev, S.Root):
                 raise UnsupportedSelector("root-anchored child run")
             par = _compile_eval(nodes, parent_ev, has_text).select(
-                "doc_id", F.col("node_id").alias("_p_id")
+                F.col("doc_id").alias("_p_doc"),
+                F.col("node_id").alias("_p_id"),
+                F.col("parent_id").alias("_p_up"),
             )
             out = (
                 out.join(
                     par,
-                    (out["doc_id"] == par["doc_id"])
-                    & (out["parent_id"] == par["_p_id"]),
+                    (out["doc_id"] == par["_p_doc"])
+                    & (out["_up"] == par["_p_id"]),
                 )
-                .drop(par["doc_id"])
-                .drop("_p_id")
+                .drop("_p_doc", "_p_id", "_up")
+                .withColumnRenamed("_p_up", "_up")
             )
         # subject predicate: the final chain entry
-        out = out.filter(_compound_predicate(chain[-1], has_text))
+        out = out.drop("_up").filter(_compound_predicate(chain[-1], has_text))
         return out.dropDuplicates(["doc_id", "node_id"])
     if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
         prev = _compile_eval(nodes, ev.inner, has_text).select(
-            "doc_id",
+            F.col("doc_id").alias("_s_doc"),
             F.col("parent_id").alias("_sp"),
             F.col("elem_sibling_index").alias("_si"),
         )
         cond = (
-            (subject["doc_id"] == prev["doc_id"])
+            (subject["doc_id"] == prev["_s_doc"])
             & (subject["parent_id"] == prev["_sp"])
         )
         if isinstance(ev, S.ImmediatePrevious):
@@ -658,8 +663,7 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
             cond = cond & (subject["elem_sibling_index"] > prev["_si"])
         return (
             subject.join(prev, cond)
-            .drop(prev["doc_id"])
-            .drop("_sp", "_si")
+            .drop("_s_doc", "_sp", "_si")
             .dropDuplicates(["doc_id", "node_id"])
         )
     raise UnsupportedSelector(type(structural).__name__)

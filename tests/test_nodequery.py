@@ -74,6 +74,13 @@ QUERIES = [
     "*:nth-child(2n+1)",
     "p, span",
     "ul > li.x",
+    # 3+-level child chains: each join level must walk UP one ancestor
+    # (a 2-level chain can't catch conflating parent with grandparent)
+    "div > div > p",
+    "div > section > div > p",
+    "body > div > p",
+    "#o2 > section > div",
+    "div > div > p:only-child",
     # :has / :not / :is — compiled since round 4
     "div:has(p)",
     "div:has(.x)",
