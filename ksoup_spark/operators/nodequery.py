@@ -42,11 +42,17 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   subject's node_id
 - ``:has(p + span)`` / ``:has(p ~ span)`` -> sibling-index witness join
 
-Unsupported pieces (text pseudos other than :contains-with-elem_text,
-sibling-of-root :has forms like ``:has(~ p)`` (kernel: never match),
-mixed structural :has inners like ``:has(a > b c)``, :matchText)
-raise UnsupportedSelector — callers fall back to the kernel path
-(operators.extract.select_elements_df), which covers everything.
+With the opt-in elem_text column, :contains(...) compiles to a JVM
+substring predicate and :matches(regex) to rlike (Java-regex find — the
+reference's own dialect); :not(:has(sel)) compiles to an ANTI join on
+the :has witness keys.
+
+Unsupported pieces (own/whole-text pseudos — the node table carries
+only element text, sibling-of-root :has forms like ``:has(~ p)``
+(kernel: never match), mixed structural :has inners like
+``:has(a > b c)``, :matchText) raise UnsupportedSelector — callers
+fall back to the kernel path (operators.extract.select_elements_df),
+which covers everything.
 """
 
 from __future__ import annotations
@@ -86,6 +92,15 @@ def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
                 "node_table_df(include_elem_text=True))")
         return F.lower(F.coalesce(F.col("elem_text"), F.lit(""))).contains(
             ev.text)
+    if isinstance(ev, S.Matches):
+        # kernel: re.search over the normalized element text.  rlike is
+        # Java-regex find() — the same dialect the reference itself uses
+        # (and the same trade AttrValueMatching already makes below)
+        if not has_text:
+            raise UnsupportedSelector(
+                "Matches (node table lacks elem_text — build it with "
+                "node_table_df(include_elem_text=True))")
+        return F.coalesce(F.col("elem_text"), F.lit("")).rlike(ev.re.pattern)
     if isinstance(ev, S.AllElements):
         return F.lit(True)
     if isinstance(ev, S.Tag):
@@ -197,8 +212,8 @@ def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
 
 
 def _split_structural(ev, has_text: bool = False):
-    """Decompose And(compound..., structural, :has...) ->
-    (compound pred, structural, has_evals)."""
+    """Decompose And(compound..., structural, :has/:not(:has)...) ->
+    (compound pred, structural, [(has_ev, negated), ...])."""
     _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
                S.PreviousSibling)
     if isinstance(ev, S.And):
@@ -207,7 +222,9 @@ def _split_structural(ev, has_text: bool = False):
             if isinstance(e, _STRUCT):
                 structural.append(e)
             elif isinstance(e, S.Has):
-                has_evals.append(e)
+                has_evals.append((e, False))
+            elif isinstance(e, S.Not) and isinstance(e.inner, S.Has):
+                has_evals.append((e.inner, True))
             else:
                 plain.append(e)
         if len(structural) > 1:
@@ -218,7 +235,9 @@ def _split_structural(ev, has_text: bool = False):
     if isinstance(ev, _STRUCT):
         return F.lit(True), ev, []
     if isinstance(ev, S.Has):
-        return F.lit(True), None, [ev]
+        return F.lit(True), None, [(ev, False)]
+    if isinstance(ev, S.Not) and isinstance(ev.inner, S.Has):
+        return F.lit(True), None, [(ev.inner, True)]
     return _compound_predicate(ev, has_text), None, []
 
 
@@ -490,6 +509,23 @@ def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
     return merged.dropDuplicates(["doc_id", "node_id"])
 
 
+def _apply_has(nodes: DataFrame, out: DataFrame, has_ev,
+               has_text: bool, negate: bool) -> DataFrame:
+    """:has(sel) (semi) or :not(:has(sel)) (anti).  The anti form keeps
+    subject rows with NO witness: compute the semi result's keys and
+    anti-join them — correct for every inner shape, including the
+    union-branch ancestor chains."""
+    if not negate:
+        return _has_semi_join(nodes, out, has_ev, has_text)
+    pos = _has_semi_join(nodes, out, has_ev, has_text).select(
+        F.col("doc_id").alias("_x_doc"), F.col("node_id").alias("_x_id"))
+    return out.join(
+        pos,
+        (out["doc_id"] == pos["_x_doc"]) & (out["node_id"] == pos["_x_id"]),
+        "left_anti",
+    )
+
+
 def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                    has_text: bool = False) -> DataFrame:
     """:has(sel) as subtree-interval LEFT-SEMI joins — the reference's Has
@@ -599,14 +635,14 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
     subject = elements.filter(pred)
     if structural is None:
         out = subject
-        for h in has_evals:
-            out = _has_semi_join(nodes, out, h, has_text)
+        for h, neg in has_evals:
+            out = _apply_has(nodes, out, h, has_text, neg)
         return out
     if has_evals:
-        # apply :has to the subject side first (left-semi keeps columns),
+        # apply :has to the subject side first (semi/anti keeps columns),
         # then the structural join below proceeds unchanged
-        for h in has_evals:
-            subject = _has_semi_join(nodes, subject, h, has_text)
+        for h, neg in has_evals:
+            subject = _apply_has(nodes, subject, h, has_text, neg)
     if isinstance(ev := structural, S.Ancestor):
         anc = _compile_eval(nodes, ev.inner, has_text).select(
             "doc_id",

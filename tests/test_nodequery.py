@@ -268,6 +268,23 @@ CONTAINS_QUERIES = [
     "div:contains(one) > p",
     "li:not(:contains(2))",
     "p:contains(the title), span",
+    # :matches over elem_text (rlike) — compiled since round 5
+    "p:matches(^one$)",
+    "p:matches((?i)ONE)",
+    "p:matches(\\w+)",
+    "div:matches(one two)",
+    "li:matches([0-9])",
+    "div:has(p:matches(thr))",
+    "p:not(:matches(e))",
+    # :not(:has(sel)) — anti-join on the witness keys (round 5)
+    "div:not(:has(p))",
+    "div:not(:has(span))",
+    "*:not(:has(p))",
+    "div:not(:has(div p))",
+    "section:not(:has(> p))",
+    "div:not(:has(p)) > p",
+    "ul:not(:has(li + li))",
+    "div:not(:has(p)):has(span)",
 ]
 
 
