@@ -235,14 +235,23 @@ class Doc:
 
     # -- freeze to columnar table --------------------------------------------
 
-    def to_table(self, include_elem_text: bool = False) -> dict[str, list]:
+    def to_table(self, include_elem_text: bool = False,
+                 text_columns: tuple = ()) -> dict[str, list]:
         """Preorder SoA node table (SURVEY.md §1.2 schema).
 
         include_elem_text adds a normalized element-text column (document
         and element rows only) so corpus-side plans can evaluate text
         pseudos (:contains) as JVM string predicates. Opt-in: it stores
         each text fragment once per ancestor, so at corpus scale request
-        it only when the query needs it."""
+        it only when the query needs it.
+
+        text_columns generalizes this to the other per-element text views
+        the selector pseudos read — any of "text" (elem_text), "own"
+        (elem_own_text), "whole" (elem_whole_text), "whole_own"
+        (elem_whole_own_text), "data" (elem_data)."""
+        if include_elem_text:
+            text_columns = ("text",) + tuple(
+                k for k in text_columns if k != "text")
         kind = self.kind
         children = self.children
         ctab = _c_to_table_ints()
@@ -264,14 +273,7 @@ class Doc:
                 "text": [self.text[o] for o in order],
                 "attrs": [self.attrs[o] for o in order],
             }
-            if include_elem_text:
-                from .textops import element_text  # local: module cycle
-
-                out["elem_text"] = [
-                    element_text(self, o) if kind[o] in (DOCUMENT, ELEMENT)
-                    else None
-                    for o in order
-                ]
+            self._append_text_columns(out, order, text_columns)
             return out
         # inline preorder walk (generator + tuple per node is the hot cost)
         order: list[int] = []
@@ -340,15 +342,29 @@ class Doc:
             dstack.append(new_id)
         while dstack:
             send[dstack.pop()] = n_nodes - 1
-        if include_elem_text:
-            from .textops import element_text  # local: avoids module cycle
+        self._append_text_columns(out, order, text_columns)
+        return out
 
-            out["elem_text"] = [
-                element_text(self, o) if kind[o] in (DOCUMENT, ELEMENT)
-                else None
+    def _append_text_columns(self, out: dict, order: list,
+                             text_columns: tuple) -> None:
+        if not text_columns:
+            return
+        # local import: avoids a module cycle with textops
+        from .textops import (element_text, own_text, whole_text,
+                              whole_own_text, data_text)
+
+        fns = {"text": ("elem_text", element_text),
+               "own": ("elem_own_text", own_text),
+               "whole": ("elem_whole_text", whole_text),
+               "whole_own": ("elem_whole_own_text", whole_own_text),
+               "data": ("elem_data", data_text)}
+        kind = self.kind
+        for key in text_columns:
+            name, fn = fns[key]
+            out[name] = [
+                fn(self, o) if kind[o] in (DOCUMENT, ELEMENT) else None
                 for o in order
             ]
-        return out
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,8 @@ import re
 
 from . import dom
 from .dom import Doc
-from .textops import element_text, normalise_whitespace, own_text, whole_text, data_text
+from .textops import (element_text, normalise_whitespace, own_text,
+                      whole_text, whole_own_text, data_text)
 
 _WS = " \t\n\r\f"
 _COMBINATORS = ">+~,"
@@ -621,14 +622,7 @@ class ContainsWholeOwnText(Evaluator):
         self.text = _unquote(text)
 
     def matches(self, ctx, el):
-        doc = ctx.doc
-        parts = []
-        for c in doc.children[el]:
-            if doc.kind[c] in (dom.TEXT, dom.CDATA):
-                parts.append(doc.text[c] or "")
-            elif doc.kind[c] == dom.ELEMENT and doc.tag[c] == "br":
-                parts.append("\n")
-        return self.text in "".join(parts)
+        return self.text in whole_own_text(ctx.doc, el)
 
 
 class ContainsData(Evaluator):
@@ -678,14 +672,7 @@ class MatchesWholeOwnText(Evaluator):
         self.re = _compile_re(pattern)
 
     def matches(self, ctx, el):
-        doc = ctx.doc
-        parts = []
-        for c in doc.children[el]:
-            if doc.kind[c] in (dom.TEXT, dom.CDATA):
-                parts.append(doc.text[c] or "")
-            elif doc.kind[c] == dom.ELEMENT and doc.tag[c] == "br":
-                parts.append("\n")
-        return self.re.search("".join(parts)) is not None
+        return self.re.search(whole_own_text(ctx.doc, el)) is not None
 
 
 class MatchText(Evaluator):

@@ -288,6 +288,19 @@ def own_text(doc: Doc, root: int) -> str:
     return accum.value().strip(_TRIM)
 
 
+def whole_own_text(doc: Doc, root: int) -> str:
+    """Element.wholeOwnText(): direct TEXT/CDATA children verbatim, <br>
+    contributing a newline (Element.kt wholeOwnText; no normalization)."""
+    parts: list[str] = []
+    for c in doc.children[root]:
+        k = doc.kind[c]
+        if k in (dom.TEXT, dom.CDATA):
+            parts.append(doc.text[c] or "")
+        elif k == dom.ELEMENT and doc.tag[c] == "br":
+            parts.append("\n")
+    return "".join(parts)
+
+
 def data_text(doc: Doc, root: int) -> str:
     """Element.data(): concat of data/comment/cdata payloads (Element.kt:1463-1483)."""
     out: list[str] = []

@@ -186,26 +186,40 @@ def extract_spans_from_html_df(docs: DataFrame, html_col: str = "html",
     return docs.mapInArrow(kernel, SPANS_SCHEMA)
 
 
+_TEXT_COLUMN_NAMES = {"text": "elem_text", "own": "elem_own_text",
+                      "whole": "elem_whole_text",
+                      "whole_own": "elem_whole_own_text",
+                      "data": "elem_data"}
+
+
 def node_table_df(docs: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id",
-                  include_elem_text: bool = False) -> DataFrame:
+                  include_elem_text: bool = False,
+                  text_columns: tuple = ()) -> DataFrame:
     """(doc_id, html) -> exploded node table (SURVEY.md §1.2): one row per
     DOM node with preorder ids, int parent/child/sibling indices, and a
     subtree interval enabling descendant joins
     (ancestor iff anc.node_id < d.node_id <= anc.subtree_end).
 
     include_elem_text adds a normalized per-element ``elem_text`` column so
-    nodequery can compile :contains as a JVM string predicate. Opt-in:
-    each text fragment is stored once per ancestor element, so at corpus
-    scale request it only for query sets that need text pseudos."""
+    nodequery can compile :contains/:matches as JVM string predicates.
+    text_columns generalizes it to the other per-element text views the
+    text pseudos read: any of "text", "own" (elem_own_text), "whole"
+    (elem_whole_text), "whole_own" (elem_whole_own_text), "data"
+    (elem_data). Opt-in: each text fragment is stored once per ancestor
+    element, so at corpus scale request only what the query set needs."""
     docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        F.col(html_col).alias("html"))
-    schema = NODE_TABLE_TEXT_SCHEMA if include_elem_text else NODE_TABLE_SCHEMA
+    tcols = tuple(dict.fromkeys(
+        (("text",) if include_elem_text else ()) + tuple(text_columns)))
+    text_names = tuple(_TEXT_COLUMN_NAMES[k] for k in tcols)
+    schema = StructType(
+        NODE_TABLE_SCHEMA.fields
+        + [StructField(n, StringType()) for n in text_names])
     copy_keys = ("node_id", "parent_id", "depth", "kind", "tag",
                  "ns", "sibling_index", "elem_sibling_index",
                  "first_child", "next_sibling", "subtree_end", "text")
-    if include_elem_text:
-        copy_keys = copy_keys + ("elem_text",)
+    copy_keys = copy_keys + text_names
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -213,7 +227,7 @@ def node_table_df(docs: DataFrame, html_col: str = "html",
             htmls = batch.column(1).to_pylist()
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
             for did, h in zip(ids, htmls):
-                t = _parse(h or "").to_table(include_elem_text=include_elem_text)
+                t = _parse(h or "").to_table(text_columns=tcols)
                 n = len(t["node_id"])
                 cols["doc_id"].extend([did] * n)
                 for key in copy_keys:
@@ -235,8 +249,8 @@ def node_table_df(docs: DataFrame, html_col: str = "html",
                 pa.array(cols["text"], type=pa.string()),
                 pa.array(cols["attrs"], type=pa.map_(pa.string(), pa.string())),
             ]
-            if include_elem_text:
-                arrays.append(pa.array(cols["elem_text"], type=pa.string()))
+            for n_ in text_names:
+                arrays.append(pa.array(cols[n_], type=pa.string()))
             yield pa.RecordBatch.from_arrays(
                 arrays, names=[f.name for f in schema.fields])
 

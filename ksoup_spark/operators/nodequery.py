@@ -42,13 +42,15 @@ JVM-side with Catalyst doing predicate pushdown/join planning:
   subject's node_id
 - ``:has(p + span)`` / ``:has(p ~ span)`` -> sibling-index witness join
 
-With the opt-in elem_text column, :contains(...) compiles to a JVM
-substring predicate and :matches(regex) to rlike (Java-regex find — the
-reference's own dialect); :not(:has(sel)) compiles to an ANTI join on
-the :has witness keys.
+With the opt-in text-view columns (node_table_df(text_columns=...)),
+every text pseudo compiles: :contains/:containsOwn/:containsData (and
+whole-text variants) as JVM substring predicates over the matching view
+(elem_text / elem_own_text / elem_whole_text / elem_whole_own_text /
+elem_data), :matches* as rlike (Java-regex find — the reference's own
+dialect); :not(:has(sel)) compiles to an ANTI join on the :has witness
+keys.
 
-Unsupported pieces (own/whole-text pseudos — the node table carries
-only element text, sibling-of-root :has forms like ``:has(~ p)``
+Unsupported pieces (sibling-of-root :has forms like ``:has(~ p)``
 (kernel: never match), mixed structural :has inners like
 ``:has(a > b c)``, :matchText) raise UnsupportedSelector — callers
 fall back to the kernel path (operators.extract.select_elements_df),
@@ -70,37 +72,52 @@ class UnsupportedSelector(ValueError):
     pass
 
 
-def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
+# text pseudo -> (required text-view column, lowercase compare, is regex).
+# Columns are opt-in via node_table_df(text_columns=...); a query whose
+# table lacks the view falls back to the kernel path.
+_TEXT_PSEUDOS = {
+    S.ContainsText: ("elem_text", True, False),
+    S.ContainsOwnText: ("elem_own_text", True, False),
+    S.ContainsWholeText: ("elem_whole_text", False, False),
+    S.ContainsWholeOwnText: ("elem_whole_own_text", False, False),
+    S.ContainsData: ("elem_data", True, False),
+    S.Matches: ("elem_text", False, True),
+    S.MatchesOwn: ("elem_own_text", False, True),
+    S.MatchesWholeText: ("elem_whole_text", False, True),
+    S.MatchesWholeOwnText: ("elem_whole_own_text", False, True),
+}
+
+
+def _compound_predicate(ev, text_cols: frozenset = frozenset()) -> "F.Column":
     """Column predicate for a non-structural evaluator."""
     if isinstance(ev, S.And):
         pred = F.lit(True)
         for e in ev.evals:
-            pred = pred & _compound_predicate(e, has_text)
+            pred = pred & _compound_predicate(e, text_cols)
         return pred
     if isinstance(ev, S.Or):
         pred = F.lit(False)
         for e in ev.evals:
-            pred = pred | _compound_predicate(e, has_text)
+            pred = pred | _compound_predicate(e, text_cols)
         return pred
-    if isinstance(ev, S.ContainsText):
-        # ev.text is pre-normalized+lowered (Evaluator ctor); elem_text is
-        # the kernel's normalized element text, so this is exactly the
-        # kernel's `self.text in ctx.text(el).lower()`
-        if not has_text:
-            raise UnsupportedSelector(
-                "ContainsText (node table lacks elem_text — build it with "
-                "node_table_df(include_elem_text=True))")
-        return F.lower(F.coalesce(F.col("elem_text"), F.lit(""))).contains(
-            ev.text)
-    if isinstance(ev, S.Matches):
-        # kernel: re.search over the normalized element text.  rlike is
-        # Java-regex find() — the same dialect the reference itself uses
+    if type(ev) in _TEXT_PSEUDOS:
+        # text pseudos over the opt-in per-element text view columns.
+        # :contains* args are pre-normalized (+lowered where the kernel
+        # lowers) in the Evaluator ctor; the columns hold the kernel's own
+        # text views, so substring tests are exact.  :matches* ride rlike —
+        # Java-regex find(), the same dialect the reference itself uses
         # (and the same trade AttrValueMatching already makes below)
-        if not has_text:
+        name, lowered, pattern = _TEXT_PSEUDOS[type(ev)]
+        if name not in text_cols:
             raise UnsupportedSelector(
-                "Matches (node table lacks elem_text — build it with "
-                "node_table_df(include_elem_text=True))")
-        return F.coalesce(F.col("elem_text"), F.lit("")).rlike(ev.re.pattern)
+                f"{type(ev).__name__} (node table lacks {name} — request it "
+                "via node_table_df(text_columns=...))")
+        col = F.coalesce(F.col(name), F.lit(""))
+        if pattern:
+            return col.rlike(ev.re.pattern)
+        if lowered:
+            col = F.lower(col)
+        return col.contains(ev.text)
     if isinstance(ev, S.AllElements):
         return F.lit(True)
     if isinstance(ev, S.Tag):
@@ -202,16 +219,16 @@ def _compound_predicate(ev, has_text: bool = False) -> "F.Column":
         # TEXT child with non-whitespace content (kernel IsEmpty)
         return ~F.coalesce(F.col("_nonempty"), F.lit(False))
     if isinstance(ev, S.Is):
-        return _compound_predicate(ev.inner, has_text)
+        return _compound_predicate(ev.inner, text_cols)
     if isinstance(ev, S.Not):
         # null-safe negation: a NULL inner predicate (missing attr/map)
         # means "didn't match", so :not() must keep the row — Spark's
         # three-valued ~NULL would silently drop it
-        return ~F.coalesce(_compound_predicate(ev.inner, has_text), F.lit(False))
+        return ~F.coalesce(_compound_predicate(ev.inner, text_cols), F.lit(False))
     raise UnsupportedSelector(type(ev).__name__)
 
 
-def _split_structural(ev, has_text: bool = False):
+def _split_structural(ev, text_cols: frozenset = frozenset()):
     """Decompose And(compound..., structural, :has/:not(:has)...) ->
     (compound pred, structural, [(has_ev, negated), ...])."""
     _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
@@ -229,7 +246,7 @@ def _split_structural(ev, has_text: bool = False):
                 plain.append(e)
         if len(structural) > 1:
             raise UnsupportedSelector("multiple structural conjuncts")
-        pred = (_compound_predicate(S.And(plain), has_text)
+        pred = (_compound_predicate(S.And(plain), text_cols)
                 if plain else F.lit(True))
         return pred, (structural[0] if structural else None), has_evals
     if isinstance(ev, _STRUCT):
@@ -238,7 +255,7 @@ def _split_structural(ev, has_text: bool = False):
         return F.lit(True), None, [(ev, False)]
     if isinstance(ev, S.Not) and isinstance(ev.inner, S.Has):
         return F.lit(True), None, [(ev.inner, True)]
-    return _compound_predicate(ev, has_text), None, []
+    return _compound_predicate(ev, text_cols), None, []
 
 
 def _scan_needed(ev, out: set) -> set:
@@ -317,15 +334,20 @@ def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     """node table + CSS -> DataFrame of matched element rows.
 
     Catalyst sees only joins/filters/windows — whole-stage codegen end to
-    end.  When the table carries elem_text (node_table_df
-    include_elem_text), :contains compiles to a JVM string predicate too.
+    end.  When the table carries text-view columns (node_table_df
+    text_columns / include_elem_text), the text pseudos compile to JVM
+    string/regex predicates too.
     """
     ev = S.parse_query(css)
     nodes = _augment(nodes, _scan_needed(ev, set()))
-    return _compile_eval(nodes, ev, "elem_text" in nodes.columns)
+    avail = frozenset(
+        c for c in ("elem_text", "elem_own_text", "elem_whole_text",
+                    "elem_whole_own_text", "elem_data")
+        if c in nodes.columns)
+    return _compile_eval(nodes, ev, avail)
 
 
-def _split_inner(inner, has_text: bool = False):
+def _split_inner(inner, text_cols: frozenset = frozenset()):
     """Decompose a :has inner evaluator into (plain predicate, structural).
 
     Raises UnsupportedSelector for shapes the relational form can't
@@ -341,12 +363,12 @@ def _split_inner(inner, has_text: bool = False):
                 plain.append(e)
         if len(structural) > 1:
             raise UnsupportedSelector(":has with multiple structural conjuncts")
-        pred = (_compound_predicate(S.And(plain), has_text)
+        pred = (_compound_predicate(S.And(plain), text_cols)
                 if plain else F.lit(True))
         return pred, (structural[0] if structural else None)
     if isinstance(inner, _STRUCT):
         return F.lit(True), inner
-    return _compound_predicate(inner, has_text), None
+    return _compound_predicate(inner, text_cols), None
 
 
 def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
@@ -362,7 +384,7 @@ def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
-def _unroll_ancestor_preds(struct, has_text: bool) -> list:
+def _unroll_ancestor_preds(struct, text_cols: frozenset) -> list:
     """Nested Ancestor levels -> [pred_level1 (closest to the witness
     descendant), ..., pred_topmost].  Mixed structural inners (child/
     sibling combinators inside the descendant chain) raise
@@ -378,7 +400,7 @@ def _unroll_ancestor_preds(struct, has_text: bool) -> list:
             others = [e for e in inner.evals if not isinstance(e, S.Ancestor)]
             if len(anc) > 1 or any(isinstance(e, _OTHER) for e in others):
                 raise UnsupportedSelector(":has mixed structural inner")
-            preds.append(_compound_predicate(S.And(others), has_text)
+            preds.append(_compound_predicate(S.And(others), text_cols)
                          if others else F.lit(True))
             deeper = anc[0] if anc else None
         elif isinstance(inner, S.Ancestor):
@@ -387,13 +409,13 @@ def _unroll_ancestor_preds(struct, has_text: bool) -> list:
         elif isinstance(inner, _OTHER):
             raise UnsupportedSelector(":has mixed structural inner")
         else:
-            preds.append(_compound_predicate(inner, has_text))
+            preds.append(_compound_predicate(inner, text_cols))
         cur = deeper
     return preds
 
 
 def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
-                        struct, plain, has_text: bool) -> DataFrame:
+                        struct, plain, text_cols: frozenset) -> DataFrame:
     """':has(a b c ...)' — descendant-chain inner of arbitrary depth.
 
     The kernel evaluates the inner with the SUBJECT as root; each Ancestor
@@ -413,7 +435,7 @@ def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
       intermediate level: subject matches pred_i, the inner levels sit
       strictly inside its subtree, the outer levels chain above it.
     """
-    preds = _unroll_ancestor_preds(struct, has_text)
+    preds = _unroll_ancestor_preds(struct, text_cols)
     d = elems.filter(plain).select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
 
@@ -510,14 +532,14 @@ def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
 
 
 def _apply_has(nodes: DataFrame, out: DataFrame, has_ev,
-               has_text: bool, negate: bool) -> DataFrame:
+               text_cols: frozenset, negate: bool) -> DataFrame:
     """:has(sel) (semi) or :not(:has(sel)) (anti).  The anti form keeps
     subject rows with NO witness: compute the semi result's keys and
     anti-join them — correct for every inner shape, including the
     union-branch ancestor chains."""
     if not negate:
-        return _has_semi_join(nodes, out, has_ev, has_text)
-    pos = _has_semi_join(nodes, out, has_ev, has_text).select(
+        return _has_semi_join(nodes, out, has_ev, text_cols)
+    pos = _has_semi_join(nodes, out, has_ev, text_cols).select(
         F.col("doc_id").alias("_x_doc"), F.col("node_id").alias("_x_id"))
     return out.join(
         pos,
@@ -527,7 +549,7 @@ def _apply_has(nodes: DataFrame, out: DataFrame, has_ev,
 
 
 def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
-                   has_text: bool = False) -> DataFrame:
+                   text_cols: frozenset = frozenset()) -> DataFrame:
     """:has(sel) as subtree-interval LEFT-SEMI joins — the reference's Has
     semantics (select/StructuralEvaluator.kt:50-99) relationally, staying
     pure-JVM for corpus-wide node-table queries.
@@ -548,7 +570,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
 
     Sibling-of-root forms (':has(~ p)') and mixed structural inners
     (':has(a > b c)') raise UnsupportedSelector -> kernel fallback."""
-    plain, struct = _split_inner(has_ev.inner, has_text)
+    plain, struct = _split_inner(has_ev.inner, text_cols)
     elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
 
     if struct is None:
@@ -557,7 +579,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         return _interval_semi(out, w)
 
     if isinstance(struct, S.Ancestor):
-        return _has_ancestor_chain(nodes, elems, out, struct, plain, has_text)
+        return _has_ancestor_chain(nodes, elems, out, struct, plain, text_cols)
 
     if isinstance(struct, S.ImmediateParentRun):
         chain = struct.chain
@@ -565,14 +587,14 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         entries = list(chain[1:]) if rooted else list(chain)
         if not entries or any(isinstance(e, S.Root) for e in entries):
             raise UnsupportedSelector(":has chain shape")
-        dpred = _compound_predicate(entries[-1], has_text) & plain
+        dpred = _compound_predicate(entries[-1], text_cols) & plain
         w = elems.filter(dpred).select(
             F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
             F.col("parent_id").alias("_w_up"))
         for e in reversed(entries[:-1]):
             # parents filter to kind==ELEMENT: the kernel walk fails on
             # reaching the document for non-Root entries
-            par = elems.filter(_compound_predicate(e, has_text)).select(
+            par = elems.filter(_compound_predicate(e, text_cols)).select(
                 F.col("doc_id").alias("_p_doc"),
                 F.col("node_id").alias("_p_id"),
                 F.col("parent_id").alias("_p_up"))
@@ -598,7 +620,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         # and a sibling of the subject is never a descendant — the kernel
         # never matches these; keep them on the (equally empty) kernel path
         raise UnsupportedSelector(":has sibling-of-root")
-    xpred = _compound_predicate(struct.inner, has_text)
+    xpred = _compound_predicate(struct.inner, text_cols)
     d = elems.filter(plain).select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
         F.col("parent_id").alias("_d_par"),
@@ -619,7 +641,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     return _interval_semi(out, w)
 
 
-def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
+def _compile_eval(nodes: DataFrame, ev, text_cols: frozenset = frozenset()) -> DataFrame:
     # document rows participate as #root elements (kernel select() parity:
     # the reference's Document extends Element, so tagless predicates match
     # it — SelectorTest.testAllElements counts select("*") = elements + 1)
@@ -628,23 +650,23 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
     if isinstance(ev, S.Or):
         out = None
         for sub in ev.evals:
-            part = _compile_eval(nodes, sub, has_text)
+            part = _compile_eval(nodes, sub, text_cols)
             out = part if out is None else out.unionByName(part)
         return out.dropDuplicates(["doc_id", "node_id"])
-    pred, structural, has_evals = _split_structural(ev, has_text)
+    pred, structural, has_evals = _split_structural(ev, text_cols)
     subject = elements.filter(pred)
     if structural is None:
         out = subject
         for h, neg in has_evals:
-            out = _apply_has(nodes, out, h, has_text, neg)
+            out = _apply_has(nodes, out, h, text_cols, neg)
         return out
     if has_evals:
         # apply :has to the subject side first (semi/anti keeps columns),
         # then the structural join below proceeds unchanged
         for h, neg in has_evals:
-            subject = _apply_has(nodes, subject, h, has_text, neg)
+            subject = _apply_has(nodes, subject, h, text_cols, neg)
     if isinstance(ev := structural, S.Ancestor):
-        anc = _compile_eval(nodes, ev.inner, has_text).select(
+        anc = _compile_eval(nodes, ev.inner, text_cols).select(
             "doc_id",
             F.col("node_id").alias("_anc_id"),
             F.col("subtree_end").alias("_anc_end"),
@@ -666,7 +688,7 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
         for parent_ev in reversed(chain[:-1]):
             if isinstance(parent_ev, S.Root):
                 raise UnsupportedSelector("root-anchored child run")
-            par = _compile_eval(nodes, parent_ev, has_text).select(
+            par = _compile_eval(nodes, parent_ev, text_cols).select(
                 F.col("doc_id").alias("_p_doc"),
                 F.col("node_id").alias("_p_id"),
                 F.col("parent_id").alias("_p_up"),
@@ -681,10 +703,10 @@ def _compile_eval(nodes: DataFrame, ev, has_text: bool = False) -> DataFrame:
                 .withColumnRenamed("_p_up", "_up")
             )
         # subject predicate: the final chain entry
-        out = out.drop("_up").filter(_compound_predicate(chain[-1], has_text))
+        out = out.drop("_up").filter(_compound_predicate(chain[-1], text_cols))
         return out.dropDuplicates(["doc_id", "node_id"])
     if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
-        prev = _compile_eval(nodes, ev.inner, has_text).select(
+        prev = _compile_eval(nodes, ev.inner, text_cols).select(
             F.col("doc_id").alias("_s_doc"),
             F.col("parent_id").alias("_sp"),
             F.col("elem_sibling_index").alias("_si"),

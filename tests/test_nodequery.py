@@ -43,6 +43,11 @@ DOCS = [
     ("d7", '<div id=ix>head<p>a</p> mid <!--x--><span>b</span><p>c</p>'
            'tail<span>d</span><!--y--><p>e</p></div>'
            '<ul id=ux><!--c--><li>1</li>txt<li>2</li><li>3</li> <li>4</li></ul>'),
+    # raw-whitespace/own/whole/data text views (round 5 text-pseudo compile)
+    ("d8", '<pre id=pre1>  keep   space\nline2</pre>'
+           '<script>var Q = 1;</script><style>.x{color:red}</style>'
+           '<p id=br1>a<br>b <b>bold</b> tail</p>'
+           '<p id=ws> \t </p>'),
 ]
 
 QUERIES = [
@@ -285,13 +290,29 @@ CONTAINS_QUERIES = [
     "div:not(:has(p)) > p",
     "ul:not(:has(li + li))",
     "div:not(:has(p)):has(span)",
+    # own/whole/data text views — compiled since round 5
+    "p:containsOwn(one)",
+    "p:containsOwn(a)",
+    "p:matchesOwn(^one$)",
+    "p:matchesOwn((?i)ONE)",
+    "div:containsOwn(c)",
+    "pre:containsWholeText(keep   space)",
+    "pre:matchesWholeText(keep\\s+space)",
+    "p:matchesWholeText(^\\s+$)",
+    "p:containsWholeOwnText(a\nb )",
+    "p:matchesWholeOwnText(a\\nb)",
+    "script:containsData(var q)",
+    "style:containsData(color:red)",
+    "div:has(p:matchesOwn(e)):not(:has(section))",
 ]
 
 
 @pytest.fixture(scope="module")
 def nodes_text(spark):
     df = spark.createDataFrame(DOCS, "doc_id string, html string")
-    return extract.node_table_df(df, include_elem_text=True).cache()
+    return extract.node_table_df(
+        df, text_columns=("text", "own", "whole", "whole_own", "data")
+    ).cache()
 
 
 @pytest.mark.parametrize("css", CONTAINS_QUERIES)

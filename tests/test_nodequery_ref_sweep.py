@@ -49,7 +49,9 @@ def compiled(spark):
         pytest.skip("reference checkout not available")
     docs = [(str(i), c[1]) for i, c in enumerate(_SEL_EQ_CASES)]
     df = spark.createDataFrame(docs, "doc_id string, html string")
-    nodes = extract.node_table_df(df, include_elem_text=True).cache()
+    nodes = extract.node_table_df(
+        df, text_columns=("text", "own", "whole", "whole_own", "data")
+    ).cache()
     nodes.count()
     by_query = defaultdict(list)
     for i, c in enumerate(_SEL_EQ_CASES):
@@ -75,8 +77,8 @@ def compiled(spark):
 
 def test_compiled_sweep_covers_most_cases(compiled):
     supported = sum(1 for v in compiled.values() if v is not None)
-    # the compiled subset should cover the bulk of the reference sweep
-    assert supported >= len(_SEL_EQ_CASES) * 0.6, (
+    # with the text-view columns, only :matchText shapes stay kernel-only
+    assert supported >= len(_SEL_EQ_CASES) * 0.9, (
         f"only {supported}/{len(_SEL_EQ_CASES)} compiled")
 
 
