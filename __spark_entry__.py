@@ -565,9 +565,12 @@ def q_nodequery_has(spark, sf_dir):
 
 
 def q_nodequery_contains(spark, sf_dir):
-    """:contains compiled to a JVM string predicate over the opt-in
-    elem_text node-table column — one <p> per word, count the p's whose
-    text contains 'e' (case-insensitive), Catalyst end to end."""
+    """Text pseudos compiled to JVM predicates over the opt-in text-view
+    node-table columns — one <p> per word, count the p's whose text
+    contains 'e' (case-insensitive).  Round 5: the selector conjoins the
+    equivalent own-text regex (:matchesOwn((?i)e) over elem_own_text via
+    rlike — a leaf <p>'s own text IS its text), so both the substring and
+    regex view paths sit under the driver oracle with the same count."""
     from ksoup_spark.operators import nodequery
 
     d = _docs(spark, sf_dir)
@@ -581,8 +584,10 @@ def q_nodequery_contains(spark, sf_dir):
         F.lit("</div>"),
     )
     nodes = extract.node_table_df(
-        d.select("doc_id", html.alias("html")), include_elem_text=True)
-    matched = nodequery.compile_selector(nodes, "p:contains(e)")
+        d.select("doc_id", html.alias("html")),
+        text_columns=("text", "own"))
+    matched = nodequery.compile_selector(
+        nodes, "p:contains(e):matchesOwn((?i)e)")
     return matched.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_contains")
     )
