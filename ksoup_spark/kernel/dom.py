@@ -236,7 +236,8 @@ class Doc:
     # -- freeze to columnar table --------------------------------------------
 
     def to_table(self, include_elem_text: bool = False,
-                 text_columns: tuple = ()) -> dict[str, list]:
+                 text_columns: tuple = (),
+                 include_pseudo: bool = False) -> dict[str, list]:
         """Preorder SoA node table (SURVEY.md §1.2 schema).
 
         include_elem_text adds a normalized element-text column (document
@@ -248,7 +249,12 @@ class Doc:
         text_columns generalizes this to the other per-element text views
         the selector pseudos read — any of "text" (elem_text), "own"
         (elem_own_text), "whole" (elem_whole_text), "whole_own"
-        (elem_whole_own_text), "data" (elem_data)."""
+        (elem_whole_own_text), "data" (elem_data).
+
+        include_pseudo adds a 0/1 ``pseudo`` column flagging the
+        PseudoTextElements created by selector.prepare_match_text, so
+        :matchText compiles to a plain column predicate over a table
+        built from the rewritten tree."""
         if include_elem_text:
             text_columns = ("text",) + tuple(
                 k for k in text_columns if k != "text")
@@ -274,6 +280,8 @@ class Doc:
                 "attrs": [self.attrs[o] for o in order],
             }
             self._append_text_columns(out, order, text_columns)
+            if include_pseudo:
+                self._append_pseudo_column(out, order)
             return out
         # inline preorder walk (generator + tuple per node is the hot cost)
         order: list[int] = []
@@ -343,7 +351,13 @@ class Doc:
         while dstack:
             send[dstack.pop()] = n_nodes - 1
         self._append_text_columns(out, order, text_columns)
+        if include_pseudo:
+            self._append_pseudo_column(out, order)
         return out
+
+    def _append_pseudo_column(self, out: dict, order: list) -> None:
+        ps = self.pseudo or ()
+        out["pseudo"] = [1 if o in ps else 0 for o in order]
 
     def _append_text_columns(self, out: dict, order: list,
                              text_columns: tuple) -> None:

@@ -195,7 +195,8 @@ _TEXT_COLUMN_NAMES = {"text": "elem_text", "own": "elem_own_text",
 def node_table_df(docs: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id",
                   include_elem_text: bool = False,
-                  text_columns: tuple = ()) -> DataFrame:
+                  text_columns: tuple = (),
+                  match_text: bool = False) -> DataFrame:
     """(doc_id, html) -> exploded node table (SURVEY.md §1.2): one row per
     DOM node with preorder ids, int parent/child/sibling indices, and a
     subtree interval enabling descendant joins
@@ -207,27 +208,43 @@ def node_table_df(docs: DataFrame, html_col: str = "html",
     text pseudos read: any of "text", "own" (elem_own_text), "whole"
     (elem_whole_text), "whole_own" (elem_whole_own_text), "data"
     (elem_data). Opt-in: each text fragment is stored once per ancestor
-    element, so at corpus scale request only what the query set needs."""
+    element, so at corpus scale request only what the query set needs.
+
+    match_text builds the table from the :matchText-rewritten tree
+    (selector.prepare_match_text — every text-node child wrapped in a
+    PseudoTextElement carrying the parent's tag+attrs, Evaluator.kt:816-829)
+    and adds a 0/1 ``pseudo`` column, so nodequery compiles :matchText as a
+    plain column predicate. Opt-in because the rewrite changes tree shape
+    for EVERY selector evaluated over the table — exactly the reference's
+    own semantics, where a :matchText query mutates the document."""
     docs = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        F.col(html_col).alias("html"))
     tcols = tuple(dict.fromkeys(
         (("text",) if include_elem_text else ()) + tuple(text_columns)))
     text_names = tuple(_TEXT_COLUMN_NAMES[k] for k in tcols)
-    schema = StructType(
-        NODE_TABLE_SCHEMA.fields
-        + [StructField(n, StringType()) for n in text_names])
+    extra_fields = [StructField(n, StringType()) for n in text_names]
+    if match_text:
+        extra_fields.append(StructField("pseudo", IntegerType()))
+    schema = StructType(NODE_TABLE_SCHEMA.fields + extra_fields)
     copy_keys = ("node_id", "parent_id", "depth", "kind", "tag",
                  "ns", "sibling_index", "elem_sibling_index",
                  "first_child", "next_sibling", "subtree_end", "text")
     copy_keys = copy_keys + text_names
+    if match_text:
+        copy_keys = copy_keys + ("pseudo",)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernel.selector import prepare_match_text
         for batch in batches:
             ids = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
             for did, h in zip(ids, htmls):
-                t = _parse(h or "").to_table(text_columns=tcols)
+                doc = _parse(h or "")
+                if match_text:
+                    prepare_match_text(doc)
+                t = doc.to_table(text_columns=tcols,
+                                 include_pseudo=match_text)
                 n = len(t["node_id"])
                 cols["doc_id"].extend([did] * n)
                 for key in copy_keys:
@@ -251,6 +268,8 @@ def node_table_df(docs: DataFrame, html_col: str = "html",
             ]
             for n_ in text_names:
                 arrays.append(pa.array(cols[n_], type=pa.string()))
+            if match_text:
+                arrays.append(pa.array(cols["pseudo"], type=pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 arrays, names=[f.name for f in schema.fields])
 

@@ -50,11 +50,19 @@ elem_data), :matches* as rlike (Java-regex find — the reference's own
 dialect); :not(:has(sel)) compiles to an ANTI join on the :has witness
 keys.
 
-Unsupported pieces (sibling-of-root :has forms like ``:has(~ p)``
-(kernel: never match), mixed structural :has inners like
-``:has(a > b c)``, :matchText) raise UnsupportedSelector — callers
-fall back to the kernel path (operators.extract.select_elements_df),
-which covers everything.
+``:matchText`` compiles over the opt-in rewritten table
+(node_table_df(match_text=True)): the PseudoTextElement pre-pass runs
+inside the parse kernel and flags pseudo rows, so the pseudo itself is a
+plain column predicate and every combinator/positional pseudo sees the
+rewritten tree — the reference's own (mutating) semantics.  NOTE: a
+match_text table answers EVERY selector against the rewritten tree;
+route only :matchText queries to it.  Sibling-of-root :has forms
+(``:has(~ p)``) compile to the kernel's never-match.
+
+Unsupported pieces (mixed structural :has inners like ``:has(a > b c)``,
+:matchText over a table built without the rewrite) raise
+UnsupportedSelector — callers fall back to the kernel path
+(operators.extract.select_elements_df), which covers everything.
 """
 
 from __future__ import annotations
@@ -118,6 +126,16 @@ def _compound_predicate(ev, text_cols: frozenset = frozenset()) -> "F.Column":
         if lowered:
             col = F.lower(col)
         return col.contains(ev.text)
+    if isinstance(ev, S.MatchText):
+        # :matchText over the opt-in rewritten table
+        # (node_table_df(match_text=True)): the prepare_match_text pre-pass
+        # already ran inside the parse kernel, so the membership test the
+        # kernel does (Evaluator.kt:809-840) is just the pseudo flag
+        if "pseudo" not in text_cols:
+            raise UnsupportedSelector(
+                ":matchText (node table lacks the match_text rewrite — "
+                "build it via node_table_df(match_text=True))")
+        return F.coalesce(F.col("pseudo"), F.lit(0)) == 1
     if isinstance(ev, S.AllElements):
         return F.lit(True)
     if isinstance(ev, S.Tag):
@@ -342,7 +360,7 @@ def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     nodes = _augment(nodes, _scan_needed(ev, set()))
     avail = frozenset(
         c for c in ("elem_text", "elem_own_text", "elem_whole_text",
-                    "elem_whole_own_text", "elem_data")
+                    "elem_whole_own_text", "elem_data", "pseudo")
         if c in nodes.columns)
     return _compile_eval(nodes, ev, avail)
 
@@ -618,8 +636,9 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     if isinstance(struct.inner, S.Root):
         # ':has(~ p)' / ':has(+ p)': the Has loop only visits descendants,
         # and a sibling of the subject is never a descendant — the kernel
-        # never matches these; keep them on the (equally empty) kernel path
-        raise UnsupportedSelector(":has sibling-of-root")
+        # never matches these (StructuralEvaluator.kt:50-99); compile the
+        # same never-match so corpus queries stay on the relational path
+        return out.where(F.lit(False))
     xpred = _compound_predicate(struct.inner, text_cols)
     d = elems.filter(plain).select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),

@@ -203,12 +203,19 @@ def test_unsupported_falls_back(spark, nodes):
     # nested :has inside :has — predicate form can't express it
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(p:has(span))")
-    # sibling-of-root :has never matches in the kernel (descendants-only
-    # loop); stays on the kernel path
+    # :matchText without the match_text rewrite — kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(~ p)")
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(+ p)")
+        nodequery.compile_selector(nodes, "p:matchText")
+
+
+def test_sibling_of_root_has_compiles_to_never_match(spark, nodes):
+    # the kernel's Has loop only visits descendants, so ':has(~ p)' /
+    # ':has(+ p)' never match — the compiled form returns the same empty
+    # set (and the kernel agrees on docs where such siblings DO exist)
+    for css in ("div:has(~ p)", "div:has(+ p)", "p:has(~ span)",
+                "li:has(+ li)"):
+        assert _kernel_matches(css) == set(), css
+        assert nodequery.compile_selector(nodes, css).count() == 0, css
 
 
 def test_structural_has_plan_is_jvm_only(spark, nodes):
@@ -342,3 +349,69 @@ def test_contains_plan_is_jvm_only(spark, nodes_text):
 def test_contains_without_elem_text_still_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
+
+
+# -- :matchText over the opt-in match_text rewrite ----------------------------
+
+MATCHTEXT_QUERIES = [
+    "p:matchText",
+    "div:matchText",
+    "*:matchText",
+    "li:matchText",
+    "td:matchText",
+    "pre:matchText",
+    # positional/counted pseudos see the REWRITTEN sibling structure
+    "p:matchText:first-child",
+    "p:matchText:last-child",
+    "div:matchText:nth-child(2)",
+    "p:matchText:only-child",
+    # combinators over pseudo rows (pseudo p elements are children of p)
+    "p > p:matchText",
+    "div p:matchText",
+    "span ~ p:matchText",
+    "li:matchText + li:matchText",
+    # :has with a pseudo witness; non-matchText selectors still evaluate
+    # against the rewritten tree (the reference's own mutating semantics)
+    "div:has(p:matchText)",
+    "p:not(:matchText)",
+]
+
+
+@pytest.fixture(scope="module")
+def nodes_mt(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, html string")
+    return extract.node_table_df(
+        df, text_columns=("text", "own", "whole", "whole_own", "data"),
+        match_text=True,
+    ).cache()
+
+
+def _kernel_matches_mt(css):
+    """Kernel truth over the prepare_match_text-rewritten tree (the
+    reference mutates the document on the first :matchText evaluation)."""
+    out = set()
+    for did, html in DOCS:
+        d = tb.parse(html)
+        sel.prepare_match_text(d)
+        remap = {}
+        for new_id, (old, _) in enumerate(d.preorder(0)):
+            remap[old] = new_id
+        for n in sel.select(d, css):
+            out.add((did, remap[n]))
+    return out
+
+
+@pytest.mark.parametrize("css", MATCHTEXT_QUERIES)
+def test_matchtext_compiled_matches_kernel(spark, nodes_mt, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(nodes_mt, css).collect()
+    }
+    assert got == _kernel_matches_mt(css), css
+
+
+def test_matchtext_plan_is_jvm_only(spark, nodes_mt):
+    plan = nodequery.compile_selector(nodes_mt, "p:matchText:last-child") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -49,17 +49,27 @@ def compiled(spark):
         pytest.skip("reference checkout not available")
     docs = [(str(i), c[1]) for i, c in enumerate(_SEL_EQ_CASES)]
     df = spark.createDataFrame(docs, "doc_id string, html string")
-    nodes = extract.node_table_df(
-        df, text_columns=("text", "own", "whole", "whole_own", "data")
-    ).cache()
+    tviews = ("text", "own", "whole", "whole_own", "data")
+    nodes = extract.node_table_df(df, text_columns=tviews).cache()
     nodes.count()
+    # :matchText queries evaluate over the rewritten tree (the reference
+    # mutates the document) — route them to a match_text node table
+    mt_docs = [(str(i), c[1]) for i, c in enumerate(_SEL_EQ_CASES)
+               if ":matchText" in c[2]]
+    nodes_mt = None
+    if mt_docs:
+        df_mt = spark.createDataFrame(mt_docs, "doc_id string, html string")
+        nodes_mt = extract.node_table_df(
+            df_mt, text_columns=tviews, match_text=True).cache()
+        nodes_mt.count()
     by_query = defaultdict(list)
     for i, c in enumerate(_SEL_EQ_CASES):
         by_query[c[2]].append(i)
     out = {}
     for query, idxs in by_query.items():
+        src = nodes_mt if ":matchText" in query else nodes
         try:
-            m = nodequery.compile_selector(nodes, query)
+            m = nodequery.compile_selector(src, query)
         except nodequery.UnsupportedSelector:
             for i in idxs:
                 out[i] = None
@@ -72,13 +82,16 @@ def compiled(spark):
         for i in idxs:
             out[i] = per.get(i, [])
     nodes.unpersist()
+    if nodes_mt is not None:
+        nodes_mt.unpersist()
     return out
 
 
 def test_compiled_sweep_covers_most_cases(compiled):
     supported = sum(1 for v in compiled.values() if v is not None)
-    # with the text-view columns, only :matchText shapes stay kernel-only
-    assert supported >= len(_SEL_EQ_CASES) * 0.9, (
+    # text pseudos ride the text-view columns, :matchText the match_text
+    # rewrite — every sweep case compiles into the Catalyst path
+    assert supported == len(_SEL_EQ_CASES), (
         f"only {supported}/{len(_SEL_EQ_CASES)} compiled")
 
 
