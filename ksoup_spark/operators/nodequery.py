@@ -402,96 +402,195 @@ def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
-def _unroll_ancestor_preds(struct, text_cols: frozenset) -> list:
-    """Nested Ancestor levels -> [pred_level1 (closest to the witness
-    descendant), ..., pred_topmost].  Mixed structural inners (child/
-    sibling combinators inside the descendant chain) raise
-    UnsupportedSelector -> kernel fallback."""
-    _OTHER = (S.ImmediateParentRun, S.ImmediatePrevious, S.PreviousSibling)
-    preds = []
-    cur = struct
-    while cur is not None:
-        inner = cur.inner
-        deeper = None
-        if isinstance(inner, S.And):
-            anc = [e for e in inner.evals if isinstance(e, S.Ancestor)]
-            others = [e for e in inner.evals if not isinstance(e, S.Ancestor)]
-            if len(anc) > 1 or any(isinstance(e, _OTHER) for e in others):
-                raise UnsupportedSelector(":has mixed structural inner")
-            preds.append(_compound_predicate(S.And(others), text_cols)
-                         if others else F.lit(True))
-            deeper = anc[0] if anc else None
-        elif isinstance(inner, S.Ancestor):
-            preds.append(F.lit(True))
-            deeper = inner
-        elif isinstance(inner, _OTHER):
-            raise UnsupportedSelector(":has mixed structural inner")
+class _Parent:
+    """Normalization marker: the node's EXACT parent matches ``inner``
+    (one step of an ImmediateParentRun, StructuralEvaluator.kt:164-200).
+    Unlike Ancestor it is never subject-bounded, but the walk dies on
+    reaching the document — element-only join sets encode both."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.cost = getattr(inner, "cost", 1) + 1
+
+
+def _norm_spine(ev):
+    """Rewrite ImmediateParentRun chains as nested _Parent steps so every
+    structural link is a unary wrapper: run [a, b] (outermost-first) means
+    'node matches b AND parent matches a' -> And(b, _Parent(a)).  Rooted
+    runs stay on the dedicated rooted branch -> raise here."""
+    if isinstance(ev, S.ImmediateParentRun):
+        if any(isinstance(e, S.Root) for e in ev.chain):
+            raise UnsupportedSelector(":has rooted chain in spine")
+        cur = _norm_spine(ev.chain[0])
+        for e in ev.chain[1:]:
+            cur = S.And([_norm_spine(e), _Parent(cur)])
+        return cur
+    if isinstance(ev, S.And):
+        return S.And([_norm_spine(e) for e in ev.evals])
+    if isinstance(ev, S.Ancestor):
+        return S.Ancestor(_norm_spine(ev.inner))
+    if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
+        return type(ev)(_norm_spine(ev.inner))
+    return ev
+
+
+def _digest_level(ev, text_cols: frozenset):
+    """One normalized spine-node evaluator -> (pred, sibs, continuation).
+
+    pred: compound column predicate tested AT the node.  sibs: list of
+    ('+'|'~', pred) same-parent sibling constraints (compound-only
+    inners).  continuation: ('anc'|'parent', inner) — the spine link
+    ABOVE this node, or None.  A sibling attachment whose inner carries
+    its own continuation LIFTS it onto this level: the sibling shares
+    this node's parent, so its ancestor/parent walk visits exactly the
+    same nodes (selector.py Ancestor.matches starts at doc.parent[el])."""
+    parts = list(ev.evals) if isinstance(ev, S.And) else [ev]
+    preds, sibs, cont = [], [], None
+    for e in parts:
+        if isinstance(e, (S.Ancestor, _Parent)):
+            if cont is not None:
+                raise UnsupportedSelector(":has twin spine continuations")
+            cont = ("anc" if isinstance(e, S.Ancestor) else "parent", e.inner)
+        elif isinstance(e, (S.ImmediatePrevious, S.PreviousSibling)):
+            kind = "+" if isinstance(e, S.ImmediatePrevious) else "~"
+            sp, ssibs, scont = _digest_level(e.inner, text_cols)
+            if ssibs:
+                raise UnsupportedSelector(":has sibling-of-sibling")
+            if scont is not None:
+                if cont is not None:
+                    raise UnsupportedSelector(":has twin spine continuations")
+                cont = scont
+            sibs.append((kind, sp))
         else:
-            preds.append(_compound_predicate(inner, text_cols))
-        cur = deeper
-    return preds
+            preds.append(e)
+    pred = (_compound_predicate(S.And(preds), text_cols)
+            if preds else F.lit(True))
+    return pred, sibs, cont
 
 
-def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
-                        struct, plain, text_cols: frozenset) -> DataFrame:
-    """':has(a b c ...)' — descendant-chain inner of arbitrary depth.
+def _unroll_spine(cont, text_cols: frozenset):
+    """Continuation above the witness -> (levels, links).
+
+    levels[j] = (pred, sibs) for spine level j+1 (closest-to-witness
+    first); links[j] connects level j to level j+1 (level 0 = witness):
+    'anc' = subject-bounded interval-ancestor (the descendant
+    combinator), 'parent' = exact-parent equi link (never
+    subject-bounded)."""
+    levels, links = [], []
+    while cont is not None:
+        link, inner = cont
+        pred, sibs, cont = _digest_level(inner, text_cols)
+        links.append(link)
+        levels.append((pred, sibs))
+    return levels, links
+
+
+def _sib_semi(df: DataFrame, sibs, elems: DataFrame,
+              doc_col="doc_id", par_col="parent_id",
+              esi_col="elem_sibling_index") -> DataFrame:
+    """Constrain df rows to those with a matching previous element sibling
+    per ('+'|'~', pred) spec — '+' is the NEAREST previous element
+    (elem index - 1), '~' any previous element (Evaluator semantics via
+    ImmediatePrevious/PreviousSibling, selector.py)."""
+    for kind, sp in sibs:
+        sib = elems.filter(sp).select(
+            F.col("doc_id").alias("_sb_doc"),
+            F.col("parent_id").alias("_sb_par"),
+            F.col("elem_sibling_index").alias("_sb_si"))
+        rel = (df[esi_col] == sib["_sb_si"] + 1) if kind == "+" \
+            else (df[esi_col] > sib["_sb_si"])
+        df = df.join(
+            sib,
+            (df[doc_col] == sib["_sb_doc"])
+            & (df[par_col] == sib["_sb_par"]) & rel,
+            "left_semi",
+        )
+    return df
+
+
+def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
+               wset: DataFrame, levels, links) -> DataFrame:
+    """':has' spine of arbitrary depth mixing descendant and child links
+    (':has(a b c)', ':has(a > b c)', ':has(a b > c)', sibling-attached
+    levels like ':has(a + b c)').
 
     The kernel evaluates the inner with the SUBJECT as root; each Ancestor
-    walk from a witness stops at (and includes) the subject
-    (StructuralEvaluator.kt:50-99, selector.py Ancestor.matches).  Two
-    relational branches reproduce that exactly:
+    walk from a witness stops at (and includes) the subject, while
+    parent/sibling links are never subject-bounded
+    (StructuralEvaluator.kt:50-200, selector.py Ancestor/ImmediateParentRun
+    .matches).  Relational branches reproduce that exactly:
 
-    - bounded chain: subject <= w_top < ... < w_1 < d <= subject.subtree_end
-      (preorder ids; each w an interval-ancestor of the next).  The topmost
-      witness may BE the subject — including a Document subject, so kind-0
-      rows join the topmost candidate set; the node_id <= w_top pin keeps
-      any document witness at the subject row itself.
-    - subject-is-witness-i (i < top): when an INTERMEDIATE witness equals
+    - bounded chain: subject <= n_top < ... < n_1 < d <= subject.subtree_end
+      (preorder ids; each 'anc' link an interval join, each 'parent' link a
+      parent_id equi join).  The topmost node may BE the subject —
+      including a Document subject when the top link is 'anc' (the kernel
+      tests kind==ELEMENT or node==root); a 'parent' top link never tests
+      the document (the run dies on reaching it), so its top set is
+      element-only.  The node_id <= n_top pin keeps any document witness
+      at the subject row itself.
+    - subject-is-level-i (i < top): when an INTERMEDIATE spine node equals
       the subject, the kernel's next walk starts ABOVE the root and the
-      break-at-root test never fires — the outer levels match unbounded
-      ELEMENT ancestors strictly above the subject.  One union branch per
-      intermediate level: subject matches pred_i, the inner levels sit
-      strictly inside its subtree, the outer levels chain above it.
+      break-at-root test never fires — the outer 'anc' links match
+      unbounded ELEMENT ancestors strictly above the subject ('parent'
+      links join the same either way).  One union branch per intermediate
+      level: subject passes level i's pred+sibling set, the inner levels
+      sit inside its subtree, the outer levels chain above it.  An 'anc'
+      link INTO the subject admits a Document subject; a 'parent' link
+      does not.
     """
-    preds = _unroll_ancestor_preds(struct, text_cols)
-    d = elems.filter(plain).select(
-        F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
+    def _lvl(src, spec):
+        pred, sibs = spec
+        s = src.filter(pred)
+        return _sib_semi(s, sibs, elems)
 
-    def _fold_up(base: DataFrame, level_preds) -> DataFrame:
-        # attach, per witness row, the chain of interval-ancestors matching
-        # level_preds (innermost-first); `_cur` tracks the topmost id so far
+    def _fold_up(base: DataFrame, n: int) -> DataFrame:
+        # attach, per witness row, spine levels 1..n (innermost-first);
+        # `_cur`/`_cur_par` track the topmost node so far and its parent
         w = base
-        for pred in level_preds:
-            anc = elems.filter(pred).select(
+        for j in range(n):
+            lv = _lvl(elems, levels[j]).select(
                 F.col("doc_id").alias("_l_doc"),
                 F.col("node_id").alias("_l_id"),
+                F.col("parent_id").alias("_l_par"),
                 F.col("subtree_end").alias("_l_end"))
-            w = (
-                w.join(anc, (w["_w_doc"] == anc["_l_doc"])
-                       & (anc["_l_id"] < w["_cur"])
-                       & (w["_cur"] <= anc["_l_end"]))
-                .select("_w_doc", "_w_d", F.col("_l_id").alias("_cur"))
-            )
+            if links[j] == "anc":
+                cond = ((w["_w_doc"] == lv["_l_doc"])
+                        & (lv["_l_id"] < w["_cur"])
+                        & (w["_cur"] <= lv["_l_end"]))
+            else:
+                cond = ((w["_w_doc"] == lv["_l_doc"])
+                        & (lv["_l_id"] == w["_cur_par"]))
+            w = w.join(lv, cond).select(
+                "_w_doc", "_w_d",
+                F.col("_l_id").alias("_cur"),
+                F.col("_l_par").alias("_cur_par"))
         return w
 
-    base = d.select("_w_doc", "_w_d", F.col("_w_d").alias("_cur"))
+    base = wset.select(
+        "_w_doc", "_w_d",
+        F.col("_w_d").alias("_cur"), F.col("_w_par").alias("_cur_par"))
+    k = len(levels)
 
-    # branch A: fully bounded chain, topmost witness element-or-subject
-    w = _fold_up(base, preds[:-1])
-    top = nodes.filter(
-        ((F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND))
-        & preds[-1]
-    ).select(
+    # branch A: fully bounded chain, topmost node element-or-subject
+    w = _fold_up(base, k - 1)
+    top_link = links[k - 1]
+    top_src = nodes.filter(
+        (F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND)
+    ) if top_link == "anc" else elems
+    top = _lvl(top_src, levels[k - 1]).select(
         F.col("doc_id").alias("_a_doc"),
         F.col("node_id").alias("_w_a"),
         F.col("subtree_end").alias("_a_end"),
+        F.col("parent_id").alias("_a_par"),
     )
-    w = w.join(
-        top,
-        (w["_w_doc"] == top["_a_doc"])
-        & (top["_w_a"] < w["_cur"])
-        & (w["_cur"] <= top["_a_end"]),
-    ).select("_w_doc", "_w_a", "_w_d")
+    if top_link == "anc":
+        tcond = ((w["_w_doc"] == top["_a_doc"])
+                 & (top["_w_a"] < w["_cur"])
+                 & (w["_cur"] <= top["_a_end"]))
+    else:
+        tcond = ((w["_w_doc"] == top["_a_doc"])
+                 & (top["_w_a"] == w["_cur_par"]))
+    w = w.join(top, tcond).select("_w_doc", "_w_a", "_w_d")
     res = out.join(
         w,
         (out["doc_id"] == w["_w_doc"])
@@ -499,49 +598,56 @@ def _has_ancestor_chain(nodes: DataFrame, elems: DataFrame, out: DataFrame,
         & (w["_w_d"] <= out["subtree_end"]),
         "left_semi",
     )
-    if len(preds) == 1:
+    if k == 1:
         return res
 
     branches = [res]
-    for i in range(1, len(preds)):  # subject is witness level i (1-based)
-        sub = out.filter(preds[i - 1])
-        # inner levels 1..i-1 strictly inside the subject's subtree
-        wi = _fold_up(base, preds[:i - 1])
-        sub = sub.join(
-            wi,
-            (sub["doc_id"] == wi["_w_doc"])
-            & (sub["node_id"] < wi["_cur"])
-            & (wi["_w_d"] <= sub["subtree_end"]),
-            "left_semi",
-        )
-        # outer levels i+1..k: element ancestors strictly above the
-        # subject, chained topmost-down
-        chain = preds[i:]
-        oc = elems.filter(chain[-1]).select(
+    for i in range(1, k):  # subject is spine level i (1-based, i < k)
+        link_in = links[i - 1]
+        sub = out if link_in == "anc" else out.filter(
+            F.col("kind") == ELEMENT_KIND)
+        sub = _lvl(sub, levels[i - 1])
+        # inner levels 1..i-1 inside the subject's subtree, witness below
+        wi = _fold_up(base, i - 1)
+        if link_in == "anc":
+            scond = ((sub["doc_id"] == wi["_w_doc"])
+                     & (sub["node_id"] < wi["_cur"])
+                     & (wi["_w_d"] <= sub["subtree_end"]))
+        else:
+            scond = ((sub["doc_id"] == wi["_w_doc"])
+                     & (sub["node_id"] == wi["_cur_par"]))
+        sub = sub.join(wi, scond, "left_semi")
+        # outer levels i+1..k chained topmost-down: 'anc' links strictly
+        # -above element ancestors, 'parent' links exact element parents
+        oc = _lvl(elems, levels[k - 1]).select(
             F.col("doc_id").alias("_o_doc"),
             F.col("node_id").alias("_o_id"),
             F.col("subtree_end").alias("_o_end"))
-        for pred in reversed(chain[:-1]):
-            nxt = elems.filter(pred).select(
+        for m in range(k - 1, i, -1):  # join level m below level m+1
+            nxt = _lvl(elems, levels[m - 1]).select(
                 F.col("doc_id").alias("_n_doc"),
                 F.col("node_id").alias("_n_id"),
+                F.col("parent_id").alias("_n_par"),
                 F.col("subtree_end").alias("_n_end"))
-            oc = nxt.join(
-                oc,
-                (nxt["_n_doc"] == oc["_o_doc"])
-                & (oc["_o_id"] < nxt["_n_id"])
-                & (nxt["_n_id"] <= oc["_o_end"]),
-            ).select(
+            if links[m] == "anc":
+                ocond = ((nxt["_n_doc"] == oc["_o_doc"])
+                         & (oc["_o_id"] < nxt["_n_id"])
+                         & (nxt["_n_id"] <= oc["_o_end"]))
+            else:
+                ocond = ((nxt["_n_doc"] == oc["_o_doc"])
+                         & (nxt["_n_par"] == oc["_o_id"]))
+            oc = nxt.join(oc, ocond).select(
                 F.col("_n_doc").alias("_o_doc"),
                 F.col("_n_id").alias("_o_id"),
                 F.col("_n_end").alias("_o_end"))
-        sub = sub.join(
-            oc,
-            (sub["doc_id"] == oc["_o_doc"])
-            & (oc["_o_id"] < sub["node_id"])
-            & (sub["node_id"] <= oc["_o_end"]),
-            "left_semi",
-        )
+        if links[i] == "anc":
+            fcond = ((sub["doc_id"] == oc["_o_doc"])
+                     & (oc["_o_id"] < sub["node_id"])
+                     & (sub["node_id"] <= oc["_o_end"]))
+        else:
+            fcond = ((sub["doc_id"] == oc["_o_doc"])
+                     & (oc["_o_id"] == sub["parent_id"]))
+        sub = sub.join(oc, fcond, "left_semi")
         branches.append(sub)
     merged = branches[0]
     for b in branches[1:]:
@@ -585,9 +691,15 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
       a Root anchor pins the topmost parent to the subject's node_id
     - ``p + span`` / ``p ~ span``: sibling-index witness joins (element-only
       sibling index; also subject-independent in the kernel)
+    - MIXED spines (':has(a > b c)', ':has(a b > c)', ':has(a + b c)',
+      any depth): _has_spine — interval joins for the subject-bounded
+      descendant links, parent equi joins for child links, sibling
+      semi-joins per level
 
-    Sibling-of-root forms (':has(~ p)') and mixed structural inners
-    (':has(a > b c)') raise UnsupportedSelector -> kernel fallback."""
+    Sibling-of-root forms (':has(~ p)') compile to the kernel's
+    never-match; the remaining UnsupportedSelector shapes (rooted chains
+    with non-compound entries, sibling-of-sibling, nested :has) fall back
+    to the kernel path."""
     plain, struct = _split_inner(has_ev.inner, text_cols)
     elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
 
@@ -596,8 +708,21 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
             F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
         return _interval_semi(out, w)
 
+    def _wset(pred, sibs=()):
+        w = elems.filter(pred).select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("node_id").alias("node_id"),
+            F.col("parent_id").alias("parent_id"),
+            F.col("elem_sibling_index").alias("elem_sibling_index"))
+        w = _sib_semi(w, sibs, elems)
+        return w.select(
+            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
+            F.col("parent_id").alias("_w_par"))
+
     if isinstance(struct, S.Ancestor):
-        return _has_ancestor_chain(nodes, elems, out, struct, plain, text_cols)
+        levels, links = _unroll_spine(
+            ("anc", _norm_spine(struct.inner)), text_cols)
+        return _has_spine(nodes, elems, out, _wset(plain), levels, links)
 
     if isinstance(struct, S.ImmediateParentRun):
         chain = struct.chain
@@ -605,14 +730,32 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         entries = list(chain[1:]) if rooted else list(chain)
         if not entries or any(isinstance(e, S.Root) for e in entries):
             raise UnsupportedSelector(":has chain shape")
-        dpred = _compound_predicate(entries[-1], text_cols) & plain
+        try:
+            entry_preds = [_compound_predicate(e, text_cols)
+                           for e in entries]
+        except UnsupportedSelector:
+            if rooted:
+                # rooted chains pin the top to the subject row — the spine
+                # form has no such pin; keep nested rooted runs kernel-side
+                raise
+            # nested structurals inside the run -> generalized spine
+            pred0, sibs0, cont = _digest_level(
+                _norm_spine(struct), text_cols)
+            if cont is None:
+                return _interval_semi(
+                    out, _wset(plain & pred0, sibs0)
+                    .select("_w_doc", "_w_d"))
+            levels, links = _unroll_spine(cont, text_cols)
+            return _has_spine(nodes, elems, out,
+                              _wset(plain & pred0, sibs0), levels, links)
+        dpred = entry_preds[-1] & plain
         w = elems.filter(dpred).select(
             F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
             F.col("parent_id").alias("_w_up"))
-        for e in reversed(entries[:-1]):
+        for ep in reversed(entry_preds[:-1]):
             # parents filter to kind==ELEMENT: the kernel walk fails on
             # reaching the document for non-Root entries
-            par = elems.filter(_compound_predicate(e, text_cols)).select(
+            par = elems.filter(ep).select(
                 F.col("doc_id").alias("_p_doc"),
                 F.col("node_id").alias("_p_id"),
                 F.col("parent_id").alias("_p_up"))
@@ -639,7 +782,19 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         # never matches these (StructuralEvaluator.kt:50-99); compile the
         # same never-match so corpus queries stay on the relational path
         return out.where(F.lit(False))
-    xpred = _compound_predicate(struct.inner, text_cols)
+    kind = "+" if isinstance(struct, S.ImmediatePrevious) else "~"
+    try:
+        xpred = _compound_predicate(struct.inner, text_cols)
+    except UnsupportedSelector:
+        # structural sibling inner (':has(a b + c)'): digest and LIFT the
+        # sibling's spine onto the witness level (same-parent walk)
+        sp, ssibs, scont = _digest_level(
+            _norm_spine(struct.inner), text_cols)
+        if ssibs or scont is None:
+            raise
+        levels, links = _unroll_spine(scont, text_cols)
+        return _has_spine(nodes, elems, out,
+                          _wset(plain, [(kind, sp)]), levels, links)
     d = elems.filter(plain).select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
         F.col("parent_id").alias("_d_par"),
@@ -649,7 +804,7 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         F.col("elem_sibling_index").alias("_p_si"))
     sicond = (
         (d["_d_si"] == prev["_p_si"] + 1)
-        if isinstance(struct, S.ImmediatePrevious)
+        if kind == "+"
         else (d["_d_si"] > prev["_p_si"])
     )
     w = d.join(

@@ -161,6 +161,30 @@ QUERIES = [
     "span:has(div span b)",         # intermediate witness + outer div above
     "section:has(* article p)",
     "div:has(section article p):has(span)",
+    # MIXED spines (descendant + child + sibling links) — round 5
+    "div:has(div > p)",
+    "body:has(section > div p)",
+    "div:has(a > b c)",
+    "body:has(div > section p)",
+    "body:has(div > p span)",
+    "div:has(section > div p)",
+    "body:has(div section > div)",
+    "div:has(section article > p)",
+    "div:has(div p > span)",
+    "*:has(div > p)",
+    "body:has(div > section > article p)",
+    "div:has(section div > p)",
+    "div:has(div section > article)",
+    "div:has(p + span b)",
+    "div:has(p ~ em span)",
+    "div:has(div p + span)",
+    "div:has(p em + span)",
+    "body:has(div p + span)",
+    "body:has(div > section article > p)",
+    "*:has(section > article > p)",
+    "div:has(section > article p):has(span)",
+    "div:not(:has(div > p))",
+    "section:not(:has(article > p span)) p",
 ]
 
 
@@ -194,15 +218,16 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # mixed structural inners (child/sibling combinators inside the
-    # descendant chain) stay on the kernel path
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(a > b c)")
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(a b + c)")
     # nested :has inside :has — predicate form can't express it
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(p:has(span))")
+    # rooted chains with further structure keep the kernel path (the Root
+    # pin and the spine's subject bounds don't compose)
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(> p span)")
+    # sibling-of-sibling inside :has — kernel path
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(em ~ p + span)")
     # :matchText without the match_text rewrite — kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:matchText")
@@ -415,3 +440,89 @@ def test_matchtext_plan_is_jvm_only(spark, nodes_mt):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- mixed-spine fuzz: random trees x random :has inners ----------------------
+
+def _gen_fuzz_docs_and_queries():
+    """Fixed-seed random corpus + mixed :has selectors (descendant/child/
+    sibling links in one inner).  Every generated shape must compile —
+    the spine builder covers the full  [compound (' '|' > '|' + '|' ~ ')]*
+    grammar — and must agree with the kernel."""
+    import random
+    rng = random.Random(97)
+    tags = ["a", "b", "c", "d", "p", "span", "em", "section", "div"]
+
+    def tree(depth, breadth):
+        tag = rng.choice(tags)
+        cls = f' class="x{rng.randint(0, 2)}"' if rng.random() < 0.4 else ""
+        if depth == 0:
+            return f"<{tag}{cls}>t</{tag}>"
+        kids = "".join(tree(rng.randint(0, depth - 1), breadth)
+                       for _ in range(rng.randint(1, breadth)))
+        return f"<{tag}{cls}>{kids}</{tag}>"
+
+    docs = [(f"f{i}", "".join(tree(rng.randint(2, 4), 3)
+                              for _ in range(rng.randint(1, 3))))
+            for i in range(10)]
+
+    def compound():
+        t = rng.choice(tags + ["*"])
+        if rng.random() < 0.3:
+            t += f".x{rng.randint(0, 2)}"
+        return t
+
+    queries = []
+    for _ in range(40):
+        n = rng.randint(2, 4)
+        parts = [compound()]
+        for _ in range(n - 1):
+            parts.append(rng.choice([" ", " > "]))
+            parts.append(compound())
+        if rng.random() < 0.5:
+            parts[rng.randrange(1, len(parts), 2)] = rng.choice([" + ", " ~ "])
+        inner = "".join(parts)
+        css = f"{compound()}:has({inner})"
+        if rng.random() < 0.25:
+            css = f"{compound()}:not(:has({inner}))"
+        queries.append(css)
+    return docs, queries
+
+
+_FUZZ_DOCS, _FUZZ_QUERIES = _gen_fuzz_docs_and_queries()
+
+
+@pytest.fixture(scope="module")
+def fuzz_nodes(spark):
+    df = spark.createDataFrame(_FUZZ_DOCS, "doc_id string, html string")
+    return extract.node_table_df(df).cache()
+
+
+def _fuzz_kernel_matches(css):
+    out = set()
+    for did, html in _FUZZ_DOCS:
+        d = tb.parse(html)
+        remap = {old: new for new, (old, _) in enumerate(d.preorder(0))}
+        for n in sel.select(d, css):
+            out.add((did, remap[n]))
+    return out
+
+
+@pytest.mark.parametrize("css", _FUZZ_QUERIES)
+def test_mixed_spine_fuzz_matches_kernel(spark, fuzz_nodes, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(fuzz_nodes, css).collect()
+    }
+    assert got == _fuzz_kernel_matches(css), css
+
+
+def test_mixed_spine_plan_is_jvm_only(spark, nodes):
+    for css in ("div:has(a > b c)", "body:has(div > p span)",
+                "div:has(div p + span)", "div:has(p ~ em span)"):
+        plan = nodequery.compile_selector(nodes, css) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, css
+        assert "BatchEvalPython" not in plan, css
+        assert "CartesianProduct" not in plan, css
+        assert "LeftSemi" in plan, css
