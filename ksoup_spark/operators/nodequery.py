@@ -59,10 +59,21 @@ match_text table answers EVERY selector against the rewritten tree;
 route only :matchText queries to it.  Sibling-of-root :has forms
 (``:has(~ p)``) compile to the kernel's never-match.
 
-Unsupported pieces (mixed structural :has inners like ``:has(a > b c)``,
-:matchText over a table built without the rewrite) raise
-UnsupportedSelector — callers fall back to the kernel path
-(operators.extract.select_elements_df), which covers everything.
+Nested ``:has`` (``:has(p:has(span))``) compiles by recursion — the
+kernel's nested Has roots at the tested node, so it is
+subject-independent; sibling-of-sibling chains (``:has(em ~ p + span)``)
+compile via nested sibling digests; top-level ``:not(X)``/``:is(X)``
+with combinators inside X compile as anti/semi joins against the
+compiled X set.
+
+Unsupported pieces raise UnsupportedSelector — callers fall back to the
+kernel path (operators.extract.select_elements_df), which covers
+everything: rooted :has chains with a descendant tail (``:has(> p
+span)``), :not over a combinator chain inside :has, ctx-root-sensitive
+pseudos (:root, :lt) inside STRUCTURAL :has inners (the kernel binds
+them to the :has subject — a spine node can BE the subject, so the
+global-root compile would lie), and :matchText over a table built
+without the rewrite.
 """
 
 from __future__ import annotations
@@ -248,12 +259,17 @@ def _compound_predicate(ev, text_cols: frozenset = frozenset()) -> "F.Column":
 
 def _split_structural(ev, text_cols: frozenset = frozenset()):
     """Decompose And(compound..., structural, :has/:not(:has)...) ->
-    (compound pred, structural, [(has_ev, negated), ...])."""
+    (compound pred, structural, [(has_ev, negated)], [(set_ev, negated)]).
+
+    set_ev entries are :not(X) / :is(X) conjuncts whose X needs a full
+    selector evaluation (it contains combinators or :has): at the top
+    level the kernel evaluates X with the document as root, so the match
+    set is exactly _compile_eval(X) — applied as an anti/semi join."""
     _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
                S.PreviousSibling)
     if isinstance(ev, S.And):
         structural, has_evals, plain = [], [], []
-        for e in ev.evals:
+        for e in _flatten_and(ev):
             if isinstance(e, _STRUCT):
                 structural.append(e)
             elif isinstance(e, S.Has):
@@ -264,16 +280,36 @@ def _split_structural(ev, text_cols: frozenset = frozenset()):
                 plain.append(e)
         if len(structural) > 1:
             raise UnsupportedSelector("multiple structural conjuncts")
-        pred = (_compound_predicate(S.And(plain), text_cols)
-                if plain else F.lit(True))
-        return pred, (structural[0] if structural else None), has_evals
+        preds, set_evals = [], []
+        for e in plain:
+            try:
+                preds.append(_compound_predicate(e, text_cols))
+            except UnsupportedSelector:
+                if isinstance(e, S.Not):
+                    set_evals.append((e.inner, True))
+                elif isinstance(e, S.Is):
+                    set_evals.append((e.inner, False))
+                else:
+                    raise
+        pred = preds[0] if preds else F.lit(True)
+        for p in preds[1:]:
+            pred = pred & p
+        return (pred, (structural[0] if structural else None), has_evals,
+                set_evals)
     if isinstance(ev, _STRUCT):
-        return F.lit(True), ev, []
+        return F.lit(True), ev, [], []
     if isinstance(ev, S.Has):
-        return F.lit(True), None, [(ev, False)]
+        return F.lit(True), None, [(ev, False)], []
     if isinstance(ev, S.Not) and isinstance(ev.inner, S.Has):
-        return F.lit(True), None, [(ev.inner, True)]
-    return _compound_predicate(ev, text_cols), None, []
+        return F.lit(True), None, [(ev.inner, True)], []
+    try:
+        return _compound_predicate(ev, text_cols), None, [], []
+    except UnsupportedSelector:
+        if isinstance(ev, S.Not):
+            return F.lit(True), None, [], [(ev.inner, True)]
+        if isinstance(ev, S.Is):
+            return F.lit(True), None, [], [(ev.inner, False)]
+        raise
 
 
 def _scan_needed(ev, out: set) -> set:
@@ -365,28 +401,42 @@ def compile_selector(nodes: DataFrame, css: str) -> DataFrame:
     return _compile_eval(nodes, ev, avail)
 
 
-def _split_inner(inner, text_cols: frozenset = frozenset()):
-    """Decompose a :has inner evaluator into (plain predicate, structural).
+_STRUCT_T = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
+             S.PreviousSibling)
+# ctx-root-sensitive pseudos: the kernel binds them to ctx.root (the :has
+# subject inside :has inners — IsRoot: el == root; IndexLessThan: el != root)
+_CTXROOT_T = (S.IsRoot, S.IndexLessThan)
 
-    Raises UnsupportedSelector for shapes the relational form can't
-    express (nested :has, >1 structural conjunct, Or over structural)."""
-    _STRUCT = (S.Ancestor, S.ImmediateParentRun, S.ImmediatePrevious,
-               S.PreviousSibling)
-    if isinstance(inner, S.And):
-        structural, plain = [], []
-        for e in inner.evals:
-            if isinstance(e, _STRUCT):
-                structural.append(e)
-            else:
-                plain.append(e)
-        if len(structural) > 1:
-            raise UnsupportedSelector(":has with multiple structural conjuncts")
-        pred = (_compound_predicate(S.And(plain), text_cols)
-                if plain else F.lit(True))
-        return pred, (structural[0] if structural else None)
-    if isinstance(inner, _STRUCT):
-        return F.lit(True), inner
-    return _compound_predicate(inner, text_cols), None
+
+def _flatten_and(ev) -> list:
+    if isinstance(ev, S.And):
+        out = []
+        for e in ev.evals:
+            out.extend(_flatten_and(e))
+        return out
+    return [ev]
+
+
+def _contains(ev, types, into_has: bool = False) -> bool:
+    """Does the evaluator tree contain an instance of ``types``?  With
+    into_has=False the walk stops at nested :has boundaries — a nested
+    Has runs with its OWN root (Has.matches builds EvalCtx(doc, el)) and
+    re-applies its own guards when compiled recursively."""
+    if isinstance(ev, types):
+        return True
+    if not into_has and isinstance(ev, S.Has):
+        return False
+    for attr in ("inner", "evals", "chain"):
+        sub = getattr(ev, attr, None)
+        if isinstance(sub, (S.Evaluator, _Parent)):
+            if _contains(sub, types, into_has):
+                return True
+        elif isinstance(sub, (list, tuple)):
+            for e in sub:
+                if isinstance(e, (S.Evaluator, _Parent)) and _contains(
+                        e, types, into_has):
+                    return True
+    return False
 
 
 def _interval_semi(out: DataFrame, w: DataFrame) -> DataFrame:
@@ -434,82 +484,140 @@ def _norm_spine(ev):
     return ev
 
 
-def _digest_level(ev, text_cols: frozenset):
-    """One normalized spine-node evaluator -> (pred, sibs, continuation).
+class _Digest:
+    """Compiled description of 'the element rows matching this compound':
+    a column predicate, same-parent sibling constraints (each itself a
+    digest), nested :has attachments (semi/anti), and :not-set anti
+    digests.  Realized as a DataFrame by _mk_set."""
 
-    pred: compound column predicate tested AT the node.  sibs: list of
-    ('+'|'~', pred) same-parent sibling constraints (compound-only
-    inners).  continuation: ('anc'|'parent', inner) — the spine link
-    ABOVE this node, or None.  A sibling attachment whose inner carries
-    its own continuation LIFTS it onto this level: the sibling shares
-    this node's parent, so its ancestor/parent walk visits exactly the
-    same nodes (selector.py Ancestor.matches starts at doc.parent[el])."""
-    parts = list(ev.evals) if isinstance(ev, S.And) else [ev]
-    preds, sibs, cont = [], [], None
+    __slots__ = ("pred", "sibs", "hases", "antis")
+
+    def __init__(self, pred, sibs=(), hases=(), antis=()):
+        self.pred = pred
+        self.sibs = list(sibs)
+        self.hases = list(hases)
+        self.antis = list(antis)
+
+
+def _digest_level(ev, text_cols: frozenset):
+    """One normalized spine-node evaluator -> (_Digest, continuation).
+
+    The digest captures everything tested AT the node: the compound
+    column predicate, ('+'|'~', digest) same-parent sibling constraints
+    (nested sibling chains supported — the sibling set is itself a
+    digest), nested :has/:not(:has) attachments (the kernel's nested Has
+    roots at the TESTED node — Has.matches builds EvalCtx(doc, el) — so
+    they are subject-independent and compile by recursion), and
+    :not(compound-with-sets) anti digests.  continuation:
+    ('anc'|'parent', inner) — the spine link ABOVE this node, or None.
+    A sibling attachment whose inner carries a continuation LIFTS it onto
+    this level: the sibling shares this node's parent, so its
+    ancestor/parent walk visits exactly the same nodes (selector.py
+    Ancestor.matches starts at doc.parent[el]); lifting cascades through
+    nested sibling chains (all share the one parent)."""
+    parts = _flatten_and(ev)
+    preds, sibs, hases, antis, cont = [], [], [], [], None
+
+    def _set_cont(c):
+        nonlocal cont
+        if cont is not None:
+            raise UnsupportedSelector(":has twin spine continuations")
+        cont = c
+
     for e in parts:
         if isinstance(e, (S.Ancestor, _Parent)):
-            if cont is not None:
-                raise UnsupportedSelector(":has twin spine continuations")
-            cont = ("anc" if isinstance(e, S.Ancestor) else "parent", e.inner)
+            _set_cont(("anc" if isinstance(e, S.Ancestor) else "parent",
+                       e.inner))
         elif isinstance(e, (S.ImmediatePrevious, S.PreviousSibling)):
             kind = "+" if isinstance(e, S.ImmediatePrevious) else "~"
-            sp, ssibs, scont = _digest_level(e.inner, text_cols)
-            if ssibs:
-                raise UnsupportedSelector(":has sibling-of-sibling")
+            if isinstance(e.inner, S.Root):
+                # sibling-of-root (':has(~ p)'): the Has loop only visits
+                # descendants, never a sibling of the subject — kernel
+                # never-match (StructuralEvaluator.kt:50-99)
+                preds.append(F.lit(False))
+                continue
+            sdg, scont = _digest_level(e.inner, text_cols)
             if scont is not None:
-                if cont is not None:
-                    raise UnsupportedSelector(":has twin spine continuations")
-                cont = scont
-            sibs.append((kind, sp))
+                _set_cont(scont)
+            sibs.append((kind, sdg))
+        elif isinstance(e, S.Has):
+            hases.append((e, False))
         else:
-            preds.append(e)
-    pred = (_compound_predicate(S.And(preds), text_cols)
-            if preds else F.lit(True))
-    return pred, sibs, cont
+            try:
+                preds.append(_compound_predicate(e, text_cols))
+            except UnsupportedSelector:
+                if not isinstance(e, S.Not):
+                    raise
+                if isinstance(e.inner, S.Has):
+                    hases.append((e.inner, True))
+                    continue
+                adg, acont = _digest_level(e.inner, text_cols)
+                if acont is not None:
+                    # :not over a descendant/child chain inside :has is
+                    # ctx-root-bounded in the kernel — kernel fallback
+                    raise
+                antis.append(adg)
+    pred = preds[0] if preds else F.lit(True)
+    for p in preds[1:]:
+        pred = pred & p
+    return _Digest(pred, sibs, hases, antis), cont
 
 
 def _unroll_spine(cont, text_cols: frozenset):
     """Continuation above the witness -> (levels, links).
 
-    levels[j] = (pred, sibs) for spine level j+1 (closest-to-witness
-    first); links[j] connects level j to level j+1 (level 0 = witness):
-    'anc' = subject-bounded interval-ancestor (the descendant
-    combinator), 'parent' = exact-parent equi link (never
-    subject-bounded)."""
+    levels[j] = _Digest for spine level j+1 (closest-to-witness first);
+    links[j] connects level j to level j+1 (level 0 = witness): 'anc' =
+    subject-bounded interval-ancestor (the descendant combinator),
+    'parent' = exact-parent equi link (never subject-bounded)."""
     levels, links = [], []
     while cont is not None:
         link, inner = cont
-        pred, sibs, cont = _digest_level(inner, text_cols)
+        dg, cont = _digest_level(inner, text_cols)
         links.append(link)
-        levels.append((pred, sibs))
+        levels.append(dg)
     return levels, links
 
 
-def _sib_semi(df: DataFrame, sibs, elems: DataFrame,
-              doc_col="doc_id", par_col="parent_id",
-              esi_col="elem_sibling_index") -> DataFrame:
-    """Constrain df rows to those with a matching previous element sibling
-    per ('+'|'~', pred) spec — '+' is the NEAREST previous element
-    (elem index - 1), '~' any previous element (Evaluator semantics via
-    ImmediatePrevious/PreviousSibling, selector.py)."""
-    for kind, sp in sibs:
-        sib = elems.filter(sp).select(
+def _mk_set(nodes: DataFrame, elems: DataFrame, src: DataFrame,
+            dg: _Digest, text_cols: frozenset) -> DataFrame:
+    """Realize a digest over src rows: predicate filter, nested :has
+    semi/anti joins (recursion through _apply_has — exact because the
+    kernel's nested Has roots at the tested node), :not-set anti joins
+    (built over the SAME src so document rows participate exactly as the
+    kernel tests them), and previous-sibling semi-joins ('+' = nearest
+    previous element via elem index - 1, '~' = any previous element;
+    sibling sets are element-only, as in the kernel walk)."""
+    s = src.filter(dg.pred)
+    for h, neg in dg.hases:
+        s = _apply_has(nodes, s, h, text_cols, neg)
+    for adg in dg.antis:
+        a = _mk_set(nodes, elems, src, adg, text_cols).select(
+            F.col("doc_id").alias("_an_doc"),
+            F.col("node_id").alias("_an_id"))
+        s = s.join(
+            a,
+            (s["doc_id"] == a["_an_doc"]) & (s["node_id"] == a["_an_id"]),
+            "left_anti")
+    for kind, sdg in dg.sibs:
+        sib = _mk_set(nodes, elems, elems, sdg, text_cols).select(
             F.col("doc_id").alias("_sb_doc"),
             F.col("parent_id").alias("_sb_par"),
             F.col("elem_sibling_index").alias("_sb_si"))
-        rel = (df[esi_col] == sib["_sb_si"] + 1) if kind == "+" \
-            else (df[esi_col] > sib["_sb_si"])
-        df = df.join(
+        rel = (s["elem_sibling_index"] == sib["_sb_si"] + 1) if kind == "+" \
+            else (s["elem_sibling_index"] > sib["_sb_si"])
+        s = s.join(
             sib,
-            (df[doc_col] == sib["_sb_doc"])
-            & (df[par_col] == sib["_sb_par"]) & rel,
+            (s["doc_id"] == sib["_sb_doc"])
+            & (s["parent_id"] == sib["_sb_par"]) & rel,
             "left_semi",
         )
-    return df
+    return s
 
 
 def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
-               wset: DataFrame, levels, links) -> DataFrame:
+               wset: DataFrame, levels, links,
+               text_cols: frozenset = frozenset()) -> DataFrame:
     """':has' spine of arbitrary depth mixing descendant and child links
     (':has(a b c)', ':has(a > b c)', ':has(a b > c)', sibling-attached
     levels like ':has(a + b c)').
@@ -538,10 +646,8 @@ def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
       link INTO the subject admits a Document subject; a 'parent' link
       does not.
     """
-    def _lvl(src, spec):
-        pred, sibs = spec
-        s = src.filter(pred)
-        return _sib_semi(s, sibs, elems)
+    def _lvl(src, dg):
+        return _mk_set(nodes, elems, src, dg, text_cols)
 
     def _fold_up(base: DataFrame, n: int) -> DataFrame:
         # attach, per witness row, spine levels 1..n (innermost-first);
@@ -695,67 +801,65 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
       any depth): _has_spine — interval joins for the subject-bounded
       descendant links, parent equi joins for child links, sibling
       semi-joins per level
+    - nested ':has' / ':not(:has ...)' at ANY position (witness, spine
+      level, sibling, chain entry): the kernel's nested Has roots at the
+      TESTED node (Has.matches builds EvalCtx(doc, el)), so it is
+      subject-independent and compiles by recursion through _mk_set
+    - sibling-of-sibling chains (':has(em ~ p + span)') via nested
+      sibling digests; ':not(compound + sib / :has ...)' via anti-sets
 
     Sibling-of-root forms (':has(~ p)') compile to the kernel's
-    never-match; the remaining UnsupportedSelector shapes (rooted chains
-    with non-compound entries, sibling-of-sibling, nested :has) fall back
-    to the kernel path."""
-    plain, struct = _split_inner(has_ev.inner, text_cols)
+    never-match.  The remaining UnsupportedSelector shapes fall back to
+    the kernel path: rooted chains with a descendant tail (':has(> p
+    span)'), :not over a combinator chain inside :has, and ctx-root-
+    sensitive pseudos (:root, :lt) in STRUCTURAL inners — the kernel
+    binds those to the :has subject (IsRoot: el == ctx.root;
+    IndexLessThan: el != ctx.root) and a spine node can BE the subject,
+    so the global-root column compile would lie.  In plain (witness-only)
+    inners both semantics provably coincide — witnesses are strict
+    descendants of the subject — so those stay compiled."""
+    inner = has_ev.inner
     elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
+    conjs = _flatten_and(inner)
+    structs = [e for e in conjs if isinstance(e, _STRUCT_T)]
+    if len(structs) > 1:
+        raise UnsupportedSelector(":has with multiple structural conjuncts")
+    if _contains(inner, _STRUCT_T) and _contains(inner, _CTXROOT_T):
+        raise UnsupportedSelector(
+            ":root/:lt inside a structural :has inner is subject-bound")
 
-    if struct is None:
-        w = elems.filter(plain).select(
-            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"))
-        return _interval_semi(out, w)
-
-    def _wset(pred, sibs=()):
-        w = elems.filter(pred).select(
-            F.col("doc_id").alias("doc_id"),
-            F.col("node_id").alias("node_id"),
-            F.col("parent_id").alias("parent_id"),
-            F.col("elem_sibling_index").alias("elem_sibling_index"))
-        w = _sib_semi(w, sibs, elems)
-        return w.select(
-            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
-            F.col("parent_id").alias("_w_par"))
-
-    if isinstance(struct, S.Ancestor):
-        levels, links = _unroll_spine(
-            ("anc", _norm_spine(struct.inner)), text_cols)
-        return _has_spine(nodes, elems, out, _wset(plain), levels, links)
-
-    if isinstance(struct, S.ImmediateParentRun):
-        chain = struct.chain
-        rooted = isinstance(chain[0], S.Root)
-        entries = list(chain[1:]) if rooted else list(chain)
-        if not entries or any(isinstance(e, S.Root) for e in entries):
+    st = structs[0] if structs else None
+    if isinstance(st, S.ImmediateParentRun) and isinstance(st.chain[0],
+                                                           S.Root):
+        # rooted child run ':has(> a > b)': Root pins the topmost parent
+        # to the subject row itself
+        entries = list(st.chain[1:])
+        if not entries or any(_contains(e, (S.Root,)) for e in entries):
             raise UnsupportedSelector(":has chain shape")
-        try:
-            entry_preds = [_compound_predicate(e, text_cols)
-                           for e in entries]
-        except UnsupportedSelector:
-            if rooted:
-                # rooted chains pin the top to the subject row — the spine
-                # form has no such pin; keep nested rooted runs kernel-side
-                raise
-            # nested structurals inside the run -> generalized spine
-            pred0, sibs0, cont = _digest_level(
-                _norm_spine(struct), text_cols)
-            if cont is None:
-                return _interval_semi(
-                    out, _wset(plain & pred0, sibs0)
-                    .select("_w_doc", "_w_d"))
-            levels, links = _unroll_spine(cont, text_cols)
-            return _has_spine(nodes, elems, out,
-                              _wset(plain & pred0, sibs0), levels, links)
-        dpred = entry_preds[-1] & plain
-        w = elems.filter(dpred).select(
+        edgs = []
+        for e in entries:
+            dg, c = _digest_level(_norm_spine(e), text_cols)
+            if c is not None:
+                # a descendant chain hanging off a rooted-run entry — the
+                # Root pin and the spine's subject bounds don't compose
+                raise UnsupportedSelector(":has rooted chain with spine tail")
+            edgs.append(dg)
+        w = _mk_set(nodes, elems, elems, edgs[-1], text_cols)
+        plain_parts = [e for e in conjs if e is not st]
+        if plain_parts:
+            pdg, pc = _digest_level(_norm_spine(
+                S.And(plain_parts) if len(plain_parts) > 1
+                else plain_parts[0]), text_cols)
+            if pc is not None:
+                raise UnsupportedSelector(":has twin spine continuations")
+            w = _mk_set(nodes, elems, w, pdg, text_cols)
+        w = w.select(
             F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
             F.col("parent_id").alias("_w_up"))
-        for ep in reversed(entry_preds[:-1]):
+        for dg in reversed(edgs[:-1]):
             # parents filter to kind==ELEMENT: the kernel walk fails on
             # reaching the document for non-Root entries
-            par = elems.filter(ep).select(
+            par = _mk_set(nodes, elems, elems, dg, text_cols).select(
                 F.col("doc_id").alias("_p_doc"),
                 F.col("node_id").alias("_p_id"),
                 F.col("parent_id").alias("_p_up"))
@@ -764,55 +868,39 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                        & (w["_w_up"] == par["_p_id"]))
                 .select("_w_doc", "_w_d", F.col("_p_up").alias("_w_up"))
             )
-        if rooted:
-            # Root consumes the next parent step: the subject IS that node
-            # (works for a Document subject too — node_id equality)
-            return out.join(
-                w,
-                (out["doc_id"] == w["_w_doc"])
-                & (out["node_id"] == w["_w_up"]),
-                "left_semi",
-            )
-        return _interval_semi(out, w.select("_w_doc", "_w_d"))
+        # Root consumes the next parent step: the subject IS that node
+        # (works for a Document subject too — node_id equality)
+        return out.join(
+            w,
+            (out["doc_id"] == w["_w_doc"]) & (out["node_id"] == w["_w_up"]),
+            "left_semi",
+        )
 
-    # ImmediatePrevious / PreviousSibling
-    if isinstance(struct.inner, S.Root):
-        # ':has(~ p)' / ':has(+ p)': the Has loop only visits descendants,
-        # and a sibling of the subject is never a descendant — the kernel
-        # never matches these (StructuralEvaluator.kt:50-99); compile the
-        # same never-match so corpus queries stay on the relational path
-        return out.where(F.lit(False))
-    kind = "+" if isinstance(struct, S.ImmediatePrevious) else "~"
-    try:
-        xpred = _compound_predicate(struct.inner, text_cols)
-    except UnsupportedSelector:
-        # structural sibling inner (':has(a b + c)'): digest and LIFT the
-        # sibling's spine onto the witness level (same-parent walk)
-        sp, ssibs, scont = _digest_level(
-            _norm_spine(struct.inner), text_cols)
-        if ssibs or scont is None:
-            raise
-        levels, links = _unroll_spine(scont, text_cols)
-        return _has_spine(nodes, elems, out,
-                          _wset(plain, [(kind, sp)]), levels, links)
-    d = elems.filter(plain).select(
+    dg, cont = _digest_level(_norm_spine(inner), text_cols)
+    w = _mk_set(nodes, elems, elems, dg, text_cols)
+    wset = w.select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
-        F.col("parent_id").alias("_d_par"),
-        F.col("elem_sibling_index").alias("_d_si"))
-    prev = elems.filter(xpred).select(
-        F.col("doc_id").alias("_p_doc"), F.col("parent_id").alias("_p_par"),
-        F.col("elem_sibling_index").alias("_p_si"))
-    sicond = (
-        (d["_d_si"] == prev["_p_si"] + 1)
-        if kind == "+"
-        else (d["_d_si"] > prev["_p_si"])
-    )
-    w = d.join(
-        prev,
-        (d["_w_doc"] == prev["_p_doc"]) & (d["_d_par"] == prev["_p_par"])
-        & sicond,
-    ).select("_w_doc", "_w_d")
-    return _interval_semi(out, w)
+        F.col("parent_id").alias("_w_par"))
+    if cont is None:
+        return _interval_semi(out, wset.select("_w_doc", "_w_d"))
+    levels, links = _unroll_spine(cont, text_cols)
+    if all(link == "parent" for link in links):
+        # pure child chain: the kernel's ImmediateParentRun walk is never
+        # subject-bounded (no root test, StructuralEvaluator.kt:164-200) —
+        # fold unbounded parent equi-joins, interval-pin the witness only
+        w2 = wset.withColumnRenamed("_w_par", "_w_up")
+        for ldg in levels:
+            par = _mk_set(nodes, elems, elems, ldg, text_cols).select(
+                F.col("doc_id").alias("_p_doc"),
+                F.col("node_id").alias("_p_id"),
+                F.col("parent_id").alias("_p_up"))
+            w2 = (
+                w2.join(par, (w2["_w_doc"] == par["_p_doc"])
+                        & (w2["_w_up"] == par["_p_id"]))
+                .select("_w_doc", "_w_d", F.col("_p_up").alias("_w_up"))
+            )
+        return _interval_semi(out, w2.select("_w_doc", "_w_d"))
+    return _has_spine(nodes, elems, out, wset, levels, links, text_cols)
 
 
 def _compile_eval(nodes: DataFrame, ev, text_cols: frozenset = frozenset()) -> DataFrame:
@@ -827,8 +915,21 @@ def _compile_eval(nodes: DataFrame, ev, text_cols: frozenset = frozenset()) -> D
             part = _compile_eval(nodes, sub, text_cols)
             out = part if out is None else out.unionByName(part)
         return out.dropDuplicates(["doc_id", "node_id"])
-    pred, structural, has_evals = _split_structural(ev, text_cols)
+    pred, structural, has_evals, set_evals = _split_structural(ev, text_cols)
     subject = elements.filter(pred)
+    for se, neg in set_evals:
+        # top-level :not(X)/:is(X) with combinators or :has inside X: the
+        # kernel evaluates X with the document as root, so the match set
+        # is exactly the compiled selector — anti/semi join on node keys
+        m = _compile_eval(nodes, se, text_cols).select(
+            F.col("doc_id").alias("_se_doc"),
+            F.col("node_id").alias("_se_id"))
+        subject = subject.join(
+            m,
+            (subject["doc_id"] == m["_se_doc"])
+            & (subject["node_id"] == m["_se_id"]),
+            "left_anti" if neg else "left_semi",
+        )
     if structural is None:
         out = subject
         for h, neg in has_evals:

@@ -185,6 +185,24 @@ QUERIES = [
     "div:has(section > article p):has(span)",
     "div:not(:has(div > p))",
     "section:not(:has(article > p span)) p",
+    # nested :has / sibling-of-sibling / set-form :not — round 5
+    "div:has(p:has(span))",
+    "body:has(div:has(p) span)",
+    "div:has(section:has(article) > div)",
+    "*:has(p:has(em):has(span))",
+    "div:has(p:not(:has(span)))",
+    "body:has(div:has(p:has(span)))",
+    "div:has(em ~ p + span)",
+    "body:has(a ~ p ~ span)",
+    "div:has(div em + p ~ span)",
+    "section:has(p + p + p)",
+    "div:has(> p:has(span))",
+    "body:has(> div:has(p) > section)",
+    "div:not(p + div)",
+    "div:not(section > div)",
+    "span:not(div b)",
+    "body *:not(div p)",
+    "div:not(:has(p:has(span)))",
 ]
 
 
@@ -218,16 +236,22 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # nested :has inside :has — predicate form can't express it
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(p:has(span))")
-    # rooted chains with further structure keep the kernel path (the Root
+    # rooted chains with a descendant tail keep the kernel path (the Root
     # pin and the spine's subject bounds don't compose)
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(> p span)")
-    # sibling-of-sibling inside :has — kernel path
+    # :not over a combinator chain inside :has — ctx-root-bounded
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(em ~ p + span)")
+        nodequery.compile_selector(nodes, "div:has(p:not(a b))")
+    # ctx-root-sensitive pseudos in structural :has inners: the kernel
+    # binds :root/:lt to the :has subject; a spine node can BE the
+    # subject, so the global-root compile would lie — kernel fallback
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(div:lt(2) p)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(:root p)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(nodes, "div:has(p:lt(3) > span)")
     # :matchText without the match_text rewrite — kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:matchText")
@@ -466,21 +490,31 @@ def _gen_fuzz_docs_and_queries():
                               for _ in range(rng.randint(1, 3))))
             for i in range(10)]
 
-    def compound():
+    def compound(depth=0):
         t = rng.choice(tags + ["*"])
         if rng.random() < 0.3:
             t += f".x{rng.randint(0, 2)}"
+        if depth < 2:
+            r = rng.random()
+            if r < 0.15:
+                t += f":has({compound(depth + 1)})"
+            elif r < 0.22:
+                t += f":not(:has({compound(depth + 1)}))"
         return t
 
     queries = []
-    for _ in range(40):
+    for _ in range(60):
         n = rng.randint(2, 4)
         parts = [compound()]
         for _ in range(n - 1):
             parts.append(rng.choice([" ", " > "]))
             parts.append(compound())
-        if rng.random() < 0.5:
-            parts[rng.randrange(1, len(parts), 2)] = rng.choice([" + ", " ~ "])
+        # swap up to two combinators for sibling links (adjacent swaps
+        # produce sibling-of-sibling chains)
+        for _ in range(2):
+            if rng.random() < 0.4:
+                parts[rng.randrange(1, len(parts), 2)] = \
+                    rng.choice([" + ", " ~ "])
         inner = "".join(parts)
         css = f"{compound()}:has({inner})"
         if rng.random() < 0.25:
