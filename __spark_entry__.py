@@ -558,9 +558,28 @@ def q_nodequery_has(spark, sf_dir):
         F.lit("</main>"),
     )
     nodes = extract.node_table_df(d.select("doc_id", html.alias("html")))
-    matched = nodequery.compile_selector(nodes, "div.b:has(div p)")
-    return matched.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("int").alias("n_has")
+
+    def _cnt(css, name):
+        m = nodequery.compile_selector(nodes, css)
+        return m.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("int").alias(name))
+
+    # round 5: the same subtree answered through the NESTED-:has recursion
+    # (div:has(p) roots at the tested div — same match set as the spine
+    # form) and through a sibling join whose left side is a compiled
+    # spine-:has (subject block i is preceded by a p-block iff i%3==2)
+    has_cnt = _cnt("div.b:has(div p)", "n_has")
+    nested = _cnt("div.b:has(div:has(p))", "n_nested")
+    sib = _cnt("div.b:has(div p) + div.b", "n_sibhas")
+    return (
+        has_cnt.join(nested, "doc_id", "left").join(sib, "doc_id", "left")
+        .select(
+            "doc_id", "n_has",
+            F.coalesce(F.col("n_nested"), F.lit(0)).cast("int")
+            .alias("n_nested"),
+            F.coalesce(F.col("n_sibhas"), F.lit(0)).cast("int")
+            .alias("n_sibhas"),
+        )
     )
 
 
@@ -1011,7 +1030,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(list_filter(string_split(text, ' '),
                                         (w, i) -> (i-1) % 3 = 1)) AS INT)
-                     AS n_has
+                     AS n_has,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        (w, i) -> (i-1) % 3 = 1)) AS INT)
+                     AS n_nested,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        (w, i) -> (i-1) % 3 = 2)) AS INT)
+                     AS n_sibhas
             FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   (w, i) -> (i-1) % 3 = 1)) > 0
