@@ -463,16 +463,37 @@ class _Parent:
         self.cost = getattr(inner, "cost", 1) + 1
 
 
+class _RootPin:
+    """Normalization marker for a Root-anchored run step: the node's EXACT
+    parent IS the :has subject (the kernel's IPR walk tests Root at the
+    parent — chain[0] is Root, selector.py ImmediateParentRun.matches).
+    Root is outermost in its run, so a pin always lands on the TOPMOST
+    spine level; the node is strictly below the subject, so no
+    subject-is-intermediate-witness branch can coexist with it."""
+
+    cost = 1
+
+
 def _norm_spine(ev):
     """Rewrite ImmediateParentRun chains as nested _Parent steps so every
     structural link is a unary wrapper: run [a, b] (outermost-first) means
-    'node matches b AND parent matches a' -> And(b, _Parent(a)).  Rooted
-    runs stay on the dedicated rooted branch -> raise here."""
+    'node matches b AND parent matches a' -> And(b, _Parent(a)); rooted
+    runs [Root, a, b] pin the outermost level to the subject ->
+    And(b, _Parent(And(a, _RootPin())))."""
     if isinstance(ev, S.ImmediateParentRun):
-        if any(isinstance(e, S.Root) for e in ev.chain):
-            raise UnsupportedSelector(":has rooted chain in spine")
-        cur = _norm_spine(ev.chain[0])
-        for e in ev.chain[1:]:
+        chain = ev.chain
+        if isinstance(chain[0], S.Root):
+            if len(chain) < 2 or any(isinstance(e, S.Root)
+                                     for e in chain[1:]):
+                raise UnsupportedSelector(":has chain shape")
+            cur = S.And([_norm_spine(chain[1]), _RootPin()])
+            rest = chain[2:]
+        else:
+            if any(isinstance(e, S.Root) for e in chain):
+                raise UnsupportedSelector(":has chain shape")
+            cur = _norm_spine(chain[0])
+            rest = chain[1:]
+        for e in rest:
             cur = S.And([_norm_spine(e), _Parent(cur)])
         return cur
     if isinstance(ev, S.And):
@@ -490,13 +511,14 @@ class _Digest:
     digest), nested :has attachments (semi/anti), and :not-set anti
     digests.  Realized as a DataFrame by _mk_set."""
 
-    __slots__ = ("pred", "sibs", "hases", "antis")
+    __slots__ = ("pred", "sibs", "hases", "antis", "pin_root")
 
-    def __init__(self, pred, sibs=(), hases=(), antis=()):
+    def __init__(self, pred, sibs=(), hases=(), antis=(), pin_root=False):
         self.pred = pred
         self.sibs = list(sibs)
         self.hases = list(hases)
         self.antis = list(antis)
+        self.pin_root = pin_root
 
 
 def _digest_level(ev, text_cols: frozenset):
@@ -517,6 +539,7 @@ def _digest_level(ev, text_cols: frozenset):
     nested sibling chains (all share the one parent)."""
     parts = _flatten_and(ev)
     preds, sibs, hases, antis, cont = [], [], [], [], None
+    pin = False
 
     def _set_cont(c):
         nonlocal cont
@@ -524,8 +547,16 @@ def _digest_level(ev, text_cols: frozenset):
             raise UnsupportedSelector(":has twin spine continuations")
         cont = c
 
+    def _set_pin():
+        nonlocal pin
+        if pin:
+            raise UnsupportedSelector(":has twin root pins")
+        pin = True
+
     for e in parts:
-        if isinstance(e, (S.Ancestor, _Parent)):
+        if isinstance(e, _RootPin):
+            _set_pin()
+        elif isinstance(e, (S.Ancestor, _Parent)):
             _set_cont(("anc" if isinstance(e, S.Ancestor) else "parent",
                        e.inner))
         elif isinstance(e, (S.ImmediatePrevious, S.PreviousSibling)):
@@ -539,6 +570,11 @@ def _digest_level(ev, text_cols: frozenset):
             sdg, scont = _digest_level(e.inner, text_cols)
             if scont is not None:
                 _set_cont(scont)
+            if sdg.pin_root:
+                # pin LIFTS like a continuation: siblings share the parent,
+                # so 'sibling is a child of the subject' pins this node too
+                _set_pin()
+                sdg.pin_root = False
             sibs.append((kind, sdg))
         elif isinstance(e, S.Has):
             hases.append((e, False))
@@ -552,15 +588,18 @@ def _digest_level(ev, text_cols: frozenset):
                     hases.append((e.inner, True))
                     continue
                 adg, acont = _digest_level(e.inner, text_cols)
-                if acont is not None:
+                if acont is not None or adg.pin_root:
                     # :not over a descendant/child chain inside :has is
                     # ctx-root-bounded in the kernel — kernel fallback
                     raise
                 antis.append(adg)
+    if pin and cont is not None:
+        # a pinned node has the subject as parent — nothing sits above it
+        raise UnsupportedSelector(":has pin below a spine continuation")
     pred = preds[0] if preds else F.lit(True)
     for p in preds[1:]:
         pred = pred & p
-    return _Digest(pred, sibs, hases, antis), cont
+    return _Digest(pred, sibs, hases, antis, pin), cont
 
 
 def _unroll_spine(cont, text_cols: frozenset):
@@ -677,12 +716,16 @@ def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
         F.col("_w_d").alias("_cur"), F.col("_w_par").alias("_cur_par"))
     k = len(levels)
 
-    # branch A: fully bounded chain, topmost node element-or-subject
+    # branch A: fully bounded chain, topmost node element-or-subject (a
+    # PINNED top — rooted run ':has(> a b)' — is an element child of the
+    # subject: the kernel tests Root at its parent, so the subject itself
+    # and the document can never sit at a pinned level)
+    pinned = levels[k - 1].pin_root
     w = _fold_up(base, k - 1)
     top_link = links[k - 1]
     top_src = nodes.filter(
         (F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND)
-    ) if top_link == "anc" else elems
+    ) if top_link == "anc" and not pinned else elems
     top = _lvl(top_src, levels[k - 1]).select(
         F.col("doc_id").alias("_a_doc"),
         F.col("node_id").alias("_w_a"),
@@ -696,7 +739,18 @@ def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
     else:
         tcond = ((w["_w_doc"] == top["_a_doc"])
                  & (top["_w_a"] == w["_cur_par"]))
-    w = w.join(top, tcond).select("_w_doc", "_w_a", "_w_d")
+    w = w.join(top, tcond).select("_w_doc", "_w_a", "_w_d",
+                                  F.col("_a_par").alias("_w_apar"))
+    if pinned:
+        # the pin (top's parent == subject) already places the whole chain
+        # strictly inside the subject's subtree, and the subject can never
+        # BE a spine node — single branch, node_id equality join
+        return out.join(
+            w,
+            (out["doc_id"] == w["_w_doc"])
+            & (out["node_id"] == w["_w_apar"]),
+            "left_semi",
+        )
     res = out.join(
         w,
         (out["doc_id"] == w["_w_doc"])
@@ -808,12 +862,16 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     - sibling-of-sibling chains (':has(em ~ p + span)') via nested
       sibling digests; ':not(compound + sib / :has ...)' via anti-sets
 
+    - rooted runs at ANY spine position (':has(> p)', ':has(> a > b)',
+      ':has(> a b)', ':has(> a + b)'): the Root anchor normalizes to a
+      _RootPin on the topmost level — parent-of-top == subject equi join,
+      single branch (the subject can never BE a pinned spine node)
+
     Sibling-of-root forms (':has(~ p)') compile to the kernel's
     never-match.  The remaining UnsupportedSelector shapes fall back to
-    the kernel path: rooted chains with a descendant tail (':has(> p
-    span)'), :not over a combinator chain inside :has, and ctx-root-
-    sensitive pseudos (:root, :lt) in STRUCTURAL inners — the kernel
-    binds those to the :has subject (IsRoot: el == ctx.root;
+    the kernel path: :not over a combinator chain inside :has, and
+    ctx-root-sensitive pseudos (:root, :lt) in STRUCTURAL inners — the
+    kernel binds those to the :has subject (IsRoot: el == ctx.root;
     IndexLessThan: el != ctx.root) and a spine node can BE the subject,
     so the global-root column compile would lie.  In plain (witness-only)
     inners both semantics provably coincide — witnesses are strict
@@ -828,66 +886,30 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         raise UnsupportedSelector(
             ":root/:lt inside a structural :has inner is subject-bound")
 
-    st = structs[0] if structs else None
-    if isinstance(st, S.ImmediateParentRun) and isinstance(st.chain[0],
-                                                           S.Root):
-        # rooted child run ':has(> a > b)': Root pins the topmost parent
-        # to the subject row itself
-        entries = list(st.chain[1:])
-        if not entries or any(_contains(e, (S.Root,)) for e in entries):
-            raise UnsupportedSelector(":has chain shape")
-        edgs = []
-        for e in entries:
-            dg, c = _digest_level(_norm_spine(e), text_cols)
-            if c is not None:
-                # a descendant chain hanging off a rooted-run entry — the
-                # Root pin and the spine's subject bounds don't compose
-                raise UnsupportedSelector(":has rooted chain with spine tail")
-            edgs.append(dg)
-        w = _mk_set(nodes, elems, elems, edgs[-1], text_cols)
-        plain_parts = [e for e in conjs if e is not st]
-        if plain_parts:
-            pdg, pc = _digest_level(_norm_spine(
-                S.And(plain_parts) if len(plain_parts) > 1
-                else plain_parts[0]), text_cols)
-            if pc is not None:
-                raise UnsupportedSelector(":has twin spine continuations")
-            w = _mk_set(nodes, elems, w, pdg, text_cols)
-        w = w.select(
-            F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
-            F.col("parent_id").alias("_w_up"))
-        for dg in reversed(edgs[:-1]):
-            # parents filter to kind==ELEMENT: the kernel walk fails on
-            # reaching the document for non-Root entries
-            par = _mk_set(nodes, elems, elems, dg, text_cols).select(
-                F.col("doc_id").alias("_p_doc"),
-                F.col("node_id").alias("_p_id"),
-                F.col("parent_id").alias("_p_up"))
-            w = (
-                w.join(par, (w["_w_doc"] == par["_p_doc"])
-                       & (w["_w_up"] == par["_p_id"]))
-                .select("_w_doc", "_w_d", F.col("_p_up").alias("_w_up"))
-            )
-        # Root consumes the next parent step: the subject IS that node
-        # (works for a Document subject too — node_id equality)
-        return out.join(
-            w,
-            (out["doc_id"] == w["_w_doc"]) & (out["node_id"] == w["_w_up"]),
-            "left_semi",
-        )
-
     dg, cont = _digest_level(_norm_spine(inner), text_cols)
     w = _mk_set(nodes, elems, elems, dg, text_cols)
     wset = w.select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),
         F.col("parent_id").alias("_w_par"))
     if cont is None:
+        if dg.pin_root:
+            # ':has(> p)' (or a pin lifted from ':has(> a + b)'): the
+            # witness's parent IS the subject — node_id equality, which
+            # serves a Document subject too
+            return out.join(
+                wset,
+                (out["doc_id"] == wset["_w_doc"])
+                & (out["node_id"] == wset["_w_par"]),
+                "left_semi",
+            )
         return _interval_semi(out, wset.select("_w_doc", "_w_d"))
     levels, links = _unroll_spine(cont, text_cols)
     if all(link == "parent" for link in links):
         # pure child chain: the kernel's ImmediateParentRun walk is never
         # subject-bounded (no root test, StructuralEvaluator.kt:164-200) —
-        # fold unbounded parent equi-joins, interval-pin the witness only
+        # fold unbounded parent equi-joins; pin the topmost parent to the
+        # subject for rooted runs (':has(> a > b)'), else interval-pin the
+        # witness only
         w2 = wset.withColumnRenamed("_w_par", "_w_up")
         for ldg in levels:
             par = _mk_set(nodes, elems, elems, ldg, text_cols).select(
@@ -898,6 +920,13 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                 w2.join(par, (w2["_w_doc"] == par["_p_doc"])
                         & (w2["_w_up"] == par["_p_id"]))
                 .select("_w_doc", "_w_d", F.col("_p_up").alias("_w_up"))
+            )
+        if levels[-1].pin_root:
+            return out.join(
+                w2,
+                (out["doc_id"] == w2["_w_doc"])
+                & (out["node_id"] == w2["_w_up"]),
+                "left_semi",
             )
         return _interval_semi(out, w2.select("_w_doc", "_w_d"))
     return _has_spine(nodes, elems, out, wset, levels, links, text_cols)

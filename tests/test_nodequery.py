@@ -203,6 +203,17 @@ QUERIES = [
     "span:not(div b)",
     "body *:not(div p)",
     "div:not(:has(p:has(span)))",
+    # rooted runs with tails (the _RootPin spine form) — round 5
+    "div:has(> p span)",
+    "div:has(> div p)",
+    "body:has(> div > section p)",
+    "div:has(> section b em)",
+    "section:has(> div + div)",
+    "div:has(> p ~ span)",
+    "body:has(> div ~ div p)",
+    "div:has(> div:has(p) span)",
+    "*:has(> p b)",
+    "div:not(:has(> div p))",
 ]
 
 
@@ -236,10 +247,6 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # rooted chains with a descendant tail keep the kernel path (the Root
-    # pin and the spine's subject bounds don't compose)
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(> p span)")
     # :not over a combinator chain inside :has — ctx-root-bounded
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(p:not(a b))")
@@ -516,6 +523,8 @@ def _gen_fuzz_docs_and_queries():
                 parts[rng.randrange(1, len(parts), 2)] = \
                     rng.choice([" + ", " ~ "])
         inner = "".join(parts)
+        if rng.random() < 0.3:
+            inner = "> " + inner  # rooted run -> the _RootPin spine form
         css = f"{compound()}:has({inner})"
         if rng.random() < 0.25:
             css = f"{compound()}:not(:has({inner}))"
