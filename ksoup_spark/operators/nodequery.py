@@ -1006,8 +1006,22 @@ def _compile_eval(nodes: DataFrame, ev, text_cols: frozenset = frozenset()) -> D
                 .drop("_p_doc", "_p_id", "_up")
                 .withColumnRenamed("_p_up", "_up")
             )
-        # subject predicate: the final chain entry
-        out = out.drop("_up").filter(_compound_predicate(chain[-1], text_cols))
+        # subject predicate: the final chain entry — a pure compound stays
+        # a filter; entries carrying :has/:not-sets ('section > div:has(p)')
+        # semi-join against their compiled set
+        out = out.drop("_up")
+        try:
+            out = out.filter(_compound_predicate(chain[-1], text_cols))
+        except UnsupportedSelector:
+            m = _compile_eval(nodes, chain[-1], text_cols).select(
+                F.col("doc_id").alias("_ce_doc"),
+                F.col("node_id").alias("_ce_id"))
+            out = out.join(
+                m,
+                (out["doc_id"] == m["_ce_doc"])
+                & (out["node_id"] == m["_ce_id"]),
+                "left_semi",
+            )
         return out.dropDuplicates(["doc_id", "node_id"])
     if isinstance(ev, (S.ImmediatePrevious, S.PreviousSibling)):
         prev = _compile_eval(nodes, ev.inner, text_cols).select(

@@ -203,6 +203,11 @@ QUERIES = [
     "span:not(div b)",
     "body *:not(div p)",
     "div:not(:has(p:has(span)))",
+    # :has inside top-level child-chain tails — round 5
+    "section > div:has(p)",
+    "body > div:has(span) em",
+    "section > div:not(:has(p))",
+    "div:has(p) > span",
     # rooted runs with tails (the _RootPin spine form) — round 5
     "div:has(> p span)",
     "div:has(> div p)",
