@@ -66,13 +66,27 @@ compile via nested sibling digests; top-level ``:not(X)``/``:is(X)``
 with combinators inside X compile as anti/semi joins against the
 compiled X set.
 
+Rooted :has runs with descendant tails (``:has(> p span)``,
+``:has(> div p)``) compile via _RootPin spine levels: the rooted run's
+topmost parent pins to the subject while the tail walks the interval.
+A chain-tail subject carrying a :has/:not-set (``section > div:has(p)``)
+semi-joins the tail against its own compiled set.
+
+``:not(X)``/``:is(X)`` inside :has compiles whenever X is ctx-root-
+INSENSITIVE — child/sibling links and compounds only (``p:not(a > p)``,
+``p:not(em + p)``): no evaluator in X consults ctx.root, so the kernel's
+per-node test equals global membership and an anti/semi-join against the
+compiled X set is exact.
+
 Unsupported pieces raise UnsupportedSelector — callers fall back to the
 kernel path (operators.extract.select_elements_df), which covers
-everything: rooted :has chains with a descendant tail (``:has(> p
-span)``), :not over a combinator chain inside :has, ctx-root-sensitive
-pseudos (:root, :lt) inside STRUCTURAL :has inners (the kernel binds
-them to the :has subject — a spine node can BE the subject, so the
-global-root compile would lie), and :matchText over a table built
+everything: :not over a DESCENDANT chain inside :has (the kernel's
+Ancestor walk inside :not is bounded to ctx.root = the :has subject
+inclusive — selector.py Ancestor.matches — and a spine node above the
+subject in an intermediate-witness branch walks unbounded instead, so
+the anti set is (subject, node)-pair-dependent and a node-level compile
+would lie), ctx-root-sensitive pseudos (:root, :lt) inside STRUCTURAL
+:has inners (same subject-binding), and :matchText over a table built
 without the rewrite.
 """
 
@@ -511,13 +525,15 @@ class _Digest:
     digest), nested :has attachments (semi/anti), and :not-set anti
     digests.  Realized as a DataFrame by _mk_set."""
 
-    __slots__ = ("pred", "sibs", "hases", "antis", "pin_root")
+    __slots__ = ("pred", "sibs", "hases", "antis", "gsets", "pin_root")
 
-    def __init__(self, pred, sibs=(), hases=(), antis=(), pin_root=False):
+    def __init__(self, pred, sibs=(), hases=(), antis=(), gsets=(),
+                 pin_root=False):
         self.pred = pred
         self.sibs = list(sibs)
         self.hases = list(hases)
         self.antis = list(antis)
+        self.gsets = list(gsets)
         self.pin_root = pin_root
 
 
@@ -538,7 +554,7 @@ def _digest_level(ev, text_cols: frozenset):
     Ancestor.matches starts at doc.parent[el]); lifting cascades through
     nested sibling chains (all share the one parent)."""
     parts = _flatten_and(ev)
-    preds, sibs, hases, antis, cont = [], [], [], [], None
+    preds, sibs, hases, antis, gsets, cont = [], [], [], [], [], None
     pin = False
 
     def _set_cont(c):
@@ -582,24 +598,44 @@ def _digest_level(ev, text_cols: frozenset):
             try:
                 preds.append(_compound_predicate(e, text_cols))
             except UnsupportedSelector:
-                if not isinstance(e, S.Not):
+                if not isinstance(e, (S.Not, S.Is)):
                     raise
-                if isinstance(e.inner, S.Has):
+                neg = isinstance(e, S.Not)
+                if neg and isinstance(e.inner, S.Has):
                     hases.append((e.inner, True))
                     continue
-                adg, acont = _digest_level(e.inner, text_cols)
-                if acont is not None or adg.pin_root:
-                    # :not over a descendant/child chain inside :has is
-                    # ctx-root-bounded in the kernel — kernel fallback
-                    raise
-                antis.append(adg)
+                if neg:
+                    try:
+                        adg, acont = _digest_level(e.inner, text_cols)
+                    except UnsupportedSelector:
+                        adg, acont = None, None
+                    if adg is not None and acont is None \
+                            and not adg.pin_root:
+                        antis.append(adg)
+                        continue
+                if not _contains(e.inner, _CTXROOT_T
+                                 + (S.Ancestor, S.Root, _RootPin)):
+                    # :not/:is over a ctx-root-INSENSITIVE chain (child /
+                    # sibling links + compounds only, no Ancestor walk,
+                    # no :root/:lt, no #root pin — kernel match results
+                    # cannot depend on ctx.root; nested :has rebinds root
+                    # at the tested node, so _contains stops there): the
+                    # kernel's per-node test equals global membership —
+                    # anti/semi-join the compiled selector set
+                    gsets.append((e.inner, neg))
+                    continue
+                # Ancestor walks inside :not ARE subject-bounded inside
+                # :has (selector.py Ancestor.matches stops at ctx.root,
+                # and spine nodes above the subject walk unbounded) —
+                # pair-dependent, kernel fallback
+                raise
     if pin and cont is not None:
         # a pinned node has the subject as parent — nothing sits above it
         raise UnsupportedSelector(":has pin below a spine continuation")
     pred = preds[0] if preds else F.lit(True)
     for p in preds[1:]:
         pred = pred & p
-    return _Digest(pred, sibs, hases, antis, pin), cont
+    return _Digest(pred, sibs, hases, antis, gsets, pin), cont
 
 
 def _unroll_spine(cont, text_cols: frozenset):
@@ -638,6 +674,16 @@ def _mk_set(nodes: DataFrame, elems: DataFrame, src: DataFrame,
             a,
             (s["doc_id"] == a["_an_doc"]) & (s["node_id"] == a["_an_id"]),
             "left_anti")
+    for gev, neg in dg.gsets:
+        # ctx-root-insensitive :not/:is chain — global membership equals
+        # the kernel's per-node test at any ctx.root (see _digest_level)
+        g = _compile_eval(nodes, gev, text_cols).select(
+            F.col("doc_id").alias("_gs_doc"),
+            F.col("node_id").alias("_gs_id"))
+        s = s.join(
+            g,
+            (s["doc_id"] == g["_gs_doc"]) & (s["node_id"] == g["_gs_id"]),
+            "left_anti" if neg else "left_semi")
     for kind, sdg in dg.sibs:
         sib = _mk_set(nodes, elems, elems, sdg, text_cols).select(
             F.col("doc_id").alias("_sb_doc"),
@@ -861,6 +907,10 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
       subject-independent and compiles by recursion through _mk_set
     - sibling-of-sibling chains (':has(em ~ p + span)') via nested
       sibling digests; ':not(compound + sib / :has ...)' via anti-sets
+    - ':not(X)'/':is(X)' at any digest level where X is a ctx-root-
+      INSENSITIVE chain (child/sibling links + compounds, e.g.
+      ':has(p:not(a > p))'): global anti/semi-join on _compile_eval(X) —
+      exact because no evaluator in X consults ctx.root
 
     - rooted runs at ANY spine position (':has(> p)', ':has(> a > b)',
       ':has(> a b)', ':has(> a + b)'): the Root anchor normalizes to a
@@ -869,7 +919,8 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
 
     Sibling-of-root forms (':has(~ p)') compile to the kernel's
     never-match.  The remaining UnsupportedSelector shapes fall back to
-    the kernel path: :not over a combinator chain inside :has, and
+    the kernel path: :not over a DESCENDANT chain (or rooted run) inside
+    :has — the Ancestor walk inside the :not is subject-bounded — and
     ctx-root-sensitive pseudos (:root, :lt) in STRUCTURAL inners — the
     kernel binds those to the :has subject (IsRoot: el == ctx.root;
     IndexLessThan: el != ctx.root) and a spine node can BE the subject,

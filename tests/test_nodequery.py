@@ -219,6 +219,19 @@ QUERIES = [
     "div:has(> div:has(p) span)",
     "*:has(> p b)",
     "div:not(:has(> div p))",
+    # ctx-root-insensitive :not/:is chains inside :has (global
+    # anti/semi-join — round 5)
+    "div:has(p:not(a > p))",
+    "div:has(p:not(div > p))",
+    "div:has(span:not(p > span))",
+    "div:has(p:not(em + p))",
+    "div:has(p:not(em ~ p))",
+    "div:has(*:not(section > div):not(p):not(span):not(em):not(b))",
+    "div:has(p:is(div > p))",
+    "section:has(div:not(body > div) p)",
+    "div:has(span:not(p:has(b) > span))",
+    "body:has(div:not(a + div) > p)",
+    "div:not(:has(p:not(div > p)))",
 ]
 
 
