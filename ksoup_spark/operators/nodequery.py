@@ -78,14 +78,20 @@ INSENSITIVE — child/sibling links and compounds only (``p:not(a > p)``,
 per-node test equals global membership and an anti/semi-join against the
 compiled X set is exact.
 
+Subject-BOUNDED :not/:is DESCENDANT chains on the :has WITNESS
+(``div:has(p:not(a p))``) also compile — the kernel binds the chain's
+Ancestor walks to ctx.root = the :has subject (inclusive), so membership
+is (subject, witness)-pair-dependent: _bounded_pair_sets builds the
+subject×witness pair frame and folds the chain per pair, bounding 'anc'
+links to the subject when the current node sits inside its subtree and
+walking unbounded when it sits at/above it (the kernel's
+walk-starts-above-root case).
+
 Unsupported pieces raise UnsupportedSelector — callers fall back to the
 kernel path (operators.extract.select_elements_df), which covers
-everything: :not over a DESCENDANT chain inside :has (the kernel's
-Ancestor walk inside :not is bounded to ctx.root = the :has subject
-inclusive — selector.py Ancestor.matches — and a spine node above the
-subject in an intermediate-witness branch walks unbounded instead, so
-the anti set is (subject, node)-pair-dependent and a node-level compile
-would lie), ctx-root-sensitive pseudos (:root, :lt) inside STRUCTURAL
+everything: subject-bounded :not/:is chains on a :has SPINE level or in
+nested positions (sibling sets, recursion — no pair frame to bound
+against), ctx-root-sensitive pseudos (:root, :lt) inside STRUCTURAL
 :has inners (same subject-binding), and :matchText over a table built
 without the rewrite.
 """
@@ -525,15 +531,17 @@ class _Digest:
     digest), nested :has attachments (semi/anti), and :not-set anti
     digests.  Realized as a DataFrame by _mk_set."""
 
-    __slots__ = ("pred", "sibs", "hases", "antis", "gsets", "pin_root")
+    __slots__ = ("pred", "sibs", "hases", "antis", "gsets", "bsets",
+                 "pin_root")
 
     def __init__(self, pred, sibs=(), hases=(), antis=(), gsets=(),
-                 pin_root=False):
+                 bsets=(), pin_root=False):
         self.pred = pred
         self.sibs = list(sibs)
         self.hases = list(hases)
         self.antis = list(antis)
         self.gsets = list(gsets)
+        self.bsets = list(bsets)
         self.pin_root = pin_root
 
 
@@ -554,7 +562,8 @@ def _digest_level(ev, text_cols: frozenset):
     Ancestor.matches starts at doc.parent[el]); lifting cascades through
     nested sibling chains (all share the one parent)."""
     parts = _flatten_and(ev)
-    preds, sibs, hases, antis, gsets, cont = [], [], [], [], [], None
+    preds, sibs, hases, antis, gsets, bsets, cont = \
+        [], [], [], [], [], [], None
     pin = False
 
     def _set_cont(c):
@@ -624,10 +633,16 @@ def _digest_level(ev, text_cols: frozenset):
                     # anti/semi-join the compiled selector set
                     gsets.append((e.inner, neg))
                     continue
-                # Ancestor walks inside :not ARE subject-bounded inside
-                # :has (selector.py Ancestor.matches stops at ctx.root,
-                # and spine nodes above the subject walk unbounded) —
-                # pair-dependent, kernel fallback
+                if not _contains(e.inner, _CTXROOT_T + (S.Root, _RootPin)):
+                    # Ancestor walks inside :not/:is ARE subject-bounded
+                    # inside :has (selector.py Ancestor.matches stops at
+                    # ctx.root inclusive) — pair-dependent.  Record the
+                    # raw chain; only the witness-only :has path can
+                    # realize it (subject×witness pair frame,
+                    # _bounded_pair_sets); everywhere else _mk_set raises
+                    # and the query falls back to the kernel
+                    bsets.append((e.inner, neg))
+                    continue
                 raise
     if pin and cont is not None:
         # a pinned node has the subject as parent — nothing sits above it
@@ -635,7 +650,7 @@ def _digest_level(ev, text_cols: frozenset):
     pred = preds[0] if preds else F.lit(True)
     for p in preds[1:]:
         pred = pred & p
-    return _Digest(pred, sibs, hases, antis, gsets, pin), cont
+    return _Digest(pred, sibs, hases, antis, gsets, bsets, pin), cont
 
 
 def _unroll_spine(cont, text_cols: frozenset):
@@ -663,6 +678,12 @@ def _mk_set(nodes: DataFrame, elems: DataFrame, src: DataFrame,
     kernel tests them), and previous-sibling semi-joins ('+' = nearest
     previous element via elem index - 1, '~' = any previous element;
     sibling sets are element-only, as in the kernel walk)."""
+    if dg.bsets:
+        # subject-bounded :not/:is chain anywhere but the witness-only
+        # :has position (spine level, sibling set, nested recursion) —
+        # no subject frame to bound against here
+        raise UnsupportedSelector(
+            "subject-bounded :not/:is chain in a nested position")
     s = src.filter(dg.pred)
     for h, neg in dg.hases:
         s = _apply_has(nodes, s, h, text_cols, neg)
@@ -878,6 +899,116 @@ def _apply_has(nodes: DataFrame, out: DataFrame, has_ev,
     )
 
 
+def _bounded_pair_sets(nodes: DataFrame, out: DataFrame, w: DataFrame,
+                       bsets, text_cols: frozenset) -> DataFrame:
+    """Witness-only ':has' whose witness carries subject-BOUNDED :not/:is
+    chains (':has(p:not(a b))'): the kernel evaluates the :not inner with
+    ctx.root = the :has SUBJECT, and Ancestor walks stop at (and include)
+    the subject (selector.py Ancestor.matches) — so whether the chain
+    matches at a witness depends on WHICH subject is asking.  Build the
+    subject×witness pair frame (s < w <= s.subtree_end, the strict
+    subtree the Has loop scans) and anti/semi-join each chain's fold:
+
+    - level 0 (the chain's own subject-pred) tests the witness itself
+    - each 'anc' link joins a STRICT ancestor x of the current node with
+      x.node_id >= s — the walk stops at the subject inclusive; x must be
+      an element OR the subject row itself (the kernel tests
+      kind==ELEMENT or node==ctx.root, admitting a Document subject)
+    - each 'parent' link joins the exact ELEMENT parent, UNBOUNDED — the
+      kernel's ImmediateParentRun walk never tests root and dies on
+      reaching the document (StructuralEvaluator.kt:164-200)
+
+    :not chains anti-join the matched pair keys; :is chains semi-join.
+    Per-doc pair frames and per-level interval joins — the same join
+    class as _has_spine, no cross-doc blowup."""
+    base = nodes.filter(
+        (F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND))
+    elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
+    subj = out.select(
+        F.col("doc_id").alias("_pa_doc"),
+        F.col("node_id").alias("_pa_s"),
+        F.col("subtree_end").alias("_pa_send"))
+    wit = w.select(
+        F.col("doc_id").alias("_pw_doc"),
+        F.col("node_id").alias("_pa_w"),
+        F.col("parent_id").alias("_pa_wpar"))
+    pairs = subj.join(
+        wit,
+        (subj["_pa_doc"] == wit["_pw_doc"])
+        & (subj["_pa_s"] < wit["_pa_w"])
+        & (wit["_pa_w"] <= subj["_pa_send"]),
+    ).drop("_pw_doc")
+    surv = pairs
+    for X, neg in bsets:
+        xdg, xcont = _digest_level(_norm_spine(X), text_cols)
+        if xdg.bsets or xdg.pin_root or xcont is None:
+            raise UnsupportedSelector("nested subject-bounded chain")
+        lvls, links = _unroll_spine(xcont, text_cols)
+        if any(l.bsets or l.pin_root for l in lvls):
+            raise UnsupportedSelector("nested subject-bounded chain")
+        m0 = _mk_set(nodes, elems, base, xdg, text_cols).select(
+            F.col("doc_id").alias("_b_doc"),
+            F.col("node_id").alias("_b_id"))
+        mm = pairs.join(
+            m0,
+            (pairs["_pa_doc"] == m0["_b_doc"])
+            & (pairs["_pa_w"] == m0["_b_id"]),
+            "left_semi",
+        ).withColumn("_cur", F.col("_pa_w")) \
+         .withColumn("_cur_par", F.col("_pa_wpar"))
+        for ldg, link in zip(lvls, links):
+            L = _mk_set(nodes, elems, base, ldg, text_cols).select(
+                F.col("doc_id").alias("_b_doc"),
+                F.col("node_id").alias("_b_id"),
+                F.col("parent_id").alias("_b_par"),
+                F.col("subtree_end").alias("_b_end"),
+                F.col("kind").alias("_b_kind"))
+            if link == "parent":
+                cond = ((mm["_pa_doc"] == L["_b_doc"])
+                        & (L["_b_id"] == mm["_cur_par"])
+                        & (L["_b_kind"] == ELEMENT_KIND))
+            else:
+                # two regimes in one condition: current node strictly
+                # inside the subject's subtree (_cur > s) -> the walk
+                # passes through and STOPS AT the subject (x >= s, element
+                # or the subject row itself — kind==ELEMENT or node==root);
+                # current node AT or ABOVE the subject (_cur <= s, the
+                # subject-is-on-the-path case or a parent link that jumped
+                # past it) -> the walk starts above ctx.root, the break
+                # never fires, unbounded ELEMENT ancestors
+                bounded = ((mm["_cur"] > mm["_pa_s"])
+                           & (L["_b_id"] >= mm["_pa_s"])
+                           & ((L["_b_kind"] == ELEMENT_KIND)
+                              | (L["_b_id"] == mm["_pa_s"])))
+                unbounded = ((mm["_cur"] <= mm["_pa_s"])
+                             & (L["_b_kind"] == ELEMENT_KIND))
+                cond = ((mm["_pa_doc"] == L["_b_doc"])
+                        & (L["_b_id"] < mm["_cur"])
+                        & (mm["_cur"] <= L["_b_end"])
+                        & (bounded | unbounded))
+            mm = (mm.join(L, cond, "inner")
+                    .drop("_cur", "_cur_par", "_b_doc", "_b_end", "_b_kind")
+                    .withColumnRenamed("_b_id", "_cur")
+                    .withColumnRenamed("_b_par", "_cur_par"))
+        keys = mm.select(
+            F.col("_pa_doc").alias("_bk_doc"),
+            F.col("_pa_s").alias("_bk_s"),
+            F.col("_pa_w").alias("_bk_w")).distinct()
+        surv = surv.join(
+            keys,
+            (surv["_pa_doc"] == keys["_bk_doc"])
+            & (surv["_pa_s"] == keys["_bk_s"])
+            & (surv["_pa_w"] == keys["_bk_w"]),
+            "left_anti" if neg else "left_semi")
+    good = surv.select(
+        F.col("_pa_doc").alias("_g_doc"), F.col("_pa_s").alias("_g_id"))
+    return out.join(
+        good,
+        (out["doc_id"] == good["_g_doc"])
+        & (out["node_id"] == good["_g_id"]),
+        "left_semi")
+
+
 def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
                    text_cols: frozenset = frozenset()) -> DataFrame:
     """:has(sel) as subtree-interval LEFT-SEMI joins — the reference's Has
@@ -911,6 +1042,9 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
       INSENSITIVE chain (child/sibling links + compounds, e.g.
       ':has(p:not(a > p))'): global anti/semi-join on _compile_eval(X) —
       exact because no evaluator in X consults ctx.root
+    - subject-BOUNDED :not/:is descendant chains on the WITNESS
+      (':has(p:not(a p))'): pair-aware anti/semi over the
+      subject×witness frame (_bounded_pair_sets)
 
     - rooted runs at ANY spine position (':has(> p)', ':has(> a > b)',
       ':has(> a b)', ':has(> a + b)'): the Root anchor normalizes to a
@@ -919,8 +1053,9 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
 
     Sibling-of-root forms (':has(~ p)') compile to the kernel's
     never-match.  The remaining UnsupportedSelector shapes fall back to
-    the kernel path: :not over a DESCENDANT chain (or rooted run) inside
-    :has — the Ancestor walk inside the :not is subject-bounded — and
+    the kernel path: subject-bounded :not/:is chains on SPINE levels or
+    nested positions (witness-level ones compile via _bounded_pair_sets),
+    rooted runs inside :not, and
     ctx-root-sensitive pseudos (:root, :lt) in STRUCTURAL inners — the
     kernel binds those to the :has subject (IsRoot: el == ctx.root;
     IndexLessThan: el != ctx.root) and a spine node can BE the subject,
@@ -938,6 +1073,16 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
             ":root/:lt inside a structural :has inner is subject-bound")
 
     dg, cont = _digest_level(_norm_spine(inner), text_cols)
+    if dg.bsets:
+        if cont is not None or dg.pin_root:
+            # a bounded chain on a spine node: intermediate-witness union
+            # branches put spine nodes ABOVE the subject where the walk
+            # is unbounded — pair semantics differ per branch
+            raise UnsupportedSelector(
+                "subject-bounded :not/:is chain on a :has spine level")
+        bsets, dg.bsets = dg.bsets, []
+        w = _mk_set(nodes, elems, elems, dg, text_cols)
+        return _bounded_pair_sets(nodes, out, w, bsets, text_cols)
     w = _mk_set(nodes, elems, elems, dg, text_cols)
     wset = w.select(
         F.col("doc_id").alias("_w_doc"), F.col("node_id").alias("_w_d"),

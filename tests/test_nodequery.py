@@ -232,6 +232,22 @@ QUERIES = [
     "div:has(span:not(p:has(b) > span))",
     "body:has(div:not(a + div) > p)",
     "div:not(:has(p:not(div > p)))",
+    # subject-BOUNDED :not/:is descendant chains on the :has witness
+    # (pair-aware anti/semi over the subject×witness frame — round 5)
+    "div:has(p:not(a p))",
+    "div:has(p:not(div p))",
+    "div:has(p:not(a div p))",
+    "div:has(p:not(body a p))",
+    "div:has(p:is(div p))",
+    "div:has(span:not(div p span))",
+    "div:has(p:not(a > div p))",
+    "div:has(p:not(div > div p))",
+    "div:has(p:not(section > div p))",
+    "section:has(p:not(section p))",
+    "*:has(p:not(div p))",
+    "div:not(:has(p:not(div p)))",
+    "body:has(em:not(section em))",
+    "div:has(p:is(section div p))",
 ]
 
 
@@ -265,9 +281,10 @@ def test_compiled_matches_kernel(spark, nodes, css):
 def test_unsupported_falls_back(spark, nodes):
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:contains(x)")
-    # :not over a combinator chain inside :has — ctx-root-bounded
+    # subject-bounded :not chain on a :has SPINE level (not the witness)
+    # — intermediate-witness branches change the walk's bound per pair
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(p:not(a b))")
+        nodequery.compile_selector(nodes, "div:has(p:not(a b) span)")
     # ctx-root-sensitive pseudos in structural :has inners: the kernel
     # binds :root/:lt to the :has subject; a spine node can BE the
     # subject, so the global-root compile would lie — kernel fallback
@@ -578,9 +595,55 @@ def test_mixed_spine_fuzz_matches_kernel(spark, fuzz_nodes, css):
     assert got == _fuzz_kernel_matches(css), css
 
 
+def _gen_bounded_not_queries():
+    """Fixed-seed :has witnesses carrying subject-BOUNDED :not/:is
+    descendant chains — the pair-aware anti/semi path
+    (_bounded_pair_sets).  Every shape must compile and agree with the
+    kernel, which binds the chain's Ancestor walks to the :has subject."""
+    import random
+    rng = random.Random(151)
+    tags = ["a", "b", "c", "d", "p", "span", "em", "section", "div"]
+
+    def comp():
+        t = rng.choice(tags + ["*"])
+        if rng.random() < 0.25:
+            t += f".x{rng.randint(0, 2)}"
+        return t
+
+    queries = []
+    for _ in range(40):
+        n = rng.randint(2, 4)
+        parts = [comp()]
+        for _ in range(n - 1):
+            # descendant links keep the chain subject-bounded; sprinkle
+            # child links (unbounded in the kernel's IPR walk) to cross
+            # the two regimes inside one chain
+            parts.append(" > " if rng.random() < 0.3 else " ")
+            parts.append(comp())
+        chain = "".join(parts)
+        if " " not in chain:
+            chain = comp() + " " + chain  # ensure at least one anc link
+        pseudo = ":is" if rng.random() < 0.25 else ":not"
+        css = f"{comp()}:has({comp()}{pseudo}({chain}))"
+        if rng.random() < 0.2:
+            css = f"{comp()}:not(:has({comp()}:not({chain})))"
+        queries.append(css)
+    return queries
+
+
+@pytest.mark.parametrize("css", _gen_bounded_not_queries())
+def test_bounded_not_fuzz_matches_kernel(spark, fuzz_nodes, css):
+    got = {
+        (r["doc_id"], r["node_id"])
+        for r in nodequery.compile_selector(fuzz_nodes, css).collect()
+    }
+    assert got == _fuzz_kernel_matches(css), css
+
+
 def test_mixed_spine_plan_is_jvm_only(spark, nodes):
     for css in ("div:has(a > b c)", "body:has(div > p span)",
-                "div:has(div p + span)", "div:has(p ~ em span)"):
+                "div:has(div p + span)", "div:has(p ~ em span)",
+                "div:has(p:not(a div p))", "div:has(p:is(section p))"):
         plan = nodequery.compile_selector(nodes, css) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, css
