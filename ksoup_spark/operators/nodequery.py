@@ -87,13 +87,24 @@ links to the subject when the current node sits inside its subtree and
 walking unbounded when it sits at/above it (the kernel's
 walk-starts-above-root case).
 
+Root-anchored child runs at the TOP level (``> div``, ``> html > body``,
+``>p>strong,>li>strong``) compile too (round 5): at the corpus level
+ctx.root is the Document (preorder id 0), so the Root level pins
+``parent_id == 0``; non-rooted chain levels join ELEMENT rows only —
+the kernel's walk nulls at a DOCUMENT parent (``* > html`` matches
+nothing).  ``:has`` with a structural Or inner (``p:has(> span, > i)``)
+compiles as the union of per-branch witness semi-joins — existence
+distributes over the union.
+
 Unsupported pieces raise UnsupportedSelector — callers fall back to the
 kernel path (operators.extract.select_elements_df), which covers
 everything: subject-bounded :not/:is chains on a :has SPINE level or in
 nested positions (sibling sets, recursion — no pair frame to bound
 against), ctx-root-sensitive pseudos (:root, :lt) inside STRUCTURAL
 :has inners (same subject-binding), and :matchText over a table built
-without the rewrite.
+without the rewrite.  Sweep over the reference's own 287 harvested
+select() queries: 282 compile; the 5 remaining are Kotlin ``$i``
+template strings, not selectors.
 """
 
 from __future__ import annotations
@@ -1063,6 +1074,17 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     inners both semantics provably coincide — witnesses are strict
     descendants of the subject — so those stay compiled."""
     inner = has_ev.inner
+    if isinstance(inner, S.Or) and _contains(inner, _STRUCT_T):
+        # ':has(> span, > i)': existence distributes over the union —
+        # exists w (A or B) == (exists w A) or (exists w B) — so the
+        # subject set is the union of per-branch semi-joins; each branch
+        # re-enters this dispatch and keeps its own supported/guard rules
+        pos = None
+        for branch in inner.evals:
+            part = _has_semi_join(nodes, out, S.Has(branch, has_ev.relative_root),
+                                  text_cols)
+            pos = part if pos is None else pos.unionByName(part)
+        return pos.dropDuplicates(["doc_id", "node_id"])
     elems = nodes.filter(F.col("kind") == ELEMENT_KIND)
     conjs = _flatten_and(inner)
     structs = [e for e in conjs if isinstance(e, _STRUCT_T)]
@@ -1187,8 +1209,23 @@ def _compile_eval(nodes: DataFrame, ev, text_cols: frozenset = frozenset()) -> D
         chain = ev.chain
         for parent_ev in reversed(chain[:-1]):
             if isinstance(parent_ev, S.Root):
-                raise UnsupportedSelector("root-anchored child run")
-            par = _compile_eval(nodes, parent_ev, text_cols).select(
+                # root-anchored run ('> div', '> html > body'): the kernel
+                # keeps walking through a DOCUMENT parent only when
+                # chain[0] is Root, then tests node == ctx.root — at the
+                # corpus level ctx.root IS the Document (preorder id 0).
+                # Root never parses anywhere but chain[0].
+                if parent_ev is not chain[0]:
+                    raise UnsupportedSelector("non-leading Root in run")
+                out = out.filter(F.col("_up") == 0)
+                continue
+            # parent levels are ELEMENT-only: the kernel's walk sets
+            # node = -1 on reaching a DOCUMENT parent (non-rooted chains
+            # die there; rooted chains that consume the document on a
+            # middle entry then fail Root at -1), so the Document row
+            # must not satisfy any chain entry ('* > html' matches nothing)
+            par = _compile_eval(nodes, parent_ev, text_cols).filter(
+                F.col("kind") == ELEMENT_KIND
+            ).select(
                 F.col("doc_id").alias("_p_doc"),
                 F.col("node_id").alias("_p_id"),
                 F.col("parent_id").alias("_p_up"),

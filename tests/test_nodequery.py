@@ -248,6 +248,40 @@ QUERIES = [
     "div:not(:has(p:not(div p)))",
     "body:has(em:not(section em))",
     "div:has(p:is(section div p))",
+    # root-anchored child runs at the top level (ctx.root = Document;
+    # the kernel keeps the walk through a DOCUMENT parent only when
+    # chain[0] is Root — round 5)
+    "> html",
+    "> div",
+    "> html > body",
+    "> html > body > div",
+    "> * > body",
+    "> * > *",
+    "> * > html",
+    "> body",
+    ">p>strong,>li>strong",
+    "> html > body p, section > div",
+    "> html body span",
+    "> html > body div p",
+    # non-rooted chains must DIE at a document parent ('* > html' is the
+    # kernel's never-match: the walk nulls at the DOCUMENT node)
+    "* > html",
+    "*|* > html",
+    "* > body",
+    "* > * > html",
+    # :has with a structural Or inner — union of per-branch witness sets
+    "p:has(> span, > i)",
+    "div:has(> span, > em)",
+    "div:has(> p, > section)",
+    "section:has(> div, article)",
+    "div:has(p span, em)",
+    "div:has(p + span, b)",
+    "body:has(div > p, section article)",
+    "div:not(:has(> span, > em))",
+    "div:not(:has(p span, b))",
+    "*:has(> p, > em)",
+    "section > div:has(p, em)",
+    "div:has(> p:has(span), em)",
 ]
 
 

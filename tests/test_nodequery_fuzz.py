@@ -90,6 +90,13 @@ def _pseudo(rng, depth):
     inner = _chain(rng, depth - 1, max_units=2)
     if rng.random() < 0.25:
         inner = "> " + inner
+    if rng.random() < 0.2:
+        # structural-Or inner (':has(> span, > i)'): union of per-branch
+        # witness sets — round 5
+        other = _chain(rng, depth - 1, max_units=2)
+        if rng.random() < 0.5:
+            other = "> " + other
+        inner = f"{inner}, {other}"
     return f":has({inner})"
 
 
@@ -117,8 +124,14 @@ def _chain(rng, depth, max_units=3):
 
 def _selector(rng):
     s = _chain(rng, depth=2)
+    if rng.random() < 0.1:
+        # root-anchored run: ctx.root = Document at the corpus level
+        s = "> " + s
     if rng.random() < 0.15:
-        s += ", " + _chain(rng, depth=1, max_units=2)
+        tail = _chain(rng, depth=1, max_units=2)
+        if rng.random() < 0.1:
+            tail = "> " + tail
+        s += ", " + tail
     return s
 
 
