@@ -571,14 +571,23 @@ def q_nodequery_has(spark, sf_dir):
     has_cnt = _cnt("div.b:has(div p)", "n_has")
     nested = _cnt("div.b:has(div:has(p))", "n_nested")
     sib = _cnt("div.b:has(div p) + div.b", "n_sibhas")
+    # round 5 (late): the structural-Or :has union — '> p' never matches
+    # (p is nested under an inner div), '> span' matches the span blocks —
+    # and a 4-level root-anchored child run counting every block
+    has_or = _cnt("div.b:has(> p, > span)", "n_or")
+    rooted = _cnt("> html > body > main > div.b", "n_root")
     return (
         has_cnt.join(nested, "doc_id", "left").join(sib, "doc_id", "left")
+        .join(has_or, "doc_id", "left").join(rooted, "doc_id", "left")
         .select(
             "doc_id", "n_has",
             F.coalesce(F.col("n_nested"), F.lit(0)).cast("int")
             .alias("n_nested"),
             F.coalesce(F.col("n_sibhas"), F.lit(0)).cast("int")
             .alias("n_sibhas"),
+            F.coalesce(F.col("n_or"), F.lit(0)).cast("int").alias("n_or"),
+            F.coalesce(F.col("n_root"), F.lit(0)).cast("int")
+            .alias("n_root"),
         )
     )
 
@@ -1036,7 +1045,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_nested,
                    CAST(len(list_filter(string_split(text, ' '),
                                         (w, i) -> (i-1) % 3 = 2)) AS INT)
-                     AS n_sibhas
+                     AS n_sibhas,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        (w, i) -> (i-1) % 3 <> 1)) AS INT)
+                     AS n_or,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_root
             FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   (w, i) -> (i-1) % 3 = 1)) > 0
