@@ -557,7 +557,11 @@ def q_nodequery_has(spark, sf_dir):
         ),
         F.lit("</main>"),
     )
-    nodes = extract.node_table_df(d.select("doc_id", html.alias("html")))
+    # five selectors fan out over ONE node table: persist it so the parse
+    # kernel runs once (the cluster-scale pattern is a persisted/checkpointed
+    # node table shared by a selector batch)
+    nodes = extract.node_table_df(
+        d.select("doc_id", html.alias("html"))).cache()
 
     def _cnt(css, name):
         m = nodequery.compile_selector(nodes, css)

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     # round-4 additions
     "css_paths",
     "nodequery_contains",
+    # round-5 addition: the Catalyst :has/root-run join path
+    "nodequery_has",
 ]
 
 
