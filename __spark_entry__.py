@@ -53,13 +53,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_html_text_roundtrip(spark, sf_dir):
+    """Body text() roundtrip plus Document.title() (nodes/Document.kt) —
+    the former standalone ``html_title`` row folded in (VERDICT r4 #1) so
+    the registry fits the driver's checked window; html_text() is
+    body-scoped, so the dynamic title never leaks into text_out."""
     d = _docs(spark, sf_dir)
     html = F.concat(
-        F.lit("<html><head><title>t</title></head><body><article><p>"),
+        F.lit("<html><head><title>  Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" : "),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("  </title></head><body><article><p>"),
         F.col("text"),
         F.lit("</p></article></body></html>"),
     )
-    return d.select("doc_id", H.html_text(html).alias("text_out"))
+    return d.select(
+        "doc_id",
+        H.html_text(html).alias("text_out"),
+        H.html_title(html).alias("title"),
+    )
 
 
 def q_html_entity_roundtrip(spark, sf_dir):
@@ -124,6 +136,10 @@ def q_selector_class(spark, sf_dir):
 
 
 def q_selector_nth(spark, sf_dir):
+    """nth-child text select plus the counting surface (html_select_count
+    over :nth-child(even), a class compound, and the adjacent-sibling
+    combinator) — the former standalone ``selector_count`` row, folded in
+    so the full registry fits the driver's checked window (VERDICT r4 #1)."""
     d = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     html = F.concat(
@@ -133,11 +149,15 @@ def q_selector_nth(spark, sf_dir):
         ),
         F.lit("</ul>"),
     )
+    chtml = _span_class_html()
     return d.select(
         "doc_id",
         F.array_join(
             H.html_select_text(html, "li:nth-child(3n+1)"), " "
         ).alias("matched"),
+        H.html_select_count(chtml, "span:nth-child(even)").alias("n_even"),
+        H.html_select_count(chtml, "span.w0").alias("n_w0"),
+        H.html_select_count(chtml, "span:first-child + span").alias("n_second"),
     )
 
 
@@ -168,16 +188,6 @@ def q_css_paths(spark, sf_dir):
     )
 
 
-def q_selector_count(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    html = _span_class_html()
-    return d.select(
-        "doc_id",
-        H.html_select_count(html, "span:nth-child(even)").alias("n_even"),
-        H.html_select_count(html, "span.w0").alias("n_w0"),
-        H.html_select_count(html, "span:first-child + span").alias("n_second"),
-    )
-
 
 def q_attr_absurl(spark, sf_dir):
     d = _docs(spark, sf_dir)
@@ -205,17 +215,6 @@ def q_wholetext_pre(spark, sf_dir):
     )
     return d.select("doc_id", H.html_whole_text(html).alias("whole"))
 
-
-def q_html_title(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    html = F.concat(
-        F.lit("<html><head><title>  Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit(" : "),
-        F.substring(F.col("text"), 1, 20),
-        F.lit("  </title></head><body><p>x</p></body></html>"),
-    )
-    return d.select("doc_id", H.html_title(html).alias("title"))
 
 
 def q_node_table(spark, sf_dir):
@@ -444,19 +443,6 @@ def q_media_frames(spark, sf_dir):
     return frames.select("media_id", "frame_index",
                          F.md5("frame").alias("frame_md5"))
 
-
-def q_src_positions(spark, sf_dir):
-    """Source-position tracking: each matched element's start offset in the
-    raw HTML (span -> source provenance). Offsets are text-length-dependent,
-    so the oracle computes them exactly in SQL."""
-    d = _docs(spark, sf_dir)
-    html = F.concat(F.col("text"), F.lit("<p>x</p><i>y</i>"))
-    pos = H.html_src_positions(html, "p, i")
-    return d.select(
-        "doc_id",
-        F.element_at(pos, 1).alias("p_pos"),
-        F.element_at(pos, 2).alias("i_pos"),
-    )
 
 
 def q_form_controls(spark, sf_dir):
@@ -833,9 +819,6 @@ def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
 
-def q_token_count(spark, sf_dir):
-    return textstats.token_count(_docs(spark, sf_dir))
-
 
 def q_token_count_bpe(spark, sf_dir):
     """BPE-ish pretokenizer counts (same lookahead-free regex runs under
@@ -991,23 +974,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_recall": q_ann_lsh_recall,
-        # redundant-coverage rows parked at the tail (outside the driver's
-        # 50-entry oracle window; still rows-only checked + pytest-covered):
-        # src_positions is strictly subsumed by src_ranges, selector_count
-        # duplicates select_elements, html_title the roundtrip family, and
-        # whitespace token_count is the trivial sibling of token_count_bpe
-        # (it moved out in round 5 to make room for nodequery_matchtext).
-        "src_positions": q_src_positions,
-        "selector_count": q_selector_count,
-        "html_title": q_html_title,
-        "token_count": q_token_count,
+        # Round-5 registry compaction (VERDICT r4 task #1): exactly 50
+        # entries so EVERY row sits inside the driver's checked oracle
+        # window — no silently-unchecked tail.  Former standalone rows were
+        # folded into in-window twins, none dropped:
+        #   selector_count -> selector_nth (count columns moved verbatim),
+        #   html_title     -> html_text_roundtrip (dynamic title column),
+        #   token_count    -> token_count_bpe (n_distinct_tokens column;
+        #                     n_ws_tokens was already there),
+        #   src_positions  -> strictly subsumed by src_ranges (p_start IS
+        #                     the start offset src_positions asserted).
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "html_text_roundtrip":
-            "SELECT doc_id, text AS text_out FROM documents",
+        "html_text_roundtrip": """
+            SELECT doc_id, text AS text_out,
+                   'Doc ' || doc_id || ' : ' || rtrim(substr(text, 1, 20))
+                     AS title
+            FROM documents
+        """,
         "html_entity_roundtrip":
             "SELECT doc_id, text AS text_out FROM documents",
         "html_media_spans": """
@@ -1027,7 +1014,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(
                      list_filter(string_split(text, ' '), (w, i) -> (i-1) % 3 = 0),
-                     ' ') AS matched
+                     ' ') AS matched,
+                   CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS n_even,
+                   CAST(ceil(len(string_split(text, ' ')) / 3.0) AS INT) AS n_w0,
+                   CAST(CASE WHEN len(string_split(text, ' ')) >= 2
+                        THEN 1 ELSE 0 END AS INT) AS n_second
             FROM documents
         """,
         "nodequery_contains": """
@@ -1081,14 +1072,6 @@ def oracle_sql() -> dict[str, str]:
                      '|') AS css_paths
             FROM documents
         """,
-        "selector_count": """
-            SELECT doc_id,
-                   CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS n_even,
-                   CAST(ceil(len(string_split(text, ' ')) / 3.0) AS INT) AS n_w0,
-                   CAST(CASE WHEN len(string_split(text, ' ')) >= 2
-                        THEN 1 ELSE 0 END AS INT) AS n_second
-            FROM documents
-        """,
         "attr_absurl": """
             SELECT doc_id,
                    'http://base.example/dir/p/' || doc_id || '.html' AS a_href,
@@ -1097,11 +1080,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wholetext_pre":
             "SELECT doc_id, replace(text, ' ', chr(10)) AS whole FROM documents",
-        "html_title": """
-            SELECT doc_id,
-                   'Doc ' || doc_id || ' : ' || rtrim(substr(text, 1, 20)) AS title
-            FROM documents
-        """,
         "node_table": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) + 4 AS BIGINT) AS n_elements,
@@ -1216,12 +1194,6 @@ def oracle_sql() -> dict[str, str]:
                      AS frame_md5
             FROM f
         """,
-        "src_positions": """
-            SELECT doc_id,
-                   CAST(length(text) AS INT) AS p_pos,
-                   CAST(length(text) + 8 AS INT) AS i_pos
-            FROM documents
-        """,
         "form_controls": """
             SELECT doc_id,
                    4 AS n_controls,
@@ -1301,19 +1273,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": textstats.lang_id_sql(),
         "quality": textstats.quality_score_sql(),
-        "token_count": """
-            SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-                   CAST(len(list_distinct(string_split(text, ' '))) AS INT)
-                     AS n_distinct_tokens
-            FROM documents
-        """,
         "token_count_bpe": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_pretokens,
                    len(list_filter(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
                                    t -> NOT regexp_matches(t, '^\\s+$'))) AS n_bpe_nonspace,
-                   len(string_split(text, ' ')) AS n_ws_tokens
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
             FROM documents
         """,
         "fingerprint": """

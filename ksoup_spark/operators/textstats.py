@@ -323,7 +323,8 @@ BPE_SPLIT = (
 
 def bpe_token_count(df: DataFrame) -> DataFrame:
     """BPE-ish pretokenization count (the subword-tokenizer budget proxy a
-    training pipeline filters on), alongside the whitespace count."""
+    training pipeline filters on), alongside the whitespace and distinct
+    whitespace-token counts (the former standalone token_count operator)."""
     toks = F.regexp_extract_all("text", F.lit(BPE_SPLIT), F.lit(0))
     w = _words()
     return df.select(
@@ -332,6 +333,7 @@ def bpe_token_count(df: DataFrame) -> DataFrame:
         F.size(F.filter(toks, lambda t: ~t.rlike("^\\s+$")))
         .alias("n_bpe_nonspace"),
         F.size(w).alias("n_ws_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
     )
 
 
