@@ -265,7 +265,12 @@ def cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
         joined = cosine_near_dup_candidates(
             emb, dim, n_planes, n_seeds, id_col=id_col, vec_col=vec_col)
     else:
-        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        # The broadcast-nested-loop join's parallelism equals the STREAM
+        # side's partition count; a small test corpus often arrives as one
+        # parquet partition, which would run the O(n^2) scan on one core.
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")) \
+            .repartition(par)
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
