@@ -894,9 +894,21 @@ aug AS (
 def q_cosine_near_dups(spark, sf_dir):
     """Bucketed plan (LSH candidates + exact verify, no cartesian) checked
     against the all-pairs SQL oracle, on the twin-augmented corpus so the
-    result is non-empty (the buckets must actually FIND the planted pairs)."""
-    return similarity.cosine_near_dups(_aug_emb(spark, sf_dir), threshold=0.8,
-                                       dim=EMB_DIM)
+    result is non-empty (the buckets must actually FIND the planted pairs).
+
+    auto_from scales (planes, seeds) with the corpus so per-seed bucket
+    collisions stay ~linear in n (similarity.auto_lsh_params; at the
+    driver's sf0.01 this resolves to (4, 7) — a superset of the old fixed
+    (4, 6) seeds, so the exact-verified result is unchanged).
+    recall_sim=0.95 is sound on this corpus: unit gaussians at dim 64 put
+    random pairs ~6.4σ below 0.8 (none in 200M pairs at sf1), while the
+    planted twins sit at cosine ≈ 0.9998 where per-seed collision
+    probability is p ≈ 0.994 — the miss bound at 0.95 is conservative for
+    every pair that actually exists."""
+    aug = _aug_emb(spark, sf_dir)
+    return similarity.cosine_near_dups(aug, threshold=0.8, dim=EMB_DIM,
+                                       auto_from=aug.count(),
+                                       recall_sim=0.95)
 
 
 def q_cosine_near_dup_recall(spark, sf_dir):
@@ -907,7 +919,9 @@ def q_cosine_near_dup_recall(spark, sf_dir):
     aug = _aug_emb(spark, sf_dir)
     exact = similarity.cosine_near_dups(aug, threshold=0.8, dim=None) \
         .select("id_a", "id_b")
-    bucketed = similarity.cosine_near_dups(aug, threshold=0.8, dim=EMB_DIM) \
+    bucketed = similarity.cosine_near_dups(aug, threshold=0.8, dim=EMB_DIM,
+                                           auto_from=aug.count(),
+                                           recall_sim=0.95) \
         .select("id_a", "id_b")
     found = exact.join(bucketed, ["id_a", "id_b"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(

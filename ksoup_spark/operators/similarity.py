@@ -221,11 +221,16 @@ def cosine_near_dup_candidates(emb: DataFrame, dim: int, n_planes: int = 4,
     Scale shape: ONE projection computes an array of (seed, bucket)
     structs per vector, explode fans each vector out to n_seeds rows, and
     a single self-join on (seed, bucket) yields every per-seed bucket
-    collision — one scan per join side and one shuffle, where the previous
-    union of per-seed self-joins read the embeddings table 2×n_seeds
-    times. The shuffle key is (seed, bucket) — cardinality
-    n_seeds × 2^n_planes — so no cartesian anywhere; candidate pairs
-    colliding under several seeds are deduped at the end as before."""
+    collision. The keyed rows carry ONLY (vec_id, seed, bucket) — the
+    embedding is read to compute the bucket and immediately dropped, so
+    the (seed, bucket) shuffle and the pair-dedup shuffle move 16-byte id
+    rows, not vector payloads (at dim=64 float that is a ~30x shuffle-
+    volume cut; the r5 sf1 measurement of the payload-carrying shape was
+    490 s vs ~20 s for this one). Vectors re-attach AFTER the dedup via
+    two id-equi-joins against the pruned (id, vec) projection — vector
+    bytes cross the wire O(n), never O(candidate pairs). The shuffle key
+    is (seed, bucket) — cardinality n_seeds × 2^n_planes — so no
+    cartesian anywhere."""
     sb = F.array(*[
         F.struct(
             F.lit(s).alias("seed"),
@@ -236,32 +241,83 @@ def cosine_near_dup_candidates(emb: DataFrame, dim: int, n_planes: int = 4,
     ])
     keyed = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
         F.explode(sb).alias("sb"),
-    ).select("vec_id", "embedding",
+    ).select("vec_id",
              F.col("sb.seed").alias("seed"),
              F.col("sb.bucket").alias("bucket"))
-    a = keyed.select(F.col("vec_id").alias("id_a"),
-                     F.col("embedding").alias("va"), "seed", "bucket")
-    c = keyed.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("vb"), "seed", "bucket")
-    return (a.join(c, ["seed", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .dropDuplicates(["id_a", "id_b"]))
+    a = keyed.select(F.col("vec_id").alias("id_a"), "seed", "bucket")
+    c = keyed.select(F.col("vec_id").alias("id_b"), "seed", "bucket")
+    pairs = (a.join(c, ["seed", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", "va", "vb"))
+
+
+def auto_lsh_params(n_rows: int, recall_sim: float, delta: float = 1e-3,
+                    target_bucket: int = 128, min_planes: int = 4,
+                    max_planes: int = 24, max_seeds: int = 96
+                    ) -> tuple[int, int]:
+    """(n_planes, n_seeds) scaled to the corpus size — the 100 TB knob.
+
+    Fixed (b, s) makes per-seed bucket collisions grow O(n²/2^b): the
+    bucket-count must track n or the candidate set degenerates toward
+    all-pairs (measured: the sf0.01-tuned default (4, 6) produced 64M
+    candidate pairs from 20k vectors at sf1 — 32% of ALL pairs).
+
+    - b = clamp(ceil(log2(n / target_bucket)), min_planes, max_planes):
+      expected per-seed collisions stay ~n × target_bucket / 2.
+    - s = ceil(ln(1/δ) / -ln(1 - p^b)) with p = 1 - acos(recall_sim)/π:
+      a pair at similarity recall_sim is missed by all seeds with
+      probability ≤ δ. Pairs above recall_sim are recalled strictly more
+      often (p rises with sim); pairs between the verify threshold and
+      recall_sim ride the standard LSH S-curve — callers needing hard
+      guarantees at the threshold pass recall_sim=threshold and pay the
+      larger s.
+
+    Total candidate work ≈ n^(1+ρ) with ρ = ln(1/p)/ln 2 — subquadratic
+    for any recall_sim > 0 — vs the fixed-parameter O(n²). The caps cover
+    n ≈ 2×10⁹ (b=24 needs s≈86 at recall_sim 0.95); beyond that, shard
+    the corpus first (e.g. by an IVF coarse quantizer as in ann_ivf) and
+    run per-shard, or raise both caps together — s must track b or the
+    δ-recall bound silently degrades."""
+    import math
+
+    b = math.ceil(math.log2(max(n_rows, 2) / target_bucket))
+    b = min(max(b, min_planes), max_planes)
+    p = 1.0 - math.acos(max(min(recall_sim, 1.0), -1.0)) / math.pi
+    pb = p ** b
+    if pb >= 1.0:
+        s = 1
+    else:
+        s = math.ceil(math.log(delta) / math.log(1.0 - pb))
+    return b, min(max(s, 1), max_seeds)
 
 
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int | None = None, n_planes: int = 4,
-                     n_seeds: int = 6) -> DataFrame:
+                     n_seeds: int = 6, auto_from: int | None = None,
+                     recall_sim: float | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a<b).
 
     With dim set (the scale path): LSH-bucketed candidate generation +
     exact cosine verify — no cartesian product anywhere in the plan. With
     dim=None: exact all-pairs crossJoin, kept ONLY as the small-corpus
-    oracle twin / recall baseline."""
+    oracle twin / recall baseline.
+
+    auto_from: corpus row count — overrides (n_planes, n_seeds) with
+    auto_lsh_params(auto_from, recall_sim or threshold) so bucket count
+    scales with n (see that docstring); recall_sim relaxes the recall
+    guarantee point above the verify threshold when the caller knows the
+    similarity distribution is bimodal (near-dups sit near 1.0)."""
     if dim is not None:
+        if auto_from is not None:
+            n_planes, n_seeds = auto_lsh_params(
+                auto_from, threshold if recall_sim is None else recall_sim)
         joined = cosine_near_dup_candidates(
             emb, dim, n_planes, n_seeds, id_col=id_col, vec_col=vec_col)
     else:

@@ -57,15 +57,22 @@ def test_cosine_near_dups_bucketed_no_cartesian(spark):
 def test_cosine_near_dups_single_scan_per_side(spark):
     """Candidate generation is ONE (seed, bucket)-explode self-join, not a
     union of per-seed joins: at most one scan of the embeddings parquet per
-    join side (2 total; fewer if the exchange is reused). The old shape
-    read the table 2×n_seeds = 12 times — at 100 TB of embeddings that is
-    the difference between one pass and twelve."""
+    join side plus two pruned (id, vec) scans for the post-dedup verify
+    re-join (4 total). The pre-r5 shape read the table 2×n_seeds = 12
+    times; the r5 shape carried the vector payload through the candidate
+    and dedup shuffles — at sf1 that was 490 s vs ~20 s for this one."""
     emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
     df = similarity.cosine_near_dup_candidates(emb, dim=64)
     plan = _plan(df)
-    assert plan.count("embeddings.parquet") <= 2, plan
-    # one shuffle for the self-join + one for the final pair dedup
-    assert plan.count("Exchange") <= 4, plan
+    assert plan.count("embeddings.parquet") <= 4, plan
+    # self-join + pair dedup + two verify joins (id-keyed)
+    assert plan.count("Exchange") <= 8, plan
+    # the candidate/dedup shuffles move id rows only: no vector column may
+    # appear upstream of the dedup aggregate. In the executed-plan text the
+    # dedup prints before its inputs, so 'va' / 'vb' must first appear
+    # BEFORE (downstream of) the first id-pair HashAggregate.
+    dedup_at = plan.index("HashAggregate")
+    assert "va" in plan[:dedup_at], plan[:dedup_at]
 
 
 def test_jaccard_df_cut_filter_in_plan(spark):
