@@ -333,6 +333,40 @@ def test_lsh_recall_bounds(spark):
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
 
 
+def test_auto_lsh_params_scaling():
+    """The corpus-scaled (planes, seeds) choice: bucket count tracks n so
+    per-seed collisions stay ~linear; seeds satisfy the (1-p^b)^s <= delta
+    miss bound; caps bind together."""
+    import math
+
+    from ksoup_spark.operators.similarity import auto_lsh_params
+
+    # small corpora resolve to the sf0.01-era plane count with >= the old
+    # 6 seeds (superset candidates -> identical exact-verified output)
+    b, s = auto_lsh_params(503, 0.95)
+    assert b == 4 and s >= 6
+    # planes grow with n; never shrink
+    prev_b = 0
+    for n in [500, 5_000, 50_000, 500_000, 5_000_000]:
+        b, s = auto_lsh_params(n, 0.95)
+        assert b >= prev_b
+        prev_b = b
+        # the delta-recall bound holds at the returned (b, s) unless the
+        # seed cap bound first
+        p = 1 - math.acos(0.95) / math.pi
+        if s < 96:
+            assert (1 - p**b) ** s <= 1e-3
+    # per-seed expected collisions stay ~n * target_bucket / 2 while the
+    # plane cap is not binding: n^2 / 2^(b+1) <= n * 128 (ceil slack)
+    for n in [10_000, 100_000, 1_000_000]:
+        b, _ = auto_lsh_params(n, 0.95)
+        assert n * n / 2 ** (b + 1) <= n * 128
+    # a tighter recall point costs more seeds, never more than the cap
+    _, s_loose = auto_lsh_params(50_000, 0.95)
+    _, s_tight = auto_lsh_params(50_000, 0.8)
+    assert 96 >= s_tight > s_loose
+
+
 def test_pipeline_kernel_runs_once_per_doc(spark, tmp_path):
     """Regression: metrics are computed from the written parquet, so the
     extraction kernel executes exactly once per document per batch (the
