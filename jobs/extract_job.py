@@ -34,9 +34,15 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--num-parts", type=int, default=256)
     ap.add_argument("--parts-per-batch", type=int, default=16)
-    ap.add_argument("--arrow-batch", type=int, default=256)
+    # default tracks ksoup_spark.session.DEFAULT_ARROW_BATCH (the measured
+    # IPC-framing knee); imported lazily below to keep --help py-files-free
+    ap.add_argument("--arrow-batch", type=int, default=None)
     args = ap.parse_args(argv)
 
+    if args.arrow_batch is None:
+        from ksoup_spark.session import DEFAULT_ARROW_BATCH
+
+        args.arrow_batch = DEFAULT_ARROW_BATCH
     spark = (
         SparkSession.builder.appName("ksoup-extract")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
