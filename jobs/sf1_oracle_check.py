@@ -71,6 +71,15 @@ def _multiset(rows, colnames):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/repo/.bench_sf1")
+    ap.add_argument("--all", action="store_true",
+                    help="replay the ENTIRE registry, not just the "
+                         "dedup/ANN family (every query derives its input "
+                         "from documents/embeddings, so the sf1 corpus "
+                         "covers all 50)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated explicit query list (overrides "
+                         "--all/FAMILY); lets a long replay resume after "
+                         "an interrupted run instead of redoing green rows")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -92,9 +101,15 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.queries:
+        names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    elif args.all:
+        names = sorted(queries)
+    else:
+        names = FAMILY
     results = []
     ok_all = True
-    for name in FAMILY:
+    for name in names:
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf_dir)
@@ -109,7 +124,9 @@ def main() -> int:
                 and _multiset(srows, cols) == _multiset(orows, ocols)
             )
         except Exception as exc:  # noqa: BLE001 - recorded, not masked
-            results.append({"query": name, "ok": False, "err": repr(exc)[:200]})
+            rec = {"query": name, "ok": False, "err": repr(exc)[:200]}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
             ok_all = False
             continue
         rec = {
@@ -124,9 +141,10 @@ def main() -> int:
     spark.stop()
     print(json.dumps({
         "sf_dir": args.sf_dir,
-        "family": len(FAMILY),
+        "family": len(names),
         "green": sum(1 for r in results if r.get("ok")),
         "all_ok": ok_all,
+        "failed": [r["query"] for r in results if not r.get("ok")],
     }))
     return 0 if ok_all else 1
 
