@@ -3109,6 +3109,23 @@ static int tree_handle_once(Tree *tr, PyObject *tok) {
 }
 
 static int tree_handle(Tree *tr, PyObject *tok) {
+    /* Self-closing non-void start tags always take the Python path:
+     * process() (treebuilder.py:937-958) runs the start through the mode
+     * handler and then synthesizes an end tag (HtmlTreeBuilder.kt:265-287).
+     * A C handler that inserted the element without that synthesized end
+     * diverges — e.g. "<table<tbody/><th>" kept the tbody open (found by
+     * the seed-20260819 differential fuzz campaign); tr_body_start had
+     * this guard but the table/cell modes did not, so it lives here, once
+     * per token, before any partial C work. */
+    if (PyTuple_GET_ITEM(tok, 0) == S_start &&
+        PyTuple_GET_ITEM(tok, 3) == Py_True) {
+        char scn[96];
+        Py_ssize_t scl;
+        int slr = tr_lower_name(PyTuple_GET_ITEM(tok, 1), scn,
+                                sizeof(scn), &scl);
+        if (slr < 0) return TR_ERR;
+        if (slr > 0 || !(tr_flags_c(tr, scn) & TF_VOID)) return TR_BAIL;
+    }
     for (int hop = 0; hop < 8; hop++) {
         int r = tree_handle_once(tr, tok);
         if (r != TR_REDISPATCH) return r;

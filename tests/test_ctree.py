@@ -135,6 +135,20 @@ CASES = [
     "<p>a\x00b</p><di\x00v>x</di\x00v>",
     # cdata-ish in html
     "<div><![CDATA[not real]]></div>",
+    # self-closing non-void tags inside table modes: process()
+    # (treebuilder.py:937-958) synthesizes an end tag after the start, so
+    # the C engine must bail — minimized from the seed-20260819 fuzz
+    # campaign divergences (tree_handle's central guard)
+    "b<table<tbody/><th>",
+    "<table<td<tfoot/>",
+    "文<table<th/><",
+    "><table<tfoot/><tr<",
+    "<table<r<th/><",
+    "<table><tbody/><th>x</table>",
+    "<table><tr/><td>c</table>",
+    "<table><tr><td/>t</table>",
+    "<table><caption/>c</table>",
+    "<div/><span/><p/>after",
 ]
 
 
