@@ -2832,11 +2832,6 @@ static int tr_row_exit(Tree *tr) {
 /* one token: TR_OK handled, TR_BAIL return to Python, TR_ERR exception */
 static int tree_handle_once(Tree *tr, PyObject *tok) {
     PyObject *k = PyTuple_GET_ITEM(tok, 0);
-    /* foreign-content dispatch guard (process(), treebuilder.py) */
-    if (tr->has_foreign) {
-        Py_ssize_t top = tr_top(tr);
-        if (top >= 0 && tr_l(tr->ns, top) != 0) return TR_BAIL;
-    }
     long mode = tr->mode;
     if (mode == M_TEXT) {
         if (k == S_text) return tr_text_mode_text(tr, PyTuple_GET_ITEM(tok, 1));
@@ -3108,15 +3103,32 @@ static int tree_handle_once(Tree *tr, PyObject *tok) {
     return TR_BAIL; /* cdata / eof */
 }
 
+/* TR_BAIL after a redispatch hop: earlier hops already mutated the tree
+ * (cell close, row/body exit, table-text flush), so Python must resume at
+ * the CURRENT mode handler — reprocess() semantics — not re-enter
+ * process(), whose foreign-content dispatch would re-run against the
+ * mutated stack (e.g. "<table<svg<template<title<th<e<tbody>": the cell
+ * close pops back under the svg template and process() would mis-route
+ * the tbody into the SVG namespace; pure Python checks dispatch once per
+ * token). tree_run reports this via statelist[7]. */
+#define TR_BAIL_MID 3
+
 static int tree_handle(Tree *tr, PyObject *tok) {
-    /* Self-closing non-void start tags always take the Python path:
-     * process() (treebuilder.py:937-958) runs the start through the mode
-     * handler and then synthesizes an end tag (HtmlTreeBuilder.kt:265-287).
-     * A C handler that inserted the element without that synthesized end
-     * diverges — e.g. "<table<tbody/><th>" kept the tbody open (found by
-     * the seed-20260819 differential fuzz campaign); tr_body_start had
-     * this guard but the table/cell modes did not, so it lives here, once
-     * per token, before any partial C work. */
+    /* Once-per-token dispatch guards, mirroring process()'s order
+     * (treebuilder.py:929-959); redispatch hops do NOT re-check, exactly
+     * like Python's reprocess() jumping straight to the mode handler. */
+    /* 1. foreign-content dispatch (treebuilder.py:933-936) */
+    if (tr->has_foreign) {
+        Py_ssize_t ftop = tr_top(tr);
+        if (ftop >= 0 && tr_l(tr->ns, ftop) != 0) return TR_BAIL;
+    }
+    /* 2. self-closing non-void start tags take the Python path: process()
+     * (treebuilder.py:937-958) runs the start through the mode handler and
+     * then synthesizes an end tag (HtmlTreeBuilder.kt:265-287). A C handler
+     * that inserted the element without that synthesized end diverges —
+     * e.g. "<table<tbody/><th>" kept the tbody open (seed-20260819 fuzz
+     * campaign); tr_body_start had this guard but the table/cell modes did
+     * not, so it lives here, before any partial C work. */
     if (PyTuple_GET_ITEM(tok, 0) == S_start &&
         PyTuple_GET_ITEM(tok, 3) == Py_True) {
         char scn[96];
@@ -3128,16 +3140,20 @@ static int tree_handle(Tree *tr, PyObject *tok) {
     }
     for (int hop = 0; hop < 8; hop++) {
         int r = tree_handle_once(tr, tok);
+        if (r == TR_BAIL && hop > 0) return TR_BAIL_MID;
         if (r != TR_REDISPATCH) return r;
     }
-    return TR_BAIL; /* reprocess chain too deep: let Python take it */
+    return TR_BAIL_MID; /* reprocess chain too deep: let Python take it */
 }
 
 /* tree_run(s, start_byte, tok_state, rawtext_tag, shared, statelist)
  *   shared: (kind, tag, attrs, text, ns, children, parent,
  *            stack, formatting, pushed_tags)
  *   statelist: [mode, skip_next_lf, frameset_ok, original_mode, form_id,
- *               errors_delta, has_foreign]
+ *               errors_delta, has_foreign, midbail]
+ *   midbail (out only): 1 when the FIRST bailed token was already partly
+ *   handled by redispatch hops — the caller must resume it at the current
+ *   mode handler (reprocess semantics), not re-enter process()
  * -> (bail_tokens_or_None, next_byte, done) */
 static PyObject *py_tree_run(PyObject *self, PyObject *args) {
     PyObject *str, *rawtag, *shared, *statel;
@@ -3146,7 +3162,7 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
     if (!PyArg_ParseTuple(args, "OniOO!O!", &str, &start, &state, &rawtag,
                           &PyTuple_Type, &shared, &PyList_Type, &statel))
         return NULL;
-    if (PyTuple_GET_SIZE(shared) != 11 || PyList_GET_SIZE(statel) != 7) {
+    if (PyTuple_GET_SIZE(shared) != 11 || PyList_GET_SIZE(statel) != 8) {
         PyErr_SetString(PyExc_ValueError, "bad shared/state shape");
         return NULL;
     }
@@ -3205,6 +3221,7 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
 
     PyObject *bail = NULL;
     int done = 0;
+    int midbail = 0;
     for (;;) {
         /* pump the tokenizer */
         int r = 0;
@@ -3231,6 +3248,7 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
             int h = tree_handle(&tr, PyList_GET_ITEM(t.out, i));
             if (h == TR_ERR) goto fail;
             if (h == TR_BAIL) break;
+            if (h == TR_BAIL_MID) { midbail = 1; break; }
         }
         if (i < nt) { /* bail: return unconsumed tail */
             bail = PyList_GetSlice(t.out, i, nt);
@@ -3252,10 +3270,10 @@ static PyObject *py_tree_run(PyObject *self, PyObject *args) {
     Py_DECREF(t.out);
     /* write back scalars */
     {
-        long vals[7] = {tr.mode, tr.skip_lf, tr.frameset_ok,
+        long vals[8] = {tr.mode, tr.skip_lf, tr.frameset_ok,
                         tr.original_mode, tr.form_id, tr.errors,
-                        tr.has_foreign};
-        for (int j = 0; j < 7; j++) {
+                        tr.has_foreign, midbail};
+        for (int j = 0; j < 8; j++) {
             PyObject *v = PyLong_FromLong(vals[j]);
             if (!v) { Py_XDECREF(bail); return NULL; }
             if (PyList_SetItem(statel, j, v)) { Py_XDECREF(bail); return NULL; }

@@ -305,14 +305,19 @@ class HtmlTreeBuilder:
         tokens outside the handled subset come back as tuples and run
         through the full Python process() — then the loop re-enters C with
         whatever mode/tokenizer state those handlers set. Scalars travel in
-        a 7-slot state list, synced both ways around each call."""
+        an 8-slot state list, synced both ways around each call. st[7]
+        (out only) flags a MID-CHAIN bail: C already ran part of the
+        token's redispatch chain (cell close / row exit / table-text
+        flush), so the first bailed token must resume at the current mode
+        handler — reprocess() semantics — NOT re-enter process(), whose
+        foreign-content dispatch would re-run against the mutated stack."""
         d = self.doc
         tok = self.tok  # CTokenizer: carries .state/.rawtext_tag for handlers
         html = tok.s
         shared = (d.kind, d.tag, d.attrs, d.text, d.ns, d.children,
                   d.parent, self.stack, self.formatting, self.pushed_tags,
                   self.pending_table_text)
-        st = [0, 0, 0, 0, 0, 0, 0]
+        st = [0, 0, 0, 0, 0, 0, 0, 0]
         bp = 0
         process = self.process
         tree_run = mod.tree_run
@@ -324,6 +329,7 @@ class HtmlTreeBuilder:
             st[4] = self.form_id
             st[5] = 0
             st[6] = 1 if self.has_foreign else 0
+            st[7] = 0
             toks, bp, done = tree_run(html, bp, tok.state, tok.rawtext_tag,
                                       shared, st)
             self.mode = st[0]
@@ -339,8 +345,14 @@ class HtmlTreeBuilder:
             tok.state = TOK_DATA
             tok.rawtext_tag = None
             if toks:
-                for tk in toks:
-                    process(tk)
+                start = 0
+                if st[7]:
+                    # mid-chain bail: finish the first token at the mode
+                    # handler C left us in (reprocess semantics)
+                    self._dispatch(toks[0], self.mode)
+                    start = 1
+                for ti in range(start, len(toks)):
+                    process(toks[ti])
             if done:
                 break
 

@@ -149,6 +149,13 @@ CASES = [
     "<table><tr><td/>t</table>",
     "<table><caption/>c</table>",
     "<div/><span/><p/>after",
+    # mid-chain bail after a cell-close pops back under a foreign ancestor:
+    # the foreign dispatch check is once-per-token (process entry), so the
+    # resumed token must go to the mode handler, not process() — minimized
+    # from the seed-20260820 fuzz campaign (tree_run st[7] midbail)
+    "<table<svg<template<title<th<e<tbody>",
+    "<svg><template><tbody><td>x<caption>y</template></svg>",
+    "<table><svg><desc><table><td>a<tbody>b</desc></svg></table>",
 ]
 
 
