@@ -96,15 +96,28 @@ nothing).  ``:has`` with a structural Or inner (``p:has(> span, > i)``)
 compiles as the union of per-branch witness semi-joins — existence
 distributes over the union.
 
+``:lt`` inside STRUCTURAL :has inners compiles too (round 5): the kernel
+binds IndexLessThan to ctx.root = the subject (el != root && index < n),
+so wherever a tested node is provably NOT the subject (witnesses, pinned
+chains, branch-A inner levels, outer/inner levels of the
+subject-is-level-i branches, all sibling sets — a sibling can never be
+the subject) the plain index predicate is exact, and the two places a
+spine node CAN be the subject (the branch-A top, the level-i node of a
+subject branch) evaluate the digest's at-subject variant, where every
+:lt atom never-matches (:lt dies, :not(:lt) holds).  Unpinned pure
+child chains carrying :lt route through the same branch set (the
+witness's exact-ancestor path crosses the subject at exactly one level).
+
 Unsupported pieces raise UnsupportedSelector — callers fall back to the
 kernel path (operators.extract.select_elements_df), which covers
 everything: subject-bounded :not/:is chains on a :has SPINE level or in
 nested positions (sibling sets, recursion — no pair frame to bound
-against), ctx-root-sensitive pseudos (:root, :lt) inside STRUCTURAL
-:has inners (same subject-binding), and :matchText over a table built
-without the rewrite.  Sweep over the reference's own 287 harvested
-select() queries: 282 compile; the 5 remaining are Kotlin ``$i``
-template strings, not selectors.
+against), :root inside STRUCTURAL :has inners (subject-binding differs
+per subject KIND), :lt inside a spine-level anti set or an outer spine
+sibling set (subject-bound at a set-tested node), and :matchText over a
+table built without the rewrite.  Sweep over the reference's own 287
+harvested select() queries: 282 compile; the 5 remaining are Kotlin
+``$i`` template strings, not selectors.
 """
 
 from __future__ import annotations
@@ -543,10 +556,10 @@ class _Digest:
     digests.  Realized as a DataFrame by _mk_set."""
 
     __slots__ = ("pred", "sibs", "hases", "antis", "gsets", "bsets",
-                 "pin_root")
+                 "pin_root", "own_lt", "pred_subj")
 
     def __init__(self, pred, sibs=(), hases=(), antis=(), gsets=(),
-                 bsets=(), pin_root=False):
+                 bsets=(), pin_root=False, own_lt=False, pred_subj=None):
         self.pred = pred
         self.sibs = list(sibs)
         self.hases = list(hases)
@@ -554,6 +567,52 @@ class _Digest:
         self.gsets = list(gsets)
         self.bsets = list(bsets)
         self.pin_root = pin_root
+        # :lt (IndexLessThan) in the level's own compound.  Inside :has
+        # the kernel binds it to ctx.root = the SUBJECT (el != root &&
+        # elem index < n) — pred is exact wherever the tested node is
+        # provably NOT the subject; pred_subj is the el-==-subject variant
+        # (every :lt atom never-matches, so ':lt' dies and ':not(:lt)'
+        # holds, matching IndexLessThan.matches at el == ctx.root)
+        self.own_lt = own_lt
+        self.pred_subj = pred_subj
+
+
+def _subst_lt_never(ev):
+    """Rewrite every IndexLessThan atom to a never-matching one (index <
+    -1): the at-subject predicate variant.  Pred parts are Has-free (Has
+    conjuncts are peeled into digest attachments first), so the walk only
+    needs the boolean combinators."""
+    if isinstance(ev, S.IndexLessThan):
+        return S.IndexLessThan(-1)
+    if isinstance(ev, S.And):
+        return S.And([_subst_lt_never(e) for e in ev.evals])
+    if isinstance(ev, S.Or):
+        return S.Or([_subst_lt_never(e) for e in ev.evals])
+    if isinstance(ev, S.Is):
+        return S.Is(_subst_lt_never(ev.inner))
+    if isinstance(ev, S.Not):
+        return S.Not(_subst_lt_never(ev.inner))
+    return ev
+
+
+def _subj_variant(dg: "_Digest") -> "_Digest":
+    """Digest copy evaluating the compound at el == subject."""
+    return _Digest(dg.pred_subj, dg.sibs, dg.hases, dg.antis, dg.gsets,
+                   dg.bsets, dg.pin_root)
+
+
+def _lt_deep(dg: "_Digest") -> bool:
+    """:lt anywhere in the digest's sibling/anti attachments (recursive).
+    gsets are ctx-root-insensitive by construction and nested :has
+    rebinds ctx.root at the tested node, so neither can carry a
+    subject-bound :lt."""
+    for _, sdg in dg.sibs:
+        if sdg.own_lt or _lt_deep(sdg):
+            return True
+    for adg in dg.antis:
+        if adg.own_lt or _lt_deep(adg):
+            return True
+    return False
 
 
 def _digest_level(ev, text_cols: frozenset):
@@ -575,6 +634,7 @@ def _digest_level(ev, text_cols: frozenset):
     parts = _flatten_and(ev)
     preds, sibs, hases, antis, gsets, bsets, cont = \
         [], [], [], [], [], [], None
+    preds_subj = []  # at-subject variants, parallel to preds
     pin = False
 
     def _set_cont(c):
@@ -600,8 +660,12 @@ def _digest_level(ev, text_cols: frozenset):
             if isinstance(e.inner, S.Root):
                 # sibling-of-root (':has(~ p)'): the Has loop only visits
                 # descendants, never a sibling of the subject — kernel
-                # never-match (StructuralEvaluator.kt:50-99)
-                preds.append(F.lit(False))
+                # never-match (StructuralEvaluator.kt:50-99).  Same object
+                # into both lists: keeps them index-aligned and the
+                # `p is s` own_lt probe False for this part
+                never = F.lit(False)
+                preds.append(never)
+                preds_subj.append(never)
                 continue
             sdg, scont = _digest_level(e.inner, text_cols)
             if scont is not None:
@@ -616,7 +680,11 @@ def _digest_level(ev, text_cols: frozenset):
             hases.append((e, False))
         else:
             try:
-                preds.append(_compound_predicate(e, text_cols))
+                p = _compound_predicate(e, text_cols)
+                ps = (_compound_predicate(_subst_lt_never(e), text_cols)
+                      if _contains(e, (S.IndexLessThan,)) else p)
+                preds.append(p)
+                preds_subj.append(ps)
             except UnsupportedSelector:
                 if not isinstance(e, (S.Not, S.Is)):
                     raise
@@ -661,7 +729,14 @@ def _digest_level(ev, text_cols: frozenset):
     pred = preds[0] if preds else F.lit(True)
     for p in preds[1:]:
         pred = pred & p
-    return _Digest(pred, sibs, hases, antis, gsets, bsets, pin), cont
+    own_lt = any(p is not s for p, s in zip(preds, preds_subj))
+    pred_subj = None
+    if own_lt:
+        pred_subj = preds_subj[0]
+        for p in preds_subj[1:]:
+            pred_subj = pred_subj & p
+    return _Digest(pred, sibs, hases, antis, gsets, bsets, pin,
+                   own_lt=own_lt, pred_subj=pred_subj), cont
 
 
 def _unroll_spine(cont, text_cols: frozenset):
@@ -799,43 +874,76 @@ def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
     # subject: the kernel tests Root at its parent, so the subject itself
     # and the document can never sit at a pinned level)
     pinned = levels[k - 1].pin_root
-    w = _fold_up(base, k - 1)
+    if not pinned:
+        # :lt in spine ATTACHMENTS needs per-branch care the digest pred
+        # can't carry: a level's anti set tests the level node ITSELF
+        # (subject-capable: top via branch A equality, others via the
+        # subject-is-level-i branches), and sibling sets at levels above
+        # the witness-adjacent one can sit strictly ABOVE the subject in
+        # subject-branches, where a sibling can BE the subject.  (A
+        # pinned chain sits strictly inside the subject's subtree with no
+        # subject-branches, so plain preds stay exact there.)
+        for j, lv in enumerate(levels):
+            if any(adg.own_lt or _lt_deep(adg) for adg in lv.antis):
+                raise UnsupportedSelector(
+                    ":lt in a spine-level anti set is subject-bound")
+            if j >= 1 and any(sdg.own_lt or _lt_deep(sdg)
+                              for _, sdg in lv.sibs):
+                raise UnsupportedSelector(
+                    ":lt in an outer spine sibling set is subject-bound")
+    w_low = _fold_up(base, k - 1)
     top_link = links[k - 1]
     top_src = nodes.filter(
         (F.col("kind") == ELEMENT_KIND) | (F.col("kind") == DOCUMENT_KIND)
     ) if top_link == "anc" and not pinned else elems
-    top = _lvl(top_src, levels[k - 1]).select(
-        F.col("doc_id").alias("_a_doc"),
-        F.col("node_id").alias("_w_a"),
-        F.col("subtree_end").alias("_a_end"),
-        F.col("parent_id").alias("_a_par"),
-    )
-    if top_link == "anc":
-        tcond = ((w["_w_doc"] == top["_a_doc"])
-                 & (top["_w_a"] < w["_cur"])
-                 & (w["_cur"] <= top["_a_end"]))
-    else:
-        tcond = ((w["_w_doc"] == top["_a_doc"])
-                 & (top["_w_a"] == w["_cur_par"]))
-    w = w.join(top, tcond).select("_w_doc", "_w_a", "_w_d",
-                                  F.col("_a_par").alias("_w_apar"))
-    if pinned:
-        # the pin (top's parent == subject) already places the whole chain
-        # strictly inside the subject's subtree, and the subject can never
-        # BE a spine node — single branch, node_id equality join
-        return out.join(
-            w,
-            (out["doc_id"] == w["_w_doc"])
-            & (out["node_id"] == w["_w_apar"]),
-            "left_semi",
+    # a top carrying :lt splits branch A: kernel IndexLessThan tests
+    # el != ctx.root, so the top-==-subject pairing flips every :lt atom
+    # to never-match (pred_subj) while strictly-below tops keep the plain
+    # index predicate — (variant digest, subject comparison) per part
+    lt_top = levels[k - 1].own_lt and not pinned
+    tops = ([(levels[k - 1], "lt"), (_subj_variant(levels[k - 1]), "eq")]
+            if lt_top else [(levels[k - 1], "le")])
+    a_parts = []
+    for dgv, cmp in tops:
+        top = _lvl(top_src, dgv).select(
+            F.col("doc_id").alias("_a_doc"),
+            F.col("node_id").alias("_w_a"),
+            F.col("subtree_end").alias("_a_end"),
+            F.col("parent_id").alias("_a_par"),
         )
-    res = out.join(
-        w,
-        (out["doc_id"] == w["_w_doc"])
-        & (out["node_id"] <= w["_w_a"])
-        & (w["_w_d"] <= out["subtree_end"]),
-        "left_semi",
-    )
+        if top_link == "anc":
+            tcond = ((w_low["_w_doc"] == top["_a_doc"])
+                     & (top["_w_a"] < w_low["_cur"])
+                     & (w_low["_cur"] <= top["_a_end"]))
+        else:
+            tcond = ((w_low["_w_doc"] == top["_a_doc"])
+                     & (top["_w_a"] == w_low["_cur_par"]))
+        w = w_low.join(top, tcond).select(
+            "_w_doc", "_w_a", "_w_d", F.col("_a_par").alias("_w_apar"))
+        if pinned:
+            # the pin (top's parent == subject) already places the whole
+            # chain strictly inside the subject's subtree, and the subject
+            # can never BE a spine node — single branch, node_id equality
+            return out.join(
+                w,
+                (out["doc_id"] == w["_w_doc"])
+                & (out["node_id"] == w["_w_apar"]),
+                "left_semi",
+            )
+        scmp = (out["node_id"] < w["_w_a"] if cmp == "lt"
+                else out["node_id"] == w["_w_a"] if cmp == "eq"
+                else out["node_id"] <= w["_w_a"])
+        a_parts.append(out.join(
+            w,
+            (out["doc_id"] == w["_w_doc"]) & scmp
+            & (w["_w_d"] <= out["subtree_end"]),
+            "left_semi",
+        ))
+    res = a_parts[0]
+    for part in a_parts[1:]:
+        res = res.unionByName(part)
+    if len(a_parts) > 1:
+        res = res.dropDuplicates(["doc_id", "node_id"])
     if k == 1:
         return res
 
@@ -844,7 +952,14 @@ def _has_spine(nodes: DataFrame, elems: DataFrame, out: DataFrame,
         link_in = links[i - 1]
         sub = out if link_in == "anc" else out.filter(
             F.col("kind") == ELEMENT_KIND)
-        sub = _lvl(sub, levels[i - 1])
+        # the level-i node IS the subject here: evaluate its compound with
+        # the at-subject :lt variant (plain :lt dies at el == ctx.root,
+        # :not(:lt) holds); every other level sits strictly below (inner)
+        # or strictly above (outer) the subject, where the plain index
+        # predicate is the kernel's own test
+        lv_i = (_subj_variant(levels[i - 1]) if levels[i - 1].own_lt
+                else levels[i - 1])
+        sub = _lvl(sub, lv_i)
         # inner levels 1..i-1 inside the subject's subtree, witness below
         wi = _fold_up(base, i - 1)
         if link_in == "anc":
@@ -1063,16 +1178,20 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
       single branch (the subject can never BE a pinned spine node)
 
     Sibling-of-root forms (':has(~ p)') compile to the kernel's
-    never-match.  The remaining UnsupportedSelector shapes fall back to
-    the kernel path: subject-bounded :not/:is chains on SPINE levels or
-    nested positions (witness-level ones compile via _bounded_pair_sets),
-    rooted runs inside :not, and
-    ctx-root-sensitive pseudos (:root, :lt) in STRUCTURAL inners — the
-    kernel binds those to the :has subject (IsRoot: el == ctx.root;
-    IndexLessThan: el != ctx.root) and a spine node can BE the subject,
-    so the global-root column compile would lie.  In plain (witness-only)
-    inners both semantics provably coincide — witnesses are strict
-    descendants of the subject — so those stay compiled."""
+    never-match.  ':lt' in structural inners compiles via per-branch
+    digest variants (see the module docstring): plain preds wherever the
+    tested node is provably not the subject, the at-subject never-match
+    variant at the branch-A top and subject-is-level-i nodes.  The
+    remaining UnsupportedSelector shapes fall back to the kernel path:
+    subject-bounded :not/:is chains on SPINE levels or nested positions
+    (witness-level ones compile via _bounded_pair_sets), rooted runs
+    inside :not, ':root' in STRUCTURAL inners (IsRoot maps a Document
+    ctx.root to the html element, so subject-coincidence differs per
+    subject KIND), and ':lt' inside a spine-level anti set or an outer
+    spine sibling set (subject-bound at a set-tested node).  In plain
+    (witness-only) inners ctx-root pseudos provably coincide with the
+    global compile — witnesses are strict descendants of the subject —
+    so those stay compiled."""
     inner = has_ev.inner
     if isinstance(inner, S.Or) and _contains(inner, _STRUCT_T):
         # ':has(> span, > i)': existence distributes over the union —
@@ -1090,9 +1209,12 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     structs = [e for e in conjs if isinstance(e, _STRUCT_T)]
     if len(structs) > 1:
         raise UnsupportedSelector(":has with multiple structural conjuncts")
-    if _contains(inner, _STRUCT_T) and _contains(inner, _CTXROOT_T):
+    if _contains(inner, _STRUCT_T) and _contains(inner, (S.IsRoot,)):
+        # :root maps a DOCUMENT ctx.root to the html element (IsRoot
+        # .matches), so its subject-coincidence analysis differs per
+        # subject KIND — still kernel-path-served
         raise UnsupportedSelector(
-            ":root/:lt inside a structural :has inner is subject-bound")
+            ":root inside a structural :has inner is subject-bound")
 
     dg, cont = _digest_level(_norm_spine(inner), text_cols)
     if dg.bsets:
@@ -1123,6 +1245,17 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
         return _interval_semi(out, wset.select("_w_doc", "_w_d"))
     levels, links = _unroll_spine(cont, text_cols)
     if all(link == "parent" for link in links):
+        if not levels[-1].pin_root and any(
+                l.own_lt or _lt_deep(l) for l in levels):
+            # an unpinned pure child chain's level can BE the subject —
+            # the witness's exact-ancestor path passes through it — where
+            # the kernel flips :lt to never-match.  _has_spine's branch
+            # set covers consecutive-parent chains exhaustively (branch A
+            # = whole chain inside the subtree, subject-is-level-i = the
+            # path crossing the subject at level i), so route there for
+            # the per-branch pred/pred_subj split
+            return _has_spine(nodes, elems, out, wset, levels, links,
+                              text_cols)
         # pure child chain: the kernel's ImmediateParentRun walk is never
         # subject-bounded (no root test, StructuralEvaluator.kt:164-200) —
         # fold unbounded parent equi-joins; pin the topmost parent to the

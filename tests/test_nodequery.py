@@ -269,6 +269,39 @@ QUERIES = [
     "*|* > html",
     "* > body",
     "* > * > html",
+    # :lt inside :has inners — the kernel binds IndexLessThan to
+    # ctx.root = the SUBJECT (el != root && index < n); compiled via
+    # per-branch pred/pred_subj digest variants (round 5)
+    "div:has(p:lt(3))",
+    "div:has(p:lt(1))",
+    "*:has(*:lt(2))",
+    "div:has(div:lt(2) p)",           # anc-chain top carrying :lt
+    "div:has(div:lt(1) p)",
+    "*:has(div:lt(3) span)",
+    "body:has(div:lt(2) p)",
+    # the distinguishing shape: :not(:lt(big)) is FALSE at every
+    # strictly-placed node but TRUE at el == subject (kernel: el != root
+    # fails, so :lt dies and :not holds) — only the at-subject variant
+    # branches catch these matches
+    "div:has(div:not(:lt(99)) p)",
+    "section:has(* section:not(:lt(99)) p)",
+    "div:has(div:not(:lt(99)) > p)",
+    "div:has(p:not(:lt(2)))",
+    "div:has(div:lt(2) > p)",         # pure child chain -> _has_spine route
+    "body:has(div:lt(1) > div > p)",
+    "div:has(div:not(:lt(99)) > div > p)",
+    "div:has(section:lt(2) > div p)",     # mixed spine
+    "section:has(div:lt(3) section p)",
+    "div:has(div:lt(2) section p)",       # subject-capable :lt level
+    "section:has(* section:lt(9) p)",     # :lt dies at the subject branch
+    "div:has(> div:lt(2) p)",         # pinned chain: strictly inside
+    "div:has(> p:lt(3))",
+    "div:has(p:lt(2) + span)",        # witness sibling set carrying :lt
+    "div:has(em ~ span:lt(5))",
+    "div:has(p:lt(2), > span)",       # Or inner branches
+    "div:not(:has(div:not(:lt(99)) p))",
+    "div:not(:has(div:lt(2) p))",
+    "div:has(div:lt(2):has(p) p)",    # :lt level with a nested :has
     # :has with a structural Or inner — union of per-branch witness sets
     "p:has(> span, > i)",
     "div:has(> span, > em)",
@@ -319,15 +352,19 @@ def test_unsupported_falls_back(spark, nodes):
     # — intermediate-witness branches change the walk's bound per pair
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(p:not(a b) span)")
-    # ctx-root-sensitive pseudos in structural :has inners: the kernel
-    # binds :root/:lt to the :has subject; a spine node can BE the
-    # subject, so the global-root compile would lie — kernel fallback
-    with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(div:lt(2) p)")
+    # :root in structural :has inners: the kernel binds it to the :has
+    # subject and its meaning differs per subject KIND — kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "div:has(:root p)")
+    # :lt now compiles in pred positions (per-branch variants), but stays
+    # a fallback where a SET-tested node can be the subject: a spine
+    # level's anti set, or a sibling set on an outer spine level
     with pytest.raises(nodequery.UnsupportedSelector):
-        nodequery.compile_selector(nodes, "div:has(p:lt(3) > span)")
+        nodequery.compile_selector(
+            nodes, "div:has(div:not(span:lt(1) + div) p)")
+    with pytest.raises(nodequery.UnsupportedSelector):
+        nodequery.compile_selector(
+            nodes, "div:has(em:lt(2) + div section p)")
     # :matchText without the match_text rewrite — kernel fallback
     with pytest.raises(nodequery.UnsupportedSelector):
         nodequery.compile_selector(nodes, "p:matchText")
