@@ -566,9 +566,17 @@ def q_nodequery_has(spark, sf_dir):
     # and a 4-level root-anchored child run counting every block
     has_or = _cnt("div.b:has(> p, > span)", "n_or")
     rooted = _cnt("> html > body > main > div.b", "n_root")
+    # round 5 (late): subject-bound :lt inside :has — the kernel binds
+    # IndexLessThan to ctx.root = the subject, so :not(:lt(99)) is FALSE
+    # at the strictly-below inner div (index 0 < 99) but TRUE at the
+    # subject itself (el == root kills :lt); only the compiler's
+    # at-subject branch produces these matches (a global-index compile
+    # would count 0), and the count equals n_has
+    lt_cnt = _cnt("div.b:has(div:not(:lt(99)) p)", "n_lt")
     return (
         has_cnt.join(nested, "doc_id", "left").join(sib, "doc_id", "left")
         .join(has_or, "doc_id", "left").join(rooted, "doc_id", "left")
+        .join(lt_cnt, "doc_id", "left")
         .select(
             "doc_id", "n_has",
             F.coalesce(F.col("n_nested"), F.lit(0)).cast("int")
@@ -578,6 +586,7 @@ def q_nodequery_has(spark, sf_dir):
             F.coalesce(F.col("n_or"), F.lit(0)).cast("int").alias("n_or"),
             F.coalesce(F.col("n_root"), F.lit(0)).cast("int")
             .alias("n_root"),
+            F.coalesce(F.col("n_lt"), F.lit(0)).cast("int").alias("n_lt"),
         )
     )
 
@@ -1058,7 +1067,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split(text, ' '),
                                         (w, i) -> (i-1) % 3 <> 1)) AS INT)
                      AS n_or,
-                   CAST(len(string_split(text, ' ')) AS INT) AS n_root
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_root,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        (w, i) -> (i-1) % 3 = 1)) AS INT)
+                     AS n_lt
             FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   (w, i) -> (i-1) % 3 = 1)) > 0
