@@ -1193,11 +1193,13 @@ def _has_semi_join(nodes: DataFrame, out: DataFrame, has_ev,
     global compile — witnesses are strict descendants of the subject —
     so those stay compiled."""
     inner = has_ev.inner
-    if isinstance(inner, S.Or) and _contains(inner, _STRUCT_T):
-        # ':has(> span, > i)': existence distributes over the union —
-        # exists w (A or B) == (exists w A) or (exists w B) — so the
-        # subject set is the union of per-branch semi-joins; each branch
-        # re-enters this dispatch and keeps its own supported/guard rules
+    if isinstance(inner, S.Or) and _contains(inner, _STRUCT_T + (S.Has,)):
+        # ':has(> span, > i)' / ':has(a, b:has(c))': existence distributes
+        # over the union — exists w (A or B) == (exists w A) or
+        # (exists w B) — so the subject set is the union of per-branch
+        # semi-joins; each branch re-enters this dispatch and keeps its
+        # own supported/guard rules.  Purely-compound Ors stay a single
+        # predicate pass below (cheaper than N semi-joins)
         pos = None
         for branch in inner.evals:
             part = _has_semi_join(nodes, out, S.Has(branch, has_ev.relative_root),

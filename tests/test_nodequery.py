@@ -302,6 +302,12 @@ QUERIES = [
     "div:not(:has(div:not(:lt(99)) p))",
     "div:not(:has(div:lt(2) p))",
     "div:has(div:lt(2):has(p) p)",    # :lt level with a nested :has
+    # Document subject through the at-subject eq branch: #root (node 0)
+    # matches iff the chain top tests TRUE at el == ctx.root
+    "*:has(*:not(:lt(99)) p)",
+    "*:has(*:lt(99) p)",
+    "*:has(*:not(:lt(99)) > p)",
+    "*:has(*:lt(0) p)",
     # :has with a structural Or inner — union of per-branch witness sets
     "p:has(> span, > i)",
     "div:has(> span, > em)",
@@ -315,6 +321,13 @@ QUERIES = [
     "*:has(> p, > em)",
     "section > div:has(p, em)",
     "div:has(> p:has(span), em)",
+    # non-structural Or inners carrying a nested :has — existence
+    # distributes over ANY union, so these ride the per-branch path too
+    "div:has(p, span:has(em))",
+    "*:has(p, div:has(p))",
+    "div:has(.x, p:not(:has(span)))",
+    "div:has(p:has(span), span:has(b))",
+    "li:has(li:nth-child(2n), #mid:not(li):has(#i1))",
 ]
 
 
