@@ -103,3 +103,138 @@ def filter_traverse(doc: Doc, root: int,
                 # the parent's child list shrank before its cursor
                 stack[-1][1] -= 1
     return CONTINUE
+
+
+# -- NodeIterator (nodes/NodeIterator.kt) ------------------------------------
+
+# Kind-filter presets mirroring the reference's KClass filters: in the
+# reference's object model Document extends Element and CDataNode extends
+# TextNode, so an Element-typed iterator yields the document root and a
+# TextNode-typed one yields CDATA sections (nodes/NodeIterator.kt:18-22).
+from . import dom as _dom  # noqa: E402  (kept local to the iterator block)
+
+KINDS_ALL = None
+KINDS_ELEMENT = frozenset({_dom.DOCUMENT, _dom.ELEMENT})
+KINDS_TEXT = frozenset({_dom.TEXT, _dom.CDATA})
+
+
+class NodeIterator:
+    """Document-order iterator over a node and its descendants that
+    survives structural mutation of the tree mid-iteration
+    (nodes/NodeIterator.kt:19-122): ``remove``/``replace_with``/``wrap``
+    on the just-emitted node re-anchor the walk at the previously emitted
+    node instead of derailing it.
+
+    ``kinds`` filters emitted nodes by ``dom`` kind code (``KINDS_ELEMENT``,
+    ``KINDS_TEXT``, or any frozenset of kinds); ``None`` yields every node.
+    Mirrors the reference's generic type filter.
+    """
+
+    __slots__ = ("doc", "root", "_next", "current", "previous",
+                 "current_parent", "kinds")
+
+    def __init__(self, doc: Doc, start: int, kinds=KINDS_ALL) -> None:
+        self.doc = doc
+        self.kinds = kinds
+        self.restart(start)
+
+    def restart(self, start: int) -> None:
+        """Re-aim at a new start node as if newly constructed
+        (NodeIterator.kt:40-49)."""
+        self._next = start if self._matches(start) else -1
+        self.current = start
+        self.previous = start
+        self.root = start
+        self.current_parent = self.doc.parent[start]
+
+    def _matches(self, node: int) -> bool:
+        return self.kinds is None or self.doc.kind[node] in self.kinds
+
+    def has_next(self) -> bool:
+        self._maybe_find_next()
+        return self._next != -1
+
+    def next(self) -> int:
+        self._maybe_find_next()
+        if self._next == -1:
+            raise StopIteration
+        result = self._next
+        self.previous = self.current
+        self.current = result
+        self.current_parent = self.doc.parent[result]
+        self._next = -1
+        return result
+
+    def remove(self) -> None:
+        """Remove the last-emitted node from the tree
+        (NodeIterator.kt:113-115); iteration recovers via ``previous``."""
+        self.doc.detach(self.current)
+
+    def _maybe_find_next(self) -> None:
+        if self._next != -1:
+            return
+        # structural change detected (current removed or replaced):
+        # redo from the previously emitted node (NodeIterator.kt:73-76)
+        if self.current_parent != -1 and self.doc.parent[self.current] == -1:
+            self.current = self.previous
+        self._next = self._find_next_node()
+
+    def _next_sibling(self, node: int) -> int:
+        p = self.doc.parent[node]
+        if p == -1:
+            return -1
+        sibs = self.doc.children[p]
+        try:
+            i = sibs.index(node)
+        except ValueError:
+            return -1
+        return sibs[i + 1] if i + 1 < len(sibs) else -1
+
+    def _find_next_node(self) -> int:
+        """The reference's four-way cursor advance (NodeIterator.kt:79-105):
+        descend first child, else finish at root, else next sibling, else
+        pop ancestors until one has a next sibling."""
+        doc = self.doc
+        node = self.current
+        while True:
+            if doc.children[node]:
+                node = doc.children[node][0]
+            elif node == self.root:
+                return -1
+            else:
+                ns = self._next_sibling(node)
+                if ns != -1:
+                    node = ns
+                else:
+                    while True:
+                        node = doc.parent[node]
+                        if node == -1 or node == self.root:
+                            return -1
+                        ns = self._next_sibling(node)
+                        if ns != -1:
+                            node = ns
+                            break
+            if self._matches(node):
+                return node
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> int:
+        try:
+            return self.next()
+        except StopIteration:
+            raise
+
+
+def node_stream(doc: Doc, start: int, kinds=KINDS_ALL):
+    """Node.nodeStream() (Node.kt:678-690): lazy document-order sequence of
+    ``start`` and its descendants, optionally kind-filtered. Backed by
+    ``NodeIterator`` so it tolerates structural mutation mid-stream."""
+    return iter(NodeIterator(doc, start, kinds))
+
+
+def element_stream(doc: Doc, start: int):
+    """Element.stream() (Element.kt:394-396): element-typed node stream
+    (document root included — Document is an Element in the reference)."""
+    return iter(NodeIterator(doc, start, KINDS_ELEMENT))
