@@ -175,22 +175,45 @@ def html_select_html(col: Column | str, css: str) -> Column:
 _META_SCHEMA = StructType(
     [
         StructField("title", StringType()),
+        StructField("meta_title", StringType()),
         StructField("description", StringType()),
+        StructField("author", StringType()),
         StructField("og_title", StringType()),
+        StructField("og_site_name", StringType()),
+        StructField("og_type", StringType()),
+        StructField("og_locale", StringType()),
         StructField("og_description", StringType()),
         StructField("og_image", StringType()),
         StructField("og_url", StringType()),
+        StructField("twitter_card", StringType()),
         StructField("twitter_title", StringType()),
         StructField("twitter_description", StringType()),
+        StructField("twitter_image", StringType()),
         StructField("canonical", StringType()),
+        StructField("favicon", StringType()),
+        StructField("shortcut_icon", StringType()),
         StructField("charset", StringType()),
     ]
 )
 
 
-def html_meta(col: Column | str) -> Column:
-    """Ksoup.parseMetaData equivalent (Ksoup.kt:192-288): og:/twitter:/meta
-    extraction from <head> into a typed struct."""
+def html_meta(col: Column | str, base_uri: str = "") -> Column:
+    """Ksoup.parseMetaData equivalent (Ksoup.kt:192-288, model/MetaData.kt):
+    og:/twitter:/meta extraction from <head> into a typed struct. ``title``
+    is the <title> text (MetaData.htmlTitle); ``meta_title`` is
+    meta[name=title]. favicon/shortcut_icon are base-prefixed exactly like
+    the reference (Ksoup.kt:257-265: plain concat when the href doesn't
+    start with http and base_uri is set); canonical is the raw href
+    (Ksoup.kt:254). ``charset`` is an extension beyond the reference."""
+
+    def _icon(d, query):
+        n = sel.select_first(d, query)
+        if n == -1:
+            return None
+        href = d.get_attr(n, "href")
+        if href is not None and base_uri and not href.lower().startswith("http"):
+            href = base_uri + href
+        return href
 
     @F.pandas_udf(_META_SCHEMA)
     def _f(s: pd.Series) -> pd.DataFrame:
@@ -205,7 +228,7 @@ def html_meta(col: Column | str) -> Column:
             canonical = None
             n = sel.select_first(d, 'link[rel=canonical]')
             if n != -1:
-                canonical = d.abs_url(n, "href")
+                canonical = d.get_attr(n, "href")
             charset = None
             n = sel.select_first(d, "meta[charset]")
             if n != -1:
@@ -213,14 +236,23 @@ def html_meta(col: Column | str) -> Column:
             rows.append(
                 {
                     "title": tx.doc_title(d) or None,
+                    "meta_title": meta("title"),
                     "description": meta("description"),
+                    "author": meta("author"),
                     "og_title": meta("og:title", key="property"),
+                    "og_site_name": meta("og:site_name", key="property"),
+                    "og_type": meta("og:type", key="property"),
+                    "og_locale": meta("og:locale", key="property"),
                     "og_description": meta("og:description", key="property"),
                     "og_image": meta("og:image", key="property"),
                     "og_url": meta("og:url", key="property"),
+                    "twitter_card": meta("twitter:card"),
                     "twitter_title": meta("twitter:title"),
                     "twitter_description": meta("twitter:description"),
+                    "twitter_image": meta("twitter:image"),
                     "canonical": canonical,
+                    "favicon": _icon(d, "link[rel~=icon]"),
+                    "shortcut_icon": _icon(d, "link[rel~=shortcut icon]"),
                     "charset": charset,
                 }
             )

@@ -83,6 +83,45 @@ def test_html_meta(spark, html_df):
     assert m["canonical"] == "http://c.x/p"
 
 
+_METADATA_TEST_HTML = """<html>
+    <head>
+        <title>Test Page</title>
+        <meta property="og:title" content="Test OG Title">
+        <meta property="og:description" content="Test OG Description">
+        <meta property="og:image" content="https://example.com/image.png">
+        <meta property="og:url" content="https://example.com">
+        <meta name="twitter:title" content="Test Twitter Title">
+        <meta name="twitter:description" content="Test Twitter Description">
+        <meta name="twitter:image" content="https://example.com/twitter_image.png">
+        <meta name="description" content="Test Description">
+        <link rel="canonical" href="https://example.com">
+        <link rel="icon" href="/favicon.ico">
+        <link href="/pikacon-32x32.png" rel="shortcut icon" type="image/png">
+    </head>
+</html>"""
+
+
+def test_html_meta_reference_fields(spark):
+    # meta/MetadataTest.kt assertMetaData: the full MetaData field set,
+    # including the base-prefixed favicon/shortcutIcon (Ksoup.kt:257-265)
+    df = spark.createDataFrame([(_METADATA_TEST_HTML,)], "html string")
+    m = df.select(
+        H.html_meta("html", base_uri="https://example.com").alias("m")
+    ).first()["m"]
+    assert m["title"] == "Test Page"
+    assert m["og_title"] == "Test OG Title"
+    assert m["og_description"] == "Test OG Description"
+    assert m["og_image"] == "https://example.com/image.png"
+    assert m["og_url"] == "https://example.com"
+    assert m["twitter_title"] == "Test Twitter Title"
+    assert m["twitter_description"] == "Test Twitter Description"
+    assert m["twitter_image"] == "https://example.com/twitter_image.png"
+    assert m["description"] == "Test Description"
+    assert m["canonical"] == "https://example.com"
+    assert m["favicon"] == "https://example.com/favicon.ico"
+    assert m["shortcut_icon"] == "https://example.com/pikacon-32x32.png"
+
+
 def test_pipeline_resume(spark, tmp_path):
     docs = build_docs_table(spark, SF_DIR).select("doc_id", "spans")
     out = str(tmp_path / "spans")
