@@ -17,6 +17,7 @@ Ksoup.kt:87-114), and ``charset=`` extraction from Content-Type strings
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import re
 
@@ -53,11 +54,17 @@ def charset_from_content_type(content_type: str | None) -> str | None:
 
 
 def validate_charset(name: str | None) -> str | None:
+    """None unless ``name`` is a real codec (DataUtil.validateCharset,
+    DataUtil.kt:209-218). codecs.lookup, not b"".decode: CPython fast-paths
+    empty-bytes decode without consulting the codec registry, so the decode
+    probe accepts any name."""
     if not name:
         return None
     name = name.strip().strip("'\"")
+    if not name:
+        return None
     try:
-        b"".decode(name)
+        codecs.lookup(name)
         return name
     except (LookupError, ValueError):
         return None
