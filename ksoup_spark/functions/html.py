@@ -123,7 +123,10 @@ def html_select_own_text(col: Column | str, css: str) -> Column:
 
 def html_select_attr(col: Column | str, css: str, attr: str,
                      absolute: bool = False) -> Column:
-    """attr values of matching elements; absolute=True resolves via absUrl."""
+    """attr values of matching elements; absolute=True resolves via absUrl,
+    keeping the raw value when it can't be made absolute (pipeline contract:
+    don't lose relative refs on base-less documents — Node.absUrl itself
+    returns "" there)."""
     sel.parse_query(css)
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -134,7 +137,9 @@ def html_select_attr(col: Column | str, css: str, attr: str,
             d = _parse(h or "")
             vals = []
             for n in sel.select(d, q):
-                v = d.abs_url(n, attr) if absolute else d.get_attr(n, attr)
+                v = d.get_attr(n, attr)
+                if absolute and v:
+                    v = d.abs_url(n, attr) or v
                 if v is not None:
                     vals.append(v)
             out.append(vals)
@@ -294,7 +299,7 @@ def html_media_refs(col: Column | str) -> Column:
             vals = []
             for n in sel.select(d, q):
                 attr = "data" if d.tag[n] == "object" else "src"
-                v = d.abs_url(n, attr)
+                v = d.abs_url(n, attr) or d.get_attr(n, attr)
                 if v:
                     vals.append(v)
             out.append(vals)

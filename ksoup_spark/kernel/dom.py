@@ -12,9 +12,41 @@ Document order = depth-first preorder (select/NodeTraversor.kt:22-65).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urljoin
 
 from . import tags as T
+
+_URL_CTL = re.compile(r"[\x00-\x1f]+")  # ascii 0-31, stripped from URLs
+
+
+def _is_abs_url(url: str) -> bool:
+    """The reference's deliberately crude absoluteness probe
+    (internal/URLUtil.kt:76-78): anything longer than 2 chars containing a
+    colon counts, so unknown custom schemes pass through unresolved."""
+    return len(url) > 2 and ":" in url
+
+
+def resolve_url(base: str, rel: str) -> str:
+    """StringUtil.resolve (internal/StringUtil.kt:226-237 +
+    internal/URLUtil.kt:6-73): strip ASCII control chars from both inputs,
+    return ``rel`` as-is when it already carries a scheme, ``base`` when
+    ``rel`` is empty, and "" when neither side is absolute. The RFC 3986
+    merge itself is stdlib urljoin, which matches the reference's
+    normalization on its own published test table (StringUtilTest.kt
+    resolvesRelativeUrls, replayed in tests/test_kernel_stringutil_ref.py)."""
+    base = _URL_CTL.sub("", base) if base else ""
+    rel = _URL_CTL.sub("", rel) if rel else ""
+    if not rel:
+        return base
+    if _is_abs_url(rel):
+        return rel
+    if not _is_abs_url(base):
+        return ""
+    try:
+        return urljoin(base, rel)
+    except ValueError:
+        return ""
 
 _C_TO_TABLE = False  # tri-state cache: False unset, None unavailable
 
@@ -221,14 +253,9 @@ class Doc:
 
     def abs_url(self, node: int, key: str) -> str:
         v = self.get_attr(node, key)
-        if not v:
+        if v is None:
             return ""
-        if self.base_uri:
-            try:
-                return urljoin(self.base_uri, v)
-            except ValueError:
-                return v
-        return v
+        return resolve_url(self.base_uri, v)
 
     def is_block(self, node: int) -> bool:
         return self.kind[node] == ELEMENT and self.tag[node] in T.BLOCK_TAGS

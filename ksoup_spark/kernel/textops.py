@@ -69,6 +69,17 @@ _ctext = _c_element_text()
 MEDIA_KIND = {"img": "image", "video": "video", "object": "object"}
 _MEDIA_REF_ATTR = {"img": "src", "video": "src", "object": "data"}
 
+def _media_ref(doc: Doc, node: int, key: str) -> str:
+    """Span-operator media ref: absUrl when resolvable, else the raw
+    attribute. The raw fallback is the span pipeline's own contract (keep
+    un-resolvable relative refs for downstream joining), distinct from
+    Node.absUrl which returns "" there."""
+    v = doc.abs_url(node, key)
+    if v:
+        return v
+    return doc.get_attr(node, key) or ""
+
+
 
 def normalise_whitespace(s: str) -> str:
     out: list[str] = []
@@ -374,11 +385,11 @@ def extract_spans(doc: Doc, root: int | None = None) -> list[tuple]:
                     continue
                 node = sp[2]
                 tag = tagv[node] or ""
-                ref = doc.abs_url(node, _MEDIA_REF_ATTR[tag])
+                ref = _media_ref(doc, node, _MEDIA_REF_ATTR[tag])
                 if not ref and tag == "video":
                     for c in children[node]:
                         if kind[c] == dom.ELEMENT and tagv[c] == "source":
-                            r2 = doc.abs_url(c, "src")
+                            r2 = _media_ref(doc, c, "src")
                             if r2:
                                 ref = r2
                                 break
@@ -428,12 +439,12 @@ def _extract_spans_py(doc: Doc, root: int) -> list[tuple]:
                 if mk is not None and node != root:
                     flush()
                     ref_attr = _MEDIA_REF_ATTR[tag]
-                    ref = doc.abs_url(node, ref_attr)
+                    ref = _media_ref(doc, node, ref_attr)
                     if not ref and tag == "video":
                         # fall back to first <source src>
                         for c in kids:
                             if kind[c] == dom.ELEMENT and tagv[c] == "source":
-                                ref = doc.abs_url(c, "src")
+                                ref = _media_ref(doc, c, "src")
                                 if ref:
                                     break
                     spans.append((mk, None, ref or "", len(spans)))
@@ -470,7 +481,7 @@ def _extract_spans_py(doc: Doc, root: int) -> list[tuple]:
                         mk = MEDIA_KIND.get(tag)
                         if mk is not None:
                             flush()
-                            ref = doc.abs_url(child, _MEDIA_REF_ATTR[tag])
+                            ref = _media_ref(doc, child, _MEDIA_REF_ATTR[tag])
                             spans.append((mk, None, ref or "", len(spans)))
                         else:
                             if accum.parts and (tag in BLOCK_TAGS
