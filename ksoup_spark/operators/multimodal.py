@@ -1,16 +1,21 @@
 """Multimodal column operators: opaque binary media + typed metadata.
 
 Treats image/audio/video payloads as binary columns with a typed metadata
-struct, processed via mapInPandas (Arrow-batched). The actual codec work is
-STUBBED — this container ships no image/audio libraries — behind
-``_decode_payload``: either a deterministic fake (default; stable for tests)
-or NotImplementedError when strict=True. The Spark-side plumbing (schemas,
+struct, processed via mapInPandas (Arrow-batched). Container-HEADER decode
+is REAL for PNG/GIF/JPEG/WAV (``_parse_real`` — pure byte parsing, stdlib
+``wave`` for PCM WAV duration; no codec library needed). Pixel/sample
+decode and every other format stay STUBBED behind ``_decode_payload``:
+a deterministic hash fake (default; stable for tests) or
+NotImplementedError when strict=True. The Spark-side plumbing (schemas,
 batch iteration, partitioning) is real and tested; swapping the stub for a
-Pillow/ffmpeg call changes no plan shape.
+Pillow/ffmpeg call changes no plan shape. Header sniffing is best-effort:
+adversarial non-JPEG bytes that happen to form a valid marker chain can
+yield a parse, as with any sniffer.
 
 Codec availability is re-probed each round (PIL, cv2, imageio, soundfile,
-librosa, av, ffmpeg/ffprobe binaries). Round 5 probe (2026-08-18): all
-absent — the strict=True stub remains the honest posture.
+librosa, av, ffmpeg/ffprobe binaries). Round 5 probe (2026-08-20): all
+absent except stdlib ``wave`` — hence the real WAV path; the strict
+stub remains the honest posture for everything _parse_real can't read.
 
 At 100 TB: media rows are large and skewed — process with
 maxRecordsPerBatch kept small and media tables bucketed by media_id so
@@ -81,16 +86,82 @@ def _sniff(data: bytes) -> tuple[str, str]:
     return ("unknown", "binary")
 
 
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_real(data: bytes) -> dict | None:
+    """Dependency-free REAL header decode for the formats whose containers
+    are parseable without a codec library: PNG IHDR, GIF logical screen
+    descriptor, JPEG SOF segments, and PCM WAV (stdlib ``wave``). Returns
+    None when the payload isn't one of these (or is malformed) — pixel /
+    sample decode still needs Pillow/ffmpeg and stays stubbed."""
+    if (data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24
+            and data[12:16] == b"IHDR"):
+        return {"format": "png", "kind": "image",
+                "width": int.from_bytes(data[16:20], "big"),
+                "height": int.from_bytes(data[20:24], "big"),
+                "duration_ms": None}
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        return {"format": "gif", "kind": "image",
+                "width": int.from_bytes(data[6:8], "little"),
+                "height": int.from_bytes(data[8:10], "little"),
+                "duration_ms": None}
+    if data[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 9 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+            if seg_len < 2:
+                break
+            if marker in _JPEG_SOF:
+                return {"format": "jpeg", "kind": "image",
+                        "width": int.from_bytes(data[pos + 7:pos + 9], "big"),
+                        "height": int.from_bytes(data[pos + 5:pos + 7], "big"),
+                        "duration_ms": None}
+            pos += 2 + seg_len
+        return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(data)) as w:
+                rate = w.getframerate()
+                if rate <= 0:
+                    return None
+                return {"format": "wav", "kind": "audio",
+                        "width": None, "height": None,
+                        "duration_ms": int(w.getnframes() * 1000 / rate)}
+        except (wave.Error, EOFError):
+            return None
+    return None
+
+
 def _decode_payload(data: bytes, strict: bool = False) -> dict:
-    """STUB decode step. Real impl: Pillow / soundfile / pyav.
+    """Decode step: REAL container-header decode for PNG/GIF/JPEG/WAV
+    (``_parse_real``); everything else is STUBBED pending Pillow/ffmpeg.
 
     The deterministic fake derives pseudo-dimensions from a content hash so
     tests are stable and the downstream plumbing is exercised end-to-end.
+    strict=True raises instead of faking when the payload isn't one of the
+    really-parseable formats.
     """
+    real = _parse_real(data)
+    if real is not None:
+        return real
     if strict:
         raise NotImplementedError(
-            "media codecs unavailable in this environment; "
-            "swap _decode_payload for a Pillow/ffmpeg-backed implementation"
+            "payload is not a parseable PNG/GIF/JPEG/WAV container and "
+            "media codecs are unavailable in this environment; swap "
+            "_decode_payload for a Pillow/ffmpeg-backed implementation"
         )
     h = hashlib.sha256(data).digest()
     fmt, kind = _sniff(data)

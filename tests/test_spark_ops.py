@@ -205,6 +205,47 @@ def test_multimodal_strict_raises(spark):
         multimodal.media_metadata(media, strict=True).collect()
 
 
+def _real_media_bytes():
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x01" * 4000)  # 4000 frames @ 8 kHz = 500 ms
+    w.close()
+    wav = buf.getvalue()
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    gif = (b"GIF89a" + (320).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + b"\x00" * 10)
+    # SOI, APP0 (len 16 = 2 len bytes + 14 payload), SOF0 (prec 8, 480x640)
+    jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big")
+            + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 10)
+    return [("wav", wav), ("png", png), ("gif", gif), ("jpeg", jpeg)]
+
+
+def test_multimodal_real_header_decode(spark):
+    # real container-header decode path (no codec libs needed): strict=True
+    # must SUCCEED for genuinely parseable PNG/GIF/JPEG/WAV payloads
+    media = spark.createDataFrame(_real_media_bytes(),
+                                  "media_id string, payload binary")
+    meta = {m["media_id"]: m for m in
+            multimodal.media_metadata(media, strict=True).collect()}
+    assert meta["wav"]["format"] == "wav" and meta["wav"]["kind"] == "audio"
+    assert meta["wav"]["duration_ms"] == 500
+    assert (meta["png"]["width"], meta["png"]["height"]) == (640, 480)
+    assert (meta["gif"]["width"], meta["gif"]["height"]) == (320, 200)
+    assert (meta["jpeg"]["width"], meta["jpeg"]["height"]) == (640, 480)
+    assert meta["jpeg"]["format"] == "jpeg"
+
+
 def test_extract_handles_malformed_and_empty(spark):
     df = spark.createDataFrame(
         [("a", "<p"), ("b", ""), ("c", None), ("d", "<table><tr>x")],
