@@ -2,8 +2,11 @@
 
 Treats image/audio/video payloads as binary columns with a typed metadata
 struct, processed via mapInPandas (Arrow-batched). Container-HEADER decode
-is REAL for PNG/GIF/JPEG/WAV (``_parse_real`` — pure byte parsing, stdlib
-``wave`` for PCM WAV duration; no codec library needed). Pixel/sample
+is REAL for PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/MP3/MP4 (``_parse_real`` — pure
+byte parsing: fixed-offset headers for the images, stdlib ``wave`` for PCM
+WAV, FLAC STREAMINFO bit unpacking, an MPEG Layer III frame-header walk
+for MP3 duration, and an ISO BMFF box walk to mvhd/tkhd for MP4 duration +
+dimensions; no codec library needed). Pixel/sample
 decode and every other format stay STUBBED behind ``_decode_payload``:
 a deterministic hash fake (default; stable for tests) or
 NotImplementedError when strict=True. The Spark-side plumbing (schemas,
@@ -76,10 +79,18 @@ _MAGIC = {
     b"RIFF": ("riff", "audio"),
     b"\x1aE\xdf\xa3": ("mkv", "video"),
     b"ID3": ("mp3", "audio"),
+    b"fLaC": ("flac", "audio"),
+    b"BM": ("bmp", "image"),
 }
 
 
 def _sniff(data: bytes) -> tuple[str, str]:
+    # container-specific probes before the generic prefixes: WEBP rides a
+    # RIFF header, ISO BMFF (mp4/mov/m4a) keys on 'ftyp' at offset 4
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return ("webp", "image")
+    if data[4:8] == b"ftyp":
+        return ("mp4", "video")
     for magic, fmt in _MAGIC.items():
         if data.startswith(magic):
             return fmt
@@ -88,13 +99,118 @@ def _sniff(data: bytes) -> tuple[str, str]:
 
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
+# known BITMAPxHEADER sizes (BITMAPCOREHEADER=12 uses 16-bit dims)
+_BMP_DIB = frozenset({12, 16, 40, 52, 56, 64, 108, 124})
+
+# MPEG audio Layer III tables (frame-header walk; indexes are the raw
+# 2-/4-bit header fields). version field: 0=MPEG2.5, 2=MPEG2, 3=MPEG1.
+_MP3_BITRATE = {
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATE[0] = _MP3_BITRATE[2]
+_MP3_RATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}
+
+
+def _mp3_walk(data: bytes, pos: int) -> int | None:
+    """Walk consecutive MPEG-1/2/2.5 Layer III frame headers from ``pos``;
+    return total duration in ms when >= 2 valid frames chain (CBR or VBR —
+    each frame carries its own bitrate), else None."""
+    n = len(data)
+    frames = 0
+    dur_ms = 0.0
+    while pos + 4 <= n:
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        bit_idx = (b2 >> 4) & 0xF
+        rate_idx = (b2 >> 2) & 3
+        if version == 1 or layer != 1 or bit_idx in (0, 15) or rate_idx == 3:
+            break  # reserved / free-format / non-Layer-III: not walkable
+        bitrate = _MP3_BITRATE[version][bit_idx] * 1000
+        rate = _MP3_RATE[version][rate_idx]
+        samples = 1152 if version == 3 else 576
+        frame_len = samples * bitrate // (8 * rate) + ((b2 >> 1) & 1)
+        if frame_len < 4:
+            break
+        frames += 1
+        dur_ms += samples * 1000.0 / rate
+        pos += frame_len
+    if frames >= 2:
+        return int(dur_ms)
+    return None
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for ISO BMFF boxes."""
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            header = 16
+        elif size == 0:
+            size = end - pos
+            header = 8
+        else:
+            header = 8
+        if size < header or pos + size > end:
+            return
+        yield typ, pos + header, pos + size
+        pos += size
+
+
+def _parse_mp4(data: bytes) -> dict | None:
+    """moov/mvhd duration + widest trak tkhd dimensions (16.16 fixed)."""
+    duration_ms = None
+    width = height = 0
+    for typ, s, e in _mp4_boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(data, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 24:
+                ver = data[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    scale = int.from_bytes(data[s2 + 20:s2 + 24], "big")
+                    dur = int.from_bytes(data[s2 + 24:s2 + 32], "big")
+                else:
+                    scale = int.from_bytes(data[s2 + 12:s2 + 16], "big")
+                    dur = int.from_bytes(data[s2 + 16:s2 + 20], "big")
+                if scale > 0:
+                    duration_ms = int(dur * 1000 / scale)
+            elif t2 == b"trak":
+                for t3, s3, e3 in _mp4_boxes(data, s2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    off = 88 if data[s3] == 1 else 76
+                    if e3 - s3 >= off + 8:
+                        w = int.from_bytes(data[s3 + off:s3 + off + 4],
+                                           "big") >> 16
+                        h = int.from_bytes(data[s3 + off + 4:s3 + off + 8],
+                                           "big") >> 16
+                        if w * h > width * height:
+                            width, height = w, h
+    if duration_ms is None:
+        return None
+    return {"format": "mp4",
+            "kind": "video" if width and height else "audio",
+            "width": width or None, "height": height or None,
+            "duration_ms": duration_ms}
+
 
 def _parse_real(data: bytes) -> dict | None:
     """Dependency-free REAL header decode for the formats whose containers
     are parseable without a codec library: PNG IHDR, GIF logical screen
-    descriptor, JPEG SOF segments, and PCM WAV (stdlib ``wave``). Returns
-    None when the payload isn't one of these (or is malformed) — pixel /
-    sample decode still needs Pillow/ffmpeg and stays stubbed."""
+    descriptor, JPEG SOF segments, BMP DIB headers, WEBP (VP8/VP8L/VP8X),
+    PCM WAV (stdlib ``wave``), FLAC STREAMINFO, MPEG Layer III frame walks
+    (bare or behind an ID3v2 tag), and ISO BMFF (mp4/mov/m4a) mvhd/tkhd.
+    Returns None when the payload isn't one of these (or is malformed) —
+    pixel / sample decode still needs Pillow/ffmpeg and stays stubbed."""
     if (data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24
             and data[12:16] == b"IHDR"):
         return {"format": "png", "kind": "image",
@@ -142,11 +258,74 @@ def _parse_real(data: bytes) -> dict | None:
                         "duration_ms": int(w.getnframes() * 1000 / rate)}
         except (wave.Error, EOFError):
             return None
+    if data[:2] == b"BM" and len(data) >= 26:
+        dib = int.from_bytes(data[14:18], "little")
+        if dib in _BMP_DIB:
+            if dib == 12:
+                w = int.from_bytes(data[18:20], "little")
+                h = int.from_bytes(data[20:22], "little")
+            else:
+                w = int.from_bytes(data[18:22], "little", signed=True)
+                h = int.from_bytes(data[22:26], "little", signed=True)
+            if w > 0 and h != 0:  # negative height = top-down rows
+                return {"format": "bmp", "kind": "image",
+                        "width": w, "height": abs(h), "duration_ms": None}
+        return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 25:
+        chunk = data[12:16]
+        if chunk == b"VP8X" and len(data) >= 30:
+            return {"format": "webp", "kind": "image",
+                    "width": int.from_bytes(data[24:27], "little") + 1,
+                    "height": int.from_bytes(data[27:30], "little") + 1,
+                    "duration_ms": None}
+        if (chunk == b"VP8 " and len(data) >= 30
+                and data[23:26] == b"\x9d\x01\x2a"):
+            return {"format": "webp", "kind": "image",
+                    "width": int.from_bytes(data[26:28], "little") & 0x3FFF,
+                    "height": int.from_bytes(data[28:30], "little") & 0x3FFF,
+                    "duration_ms": None}
+        if chunk == b"VP8L" and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            return {"format": "webp", "kind": "image",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "duration_ms": None}
+        return None
+    if data[:4] == b"fLaC" and len(data) >= 42 and (data[4] & 0x7F) == 0 \
+            and int.from_bytes(data[5:8], "big") >= 34:
+        si = data[8:42]  # STREAMINFO is the mandatory first block
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+        if rate <= 0:
+            return None
+        return {"format": "flac", "kind": "audio",
+                "width": None, "height": None,
+                "duration_ms": int(total * 1000 / rate) if total else None}
+    if data[:3] == b"ID3" and len(data) >= 10 \
+            and max(data[6:10], default=0x80) < 0x80:
+        tag_end = 10 + ((data[6] << 21) | (data[7] << 14)
+                        | (data[8] << 7) | data[9])
+        if data[5] & 0x10:  # footer-present flag
+            tag_end += 10
+        dur = _mp3_walk(data, tag_end)
+        if dur is not None:
+            return {"format": "mp3", "kind": "audio",
+                    "width": None, "height": None, "duration_ms": dur}
+        return None
+    if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        dur = _mp3_walk(data, 0)
+        if dur is not None:
+            return {"format": "mp3", "kind": "audio",
+                    "width": None, "height": None, "duration_ms": dur}
+        return None
+    if data[4:8] == b"ftyp":
+        return _parse_mp4(data)
     return None
 
 
 def _decode_payload(data: bytes, strict: bool = False) -> dict:
-    """Decode step: REAL container-header decode for PNG/GIF/JPEG/WAV
+    """Decode step: REAL container-header decode for
+    PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/MP3/MP4
     (``_parse_real``); everything else is STUBBED pending Pillow/ffmpeg.
 
     The deterministic fake derives pseudo-dimensions from a content hash so
@@ -159,9 +338,10 @@ def _decode_payload(data: bytes, strict: bool = False) -> dict:
         return real
     if strict:
         raise NotImplementedError(
-            "payload is not a parseable PNG/GIF/JPEG/WAV container and "
-            "media codecs are unavailable in this environment; swap "
-            "_decode_payload for a Pillow/ffmpeg-backed implementation"
+            "payload is not a parseable PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/"
+            "MP3/MP4 container and media codecs are unavailable in this "
+            "environment; swap _decode_payload for a Pillow/ffmpeg-backed "
+            "implementation"
         )
     h = hashlib.sha256(data).digest()
     fmt, kind = _sniff(data)

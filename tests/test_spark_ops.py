@@ -228,7 +228,43 @@ def _real_media_bytes():
             + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
             + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
             + b"\x03" + b"\x00" * 10)
-    return [("wav", wav), ("png", png), ("gif", gif), ("jpeg", jpeg)]
+    # BITMAPINFOHEADER, 800x600 bottom-up
+    bmp = (b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
+           + (26).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (800).to_bytes(4, "little", signed=True)
+           + (600).to_bytes(4, "little", signed=True))
+    # WEBP lossless: 14-bit (width-1, height-1) packed after the 0x2F tag
+    bits = 332 | (221 << 14)
+    webp = (b"RIFF" + (13).to_bytes(4, "little") + b"WEBPVP8L"
+            + (5).to_bytes(4, "little") + b"\x2f" + bits.to_bytes(4, "little"))
+    # FLAC STREAMINFO: 44100 Hz, 441000 total samples = 10 s
+    si = bytearray(34)
+    si[0:2] = si[2:4] = (4096).to_bytes(2, "big")
+    si[10] = (44100 >> 12) & 0xFF
+    si[11] = (44100 >> 4) & 0xFF
+    si[12] = ((44100 & 0xF) << 4) | (1 << 1)  # 2 channels
+    si[13] = (0xF << 4) | ((441000 >> 32) & 0xF)  # 16 bps
+    si[14:18] = (441000).to_bytes(4, "big")
+    flac = b"fLaC\x80" + (34).to_bytes(3, "big") + bytes(si)
+    # empty ID3v2.4 tag + 3 MPEG1 Layer III frames (128 kbps, 44.1 kHz):
+    # 3 * 1152 samples / 44100 Hz = 78 ms
+    fhdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = fhdr + b"\x00" * (1152 * 128000 // (8 * 44100) - 4)
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + frame * 3
+    # ISO BMFF: ftyp + moov(mvhd v0 timescale 600 / duration 6000 = 10 s,
+    # trak(tkhd v0 640x360 as 16.16 fixed))
+    def _box(t, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+    mvhd = _box(b"mvhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+                + (6000).to_bytes(4, "big") + b"\x00" * 80)
+    tk = bytearray(84)
+    tk[76:80] = (640 << 16).to_bytes(4, "big")
+    tk[80:84] = (360 << 16).to_bytes(4, "big")
+    mp4 = (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+           + _box(b"moov", mvhd + _box(b"trak", _box(b"tkhd", bytes(tk)))))
+    return [("wav", wav), ("png", png), ("gif", gif), ("jpeg", jpeg),
+            ("bmp", bmp), ("webp", webp), ("flac", flac), ("mp3", mp3),
+            ("mp4", mp4)]
 
 
 def test_multimodal_real_header_decode(spark):
@@ -244,6 +280,15 @@ def test_multimodal_real_header_decode(spark):
     assert (meta["gif"]["width"], meta["gif"]["height"]) == (320, 200)
     assert (meta["jpeg"]["width"], meta["jpeg"]["height"]) == (640, 480)
     assert meta["jpeg"]["format"] == "jpeg"
+    assert (meta["bmp"]["width"], meta["bmp"]["height"]) == (800, 600)
+    assert (meta["webp"]["width"], meta["webp"]["height"]) == (333, 222)
+    assert meta["flac"]["kind"] == "audio"
+    assert meta["flac"]["duration_ms"] == 10000
+    assert meta["mp3"]["format"] == "mp3"
+    assert meta["mp3"]["duration_ms"] == 78  # 3 × 1152 / 44100 Hz
+    assert meta["mp4"]["kind"] == "video"
+    assert (meta["mp4"]["width"], meta["mp4"]["height"]) == (640, 360)
+    assert meta["mp4"]["duration_ms"] == 10000
 
 
 def test_extract_handles_malformed_and_empty(spark):
