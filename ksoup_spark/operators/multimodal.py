@@ -484,3 +484,52 @@ def pdf_layout(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_LAYOUT_SCHEMA])
 
     return df.mapInPandas(kernel, PDF_LAYOUT_SCHEMA)
+
+
+def enrich_media_spans(spans_df: DataFrame, media_df: DataFrame,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload",
+                       broadcast_meta: bool | None = None) -> DataFrame:
+    """Join extracted media spans against a media table's decoded metadata.
+
+    Input: the extraction pipeline's ``(doc_id, spans)`` output (media
+    spans — kind image/video/object — carry ``media_ref``) and a
+    ``(media_id, payload binary)`` media table. Output: one row per MEDIA span — (doc_id, offset, media_ref,
+    kind, format, width, height, duration_ms, n_bytes) — the interleaved
+    document's media stream with typed metadata, ready to filter (e.g.
+    drop sub-64px images) or to carry into a training-data manifest.
+
+    Plan shape: explode only the media spans (text spans are filtered
+    BEFORE the generate, so the explode is bounded by media density, not
+    span count), decode metadata once per media row (mapInPandas — the
+    pure-byte header parsers above), then one equi-join on the media id.
+    At 100 TB the media table is the smaller side in bytes-of-metadata
+    (payloads are pruned before the join: metadata is projected first), so
+    AQE usually broadcasts it; pass ``broadcast_meta=True`` to force the
+    hint, False to force a shuffle join (bucket both sides by media id to
+    co-locate), or leave None to let AQE decide from runtime sizes.
+    """
+    media_spans = (
+        spans_df.select(
+            "doc_id",
+            F.explode(
+                F.filter("spans", lambda s: s["media_ref"].isNotNull())
+            ).alias("span"),
+        )
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+    meta = media_metadata(media_df, id_col=id_col, payload_col=payload_col)
+    meta = meta.select(
+        F.col("media_id").alias("media_ref"), "kind", "format",
+        "width", "height", "duration_ms", "n_bytes",
+    )
+    if broadcast_meta is True:
+        meta = F.broadcast(meta)
+    return media_spans.join(meta, "media_ref", "left").select(
+        "doc_id", "offset", "media_ref", "kind", "format",
+        "width", "height", "duration_ms", "n_bytes",
+    )

@@ -199,6 +199,29 @@ def test_multimodal_features_and_frames(spark):
     assert frames.count() == 8
 
 
+def test_enrich_media_spans(spark):
+    """Media spans joined to decoded metadata: real header decode for the
+    PNG ref, stub decode for the RIFF-garbage ref, null metadata for a
+    dangling media_ref; text spans never explode."""
+    docs = spark.createDataFrame(
+        [("d1", "<p>hello</p><img src=a.png><img src=missing.png>"),
+         ("d2", "<p>text only</p>")],
+        "doc_id string, html string")
+    spans = extract.extract_spans_from_html_df(docs)
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    media = spark.createDataFrame(
+        [("a.png", bytearray(png))], "media_id string, payload binary")
+    out = multimodal.enrich_media_spans(spans, media).collect()
+    by_ref = {r["media_ref"]: r for r in out}
+    assert len(out) == 2 and set(by_ref) == {"a.png", "missing.png"}
+    got = by_ref["a.png"]
+    assert (got["format"], got["width"], got["height"]) == ("png", 640, 480)
+    assert got["doc_id"] == "d1" and got["kind"] == "image"
+    assert by_ref["missing.png"]["format"] is None  # left join keeps the span
+
+
 def test_multimodal_strict_raises(spark):
     media = multimodal.synth_media_table(spark, 2)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
