@@ -292,7 +292,7 @@ def _real_media_bytes():
 
 def test_multimodal_real_header_decode(spark):
     # real container-header decode path (no codec libs needed): strict=True
-    # must SUCCEED for genuinely parseable PNG/GIF/JPEG/WAV payloads
+    # must SUCCEED for genuinely parseable containers (all nine formats)
     media = spark.createDataFrame(_real_media_bytes(),
                                   "media_id string, payload binary")
     meta = {m["media_id"]: m for m in
