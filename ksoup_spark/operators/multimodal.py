@@ -2,10 +2,13 @@
 
 Treats image/audio/video payloads as binary columns with a typed metadata
 struct, processed via mapInPandas (Arrow-batched). Container-HEADER decode
-is REAL for PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/MP3/MP4 (``_parse_real`` — pure
-byte parsing: fixed-offset headers for the images, stdlib ``wave`` for PCM
-WAV, FLAC STREAMINFO bit unpacking, an MPEG Layer III frame-header walk
-for MP3 duration, and an ISO BMFF box walk to mvhd/tkhd for MP4 duration +
+is REAL for PNG/GIF/JPEG/BMP/WEBP/TIFF/ICO/WAV/FLAC/MP3/OGG/MP4/AVI/
+MKV-WebM (``_parse_real`` — pure byte parsing: fixed-offset headers and
+TIFF IFD walks for the images, stdlib ``wave`` for PCM WAV, FLAC
+STREAMINFO bit unpacking, an MPEG Layer III frame-header walk for MP3
+duration, an Ogg page walk reading Vorbis/Opus granule positions, the
+RIFF ``avih`` main header for AVI, an EBML walk to Info/Tracks for
+Matroska/WebM, and an ISO BMFF box walk to mvhd/tkhd for MP4 duration +
 dimensions; no codec library needed). Pixel/sample
 decode and every other format stay STUBBED behind ``_decode_payload``:
 a deterministic hash fake (default; stable for tests) or
@@ -81,6 +84,9 @@ _MAGIC = {
     b"ID3": ("mp3", "audio"),
     b"fLaC": ("flac", "audio"),
     b"BM": ("bmp", "image"),
+    b"OggS": ("ogg", "audio"),
+    b"II*\x00": ("tiff", "image"),
+    b"MM\x00*": ("tiff", "image"),
 }
 
 
@@ -203,12 +209,218 @@ def _parse_mp4(data: bytes) -> dict | None:
             "duration_ms": duration_ms}
 
 
+def _parse_tiff(data: bytes) -> dict | None:
+    """Baseline TIFF: endian header + first-IFD walk reading
+    ImageWidth (256) / ImageLength (257), SHORT or LONG, count 1."""
+    if data[:4] == b"II*\x00":
+        bo = "little"
+    elif data[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    if len(data) < 8:
+        return None
+    ifd = int.from_bytes(data[4:8], bo)
+    if ifd + 2 > len(data):
+        return None
+    n_entries = int.from_bytes(data[ifd:ifd + 2], bo)
+    width = height = None
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(data):
+            break
+        tag = int.from_bytes(data[e:e + 2], bo)
+        typ = int.from_bytes(data[e + 2:e + 4], bo)
+        cnt = int.from_bytes(data[e + 4:e + 8], bo)
+        if tag not in (256, 257) or cnt != 1:
+            continue
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            val = int.from_bytes(data[e + 8:e + 10], bo)
+        elif typ == 4:  # LONG
+            val = int.from_bytes(data[e + 8:e + 12], bo)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        else:
+            height = val
+    if not width or not height:
+        return None
+    return {"format": "tiff", "kind": "image",
+            "width": width, "height": height, "duration_ms": None}
+
+
+def _parse_ico(data: bytes) -> dict | None:
+    """ICONDIR + first ICONDIRENTRY; a 0 width/height byte means 256."""
+    if data[:4] != b"\x00\x00\x01\x00" or len(data) < 22:
+        return None
+    count = int.from_bytes(data[4:6], "little")
+    if not 1 <= count <= 256:
+        return None
+    return {"format": "ico", "kind": "image",
+            "width": data[6] or 256, "height": data[7] or 256,
+            "duration_ms": None}
+
+
+def _parse_avi(data: bytes) -> dict | None:
+    """RIFF AVI: LIST hdrl -> avih main header (frame period, total
+    frames, dimensions)."""
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        cc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = pos + 8
+        if cc == b"LIST" and data[body:body + 4] == b"hdrl":
+            pos = body + 4  # descend into the list
+            continue
+        if cc == b"avih" and body + 40 <= n:
+            usec_per_frame = int.from_bytes(data[body:body + 4], "little")
+            total_frames = int.from_bytes(data[body + 16:body + 20], "little")
+            width = int.from_bytes(data[body + 32:body + 36], "little")
+            height = int.from_bytes(data[body + 36:body + 40], "little")
+            if not (width and height):
+                return None
+            return {"format": "avi", "kind": "video",
+                    "width": width, "height": height,
+                    "duration_ms": int(usec_per_frame * total_frames / 1000)}
+        pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+def _parse_ogg(data: bytes) -> dict | None:
+    """Ogg page walk: codec id from the BOS packet (Vorbis sample rate /
+    OpusHead pre-skip), duration from the last non-negative granule
+    position. Page sizes come from each page's segment table, so the walk
+    is exact on well-formed streams and bails on the first bad page."""
+    pos, n = 0, len(data)
+    codec = rate = last_granule = None
+    preskip = 0
+    while pos + 27 <= n and data[pos:pos + 4] == b"OggS" and data[pos + 4] == 0:
+        nseg = data[pos + 26]
+        body = pos + 27 + nseg
+        if body > n:
+            break
+        size = sum(data[pos + 27:body])
+        if body + size > n:
+            break
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little", signed=True)
+        if granule >= 0:
+            last_granule = granule
+        if codec is None:
+            pkt = data[body:body + size]
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                rate = int.from_bytes(pkt[12:16], "little")
+            elif pkt[:8] == b"OpusHead" and len(pkt) >= 12:
+                codec = "opus"
+                rate = 48000  # Opus granules are always 48 kHz
+                preskip = int.from_bytes(pkt[10:12], "little")
+            else:
+                return None
+        pos = body + size
+    if codec is None or not rate or last_granule is None:
+        return None
+    samples = last_granule - (preskip if codec == "opus" else 0)
+    return {"format": "ogg", "kind": "audio", "width": None, "height": None,
+            "duration_ms": max(0, int(samples * 1000 / rate))}
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos, n_bytes) for one EBML variable-length integer."""
+    if pos >= len(data) or data[pos] == 0:
+        return None
+    length = 9 - data[pos].bit_length()
+    if pos + length > len(data):
+        return None
+    val = data[pos] if keep_marker else data[pos] & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length, length
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end) for EBML elements in
+    [pos, end); an unknown-size element (all size bits set — typical for
+    Segment) extends to the enclosing end."""
+    while pos < end:
+        r = _ebml_vint(data, pos, True)
+        if r is None:
+            return
+        eid, p, _ = r
+        r = _ebml_vint(data, p, False)
+        if r is None:
+            return
+        size, p, nbytes = r
+        if size == (1 << (7 * nbytes)) - 1:  # unknown size
+            yield eid, p, end
+            return
+        if p + size > end:
+            return
+        yield eid, p, p + size
+        pos = p + size
+
+
+def _parse_mkv(data: bytes) -> dict | None:
+    """Matroska/WebM EBML: DocType from the EBML header, duration from
+    Segment>Info (TimestampScale × Duration float), dimensions from the
+    first Tracks>TrackEntry>Video Pixel(Width|Height)."""
+    import struct
+
+    if data[:4] != b"\x1aE\xdf\xa3":
+        return None
+    fmt = "mkv"
+    duration = None
+    timescale = 1_000_000  # ns per timestamp tick (Matroska default)
+    width = height = None
+    for eid, s, e in _ebml_children(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for eid2, s2, e2 in _ebml_children(data, s, e):
+                if eid2 == 0x4282:  # DocType
+                    doctype = data[s2:e2].rstrip(b"\x00").decode(
+                        "ascii", "replace")
+                    fmt = "webm" if doctype == "webm" else "mkv"
+        elif eid == 0x18538067:  # Segment
+            for eid2, s2, e2 in _ebml_children(data, s, e):
+                if eid2 == 0x1549A966:  # Info
+                    for eid3, s3, e3 in _ebml_children(data, s2, e2):
+                        if eid3 == 0x2AD7B1:
+                            timescale = int.from_bytes(data[s3:e3], "big")
+                        elif eid3 == 0x4489 and e3 - s3 in (4, 8):
+                            duration = struct.unpack(
+                                ">f" if e3 - s3 == 4 else ">d",
+                                data[s3:e3])[0]
+                elif eid2 == 0x1654AE6B:  # Tracks
+                    for eid3, s3, e3 in _ebml_children(data, s2, e2):
+                        if eid3 != 0xAE or width:  # TrackEntry
+                            continue
+                        for eid4, s4, e4 in _ebml_children(data, s3, e3):
+                            if eid4 != 0xE0:  # Video
+                                continue
+                            for eid5, s5, e5 in _ebml_children(data, s4, e4):
+                                if eid5 == 0xB0:
+                                    width = int.from_bytes(data[s5:e5], "big")
+                                elif eid5 == 0xBA:
+                                    height = int.from_bytes(data[s5:e5], "big")
+    if duration is None and not (width and height):
+        return None
+    return {
+        "format": fmt,
+        "kind": "video" if width and height else "audio",
+        "width": width, "height": height,
+        "duration_ms": None if duration is None
+        else int(duration * timescale / 1e6),
+    }
+
+
 def _parse_real(data: bytes) -> dict | None:
     """Dependency-free REAL header decode for the formats whose containers
     are parseable without a codec library: PNG IHDR, GIF logical screen
     descriptor, JPEG SOF segments, BMP DIB headers, WEBP (VP8/VP8L/VP8X),
-    PCM WAV (stdlib ``wave``), FLAC STREAMINFO, MPEG Layer III frame walks
-    (bare or behind an ID3v2 tag), and ISO BMFF (mp4/mov/m4a) mvhd/tkhd.
+    TIFF IFD, ICO, PCM WAV (stdlib ``wave``), FLAC STREAMINFO, MPEG Layer
+    III frame walks (bare or behind an ID3v2 tag), Ogg page walks
+    (Vorbis/Opus duration via granule positions), RIFF AVI ``avih``,
+    Matroska/WebM EBML (duration + video dimensions), and ISO BMFF
+    (mp4/mov/m4a) mvhd/tkhd.
     Returns None when the payload isn't one of these (or is malformed) —
     pixel / sample decode still needs Pillow/ffmpeg and stays stubbed."""
     if (data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24
@@ -258,6 +470,16 @@ def _parse_real(data: bytes) -> dict | None:
                         "duration_ms": int(w.getnframes() * 1000 / rate)}
         except (wave.Error, EOFError):
             return None
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return _parse_avi(data)
+    if data[:4] == b"OggS":
+        return _parse_ogg(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff(data)
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return _parse_mkv(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return _parse_ico(data)
     if data[:2] == b"BM" and len(data) >= 26:
         dib = int.from_bytes(data[14:18], "little")
         if dib in _BMP_DIB:
@@ -325,7 +547,7 @@ def _parse_real(data: bytes) -> dict | None:
 
 def _decode_payload(data: bytes, strict: bool = False) -> dict:
     """Decode step: REAL container-header decode for
-    PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/MP3/MP4
+    PNG/GIF/JPEG/BMP/WEBP/TIFF/ICO/WAV/FLAC/MP3/OGG/MP4/AVI/MKV-WebM
     (``_parse_real``); everything else is STUBBED pending Pillow/ffmpeg.
 
     The deterministic fake derives pseudo-dimensions from a content hash so
@@ -338,10 +560,10 @@ def _decode_payload(data: bytes, strict: bool = False) -> dict:
         return real
     if strict:
         raise NotImplementedError(
-            "payload is not a parseable PNG/GIF/JPEG/BMP/WEBP/WAV/FLAC/"
-            "MP3/MP4 container and media codecs are unavailable in this "
-            "environment; swap _decode_payload for a Pillow/ffmpeg-backed "
-            "implementation"
+            "payload is not a parseable PNG/GIF/JPEG/BMP/WEBP/TIFF/ICO/"
+            "WAV/FLAC/MP3/OGG/MP4/AVI/MKV container and media codecs are "
+            "unavailable in this environment; swap _decode_payload for a "
+            "Pillow/ffmpeg-backed implementation"
         )
     h = hashlib.sha256(data).digest()
     fmt, kind = _sniff(data)

@@ -285,9 +285,63 @@ def _real_media_bytes():
     tk[80:84] = (360 << 16).to_bytes(4, "big")
     mp4 = (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
            + _box(b"moov", mvhd + _box(b"trak", _box(b"tkhd", bytes(tk)))))
+    import struct
+
+    # baseline TIFF (little-endian): IFD @8, ImageWidth SHORT / Length LONG
+    tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+            + struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", 1024)
+            + b"\x00\x00"
+            + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 768)
+            + struct.pack("<I", 0))
+    # ICONDIR + one 256x64 entry (width byte 0 means 256)
+    ico = (b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+           + bytes([0, 64, 0, 0]) + b"\x00" * 16)
+    # RIFF AVI: LIST hdrl > avih — 33367 us/frame x 300 frames = 10010 ms
+    avih = (struct.pack("<IIII", 33367, 0, 0, 0)
+            + struct.pack("<IIII", 300, 0, 0, 0) + struct.pack("<II", 320, 240))
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    avi = b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+    def _ogg_page(granule, header_type, packet):
+        seg, r = [], len(packet)
+        while r >= 255:
+            seg.append(255)
+            r -= 255
+        seg.append(r)
+        return (b"OggS\x00" + bytes([header_type])
+                + struct.pack("<q", granule) + b"\x00" * 12
+                + bytes([len(seg)]) + bytes(seg) + packet)
+
+    # Ogg Vorbis BOS id packet (44100 Hz) + a data page at granule 3 s
+    vorbis_id = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                 + struct.pack("<I", 44100) + b"\x00" * 11)
+    ogg = _ogg_page(-1, 2, vorbis_id) + _ogg_page(44100 * 3, 4, b"\x00" * 10)
+    # Ogg Opus: granules are 48 kHz; pre-skip 312 subtracted
+    opus_id = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+               + struct.pack("<I", 48000) + b"\x00\x00\x00")
+    opus = (_ogg_page(-1, 2, opus_id)
+            + _ogg_page(48000 * 2 + 312, 4, b"\x00" * 10))
+
+    def _ebml(eid, payload):
+        idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return idb + bytes([0x80 | len(payload)]) + payload
+
+    # WebM: EBML DocType, Segment > Info (scale 1e6 ns, 12345.0 ticks)
+    # + Tracks > TrackEntry > Video 1280x720
+    mkv = (_ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+           + _ebml(0x18538067,
+                   _ebml(0x1549A966,
+                         _ebml(0x2AD7B1, struct.pack(">I", 1000000))
+                         + _ebml(0x4489, struct.pack(">d", 12345.0)))
+                   + _ebml(0x1654AE6B,
+                           _ebml(0xAE, _ebml(0xE0,
+                                 _ebml(0xB0, struct.pack(">H", 1280))
+                                 + _ebml(0xBA, struct.pack(">H", 720)))))))
     return [("wav", wav), ("png", png), ("gif", gif), ("jpeg", jpeg),
             ("bmp", bmp), ("webp", webp), ("flac", flac), ("mp3", mp3),
-            ("mp4", mp4)]
+            ("mp4", mp4), ("tiff", tiff), ("ico", ico), ("avi", avi),
+            ("ogg", ogg), ("opus", opus), ("mkv", mkv)]
 
 
 def test_multimodal_real_header_decode(spark):
@@ -312,6 +366,35 @@ def test_multimodal_real_header_decode(spark):
     assert meta["mp4"]["kind"] == "video"
     assert (meta["mp4"]["width"], meta["mp4"]["height"]) == (640, 360)
     assert meta["mp4"]["duration_ms"] == 10000
+    assert (meta["tiff"]["width"], meta["tiff"]["height"]) == (1024, 768)
+    assert meta["tiff"]["format"] == "tiff"
+    assert (meta["ico"]["width"], meta["ico"]["height"]) == (256, 64)
+    assert meta["avi"]["kind"] == "video"
+    assert (meta["avi"]["width"], meta["avi"]["height"]) == (320, 240)
+    assert meta["avi"]["duration_ms"] == 10010
+    assert meta["ogg"]["format"] == "ogg" and meta["ogg"]["kind"] == "audio"
+    assert meta["ogg"]["duration_ms"] == 3000
+    assert meta["opus"]["duration_ms"] == 2000  # (granule - preskip)/48k
+    assert meta["mkv"]["format"] == "webm" and meta["mkv"]["kind"] == "video"
+    assert (meta["mkv"]["width"], meta["mkv"]["height"]) == (1280, 720)
+    assert meta["mkv"]["duration_ms"] == 12345
+
+
+def test_multimodal_malformed_headers_fall_back():
+    """Truncated/corrupt containers must return None from _parse_real (the
+    stub path takes over) — never raise. Pure-Python: no Spark needed."""
+    from ksoup_spark.operators.multimodal import _decode_payload, _parse_real
+
+    for _, good in _real_media_bytes():
+        for cut in (1, 5, 9, 13, len(good) // 2):
+            trunc = good[:cut]
+            _parse_real(trunc)  # must not raise
+            meta = _decode_payload(trunc)  # stub or real, never an error
+            assert meta["format"] is not None
+        corrupt = bytes(good[:8]) + b"\xff" * max(0, len(good) - 8)
+        _parse_real(corrupt)
+        # all-bits-set size fields must not produce negative/absurd walks
+        assert _decode_payload(corrupt)["format"] is not None
 
 
 def test_extract_handles_malformed_and_empty(spark):
