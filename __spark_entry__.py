@@ -770,14 +770,26 @@ def q_repetition(spark, sf_dir):
 def q_passage_dedup(spark, sf_dir):
     """CCNet-style cross-corpus passage dedup: an 8-word banner prepended
     to every document becomes a corpus-wide duplicate passage and must be
-    stripped from all of them; document-unique passages survive in order."""
+    stripped from all of them; document-unique passages survive in order.
+
+    Round 5: the row also carries the benchmark-DECONTAMINATION panel
+    (dedup.decontaminate — the standard n-gram-overlap eval-set filter):
+    docs with doc_id % 41 == 0 double as the 'benchmark' set, so each of
+    those flags at contamination 1.0 and every other doc flags only on
+    genuine 8-gram overlap with them — exactly computable in SQL."""
     d = _docs(spark, sf_dir)
     banner = "common banner eight words repeated across all docs "
     seeded = d.select(
         "doc_id",
         F.concat(F.lit(banner), F.col("text")).alias("text"),
     )
-    return dedup.passage_dedup(seeded, size=8, max_df=1)
+    pd_ = dedup.passage_dedup(seeded, size=8, max_df=1)
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    dec = dedup.decontaminate(d, bench, n=8, threshold=0.5)
+    return pd_.join(dec, "doc_id").select(
+        "doc_id", "n_passages", "n_removed", "clean_text",
+        "n_shingles", "n_contaminated", "contamination", "flagged",
+    )
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -1284,10 +1296,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": textstats.gopher_quality_sql(min_words=30),
         "repetition": textstats.repetition_sql(n=2),
-        "passage_dedup": dedup.passage_dedup_sql(
-            table="(SELECT doc_id, 'common banner eight words repeated "
-                  "across all docs ' || text AS text FROM documents)",
-            size=8, max_df=1),
+        "passage_dedup": f"""
+            WITH pd AS ({dedup.passage_dedup_sql(
+                table="(SELECT doc_id, 'common banner eight words repeated "
+                      "across all docs ' || text AS text FROM documents)",
+                size=8, max_df=1)}),
+            dec AS ({dedup.decontaminate_sql(
+                table="documents", bench_filter="doc_id % 41 = 0",
+                n=8, threshold=0.5)})
+            SELECT pd.doc_id, pd.n_passages, pd.n_removed, pd.clean_text,
+                   dec.n_shingles, dec.n_contaminated, dec.contamination,
+                   dec.flagged
+            FROM pd JOIN dec USING (doc_id)
+        """,
         "minhash_signatures": dedup.minhash_signatures_md5_sql(num_hashes=8),
         "simhash": textstats.simhash_sql(),
         "simhash_near_dups": f"""

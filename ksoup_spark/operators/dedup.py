@@ -388,6 +388,83 @@ def simhash_near_dups(simhash_df: DataFrame, band_bits: int = 15,
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  threshold: float = 0.05,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap an evaluation set's n-grams (the standard 13-gram
+    overlap filter used to keep eval benchmarks out of training corpora).
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination, flagged)
+    — one row per training doc; ``contamination`` is the fraction of the
+    doc's DISTINCT n-grams that appear anywhere in the benchmark set,
+    ``flagged`` is contamination >= threshold.
+
+    Scale shape: eval benchmarks are tiny next to a training corpus
+    (thousands of prompts vs 10^12 docs), so the benchmark's distinct
+    n-gram set is built once and BROADCAST; the doc shingle stream is
+    scanned ONCE (left join against the broadcast set carries a hit
+    marker) and the per-doc aggregate partial-aggregates map-side. No
+    shuffle touches the benchmark side; the only Exchange is the
+    groupBy(doc_id), whose input is one row per distinct doc shingle.
+    """
+    doc_sh = shingles(docs, n, text_col, id_col)
+    bench_sh = (
+        shingles(benchmark, n, bench_text_col, bench_id_col)
+        .select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("int")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            F.round(ratio, 4).alias("contamination"),
+            (ratio >= threshold).alias("flagged"),
+        )
+    )
+
+
+def decontaminate_sql(table: str = "documents", bench_filter: str = "",
+                      n: int = 13, threshold: float = 0.05) -> str:
+    """DuckDB oracle twin of decontaminate; ``bench_filter`` is a WHERE
+    predicate selecting the benchmark rows out of the same table."""
+    grams = f"""
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i + {n - 1}), ' ')
+         ))"""
+    return f"""
+WITH doc_sh AS (
+  SELECT doc_id, unnest({grams}) AS shingle FROM {table}
+),
+bench AS (
+  SELECT DISTINCT unnest({grams}) AS shingle
+  FROM {table} WHERE {bench_filter or 'TRUE'}
+),
+agg AS (
+  SELECT d.doc_id,
+         count(*) AS n_shingles,
+         count(b.shingle) AS n_contaminated
+  FROM doc_sh d LEFT JOIN bench b ON d.shingle = b.shingle
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_shingles::INT AS n_shingles,
+       n_contaminated::INT AS n_contaminated,
+       round(n_contaminated::DOUBLE / n_shingles, 4) AS contamination,
+       n_contaminated::DOUBLE / n_shingles >= {threshold} AS flagged
+FROM agg
+"""
+
+
 def exact_dedup_sql(table: str = "documents") -> str:
     return f"""
 SELECT md5(text) AS digest, min(doc_id) AS canonical_id,

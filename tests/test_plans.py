@@ -120,6 +120,19 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set n-gram side must reach the contamination join as a
+    broadcast: a training corpus never shuffles against its (tiny)
+    benchmark set, and the per-doc aggregate is the only Exchange on the
+    doc-shingle stream."""
+    from ksoup_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_ORACLE_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 41 = 0")
+    plan = _plan(dedup.decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_url_dedup_single_shuffle(spark):
     """Canonicalization is per-row JVM regex; the dedup is ONE exchange."""
     from pyspark.sql import functions as F2

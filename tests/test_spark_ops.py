@@ -649,6 +649,30 @@ def test_passage_dedup_removes_cross_doc_banner(spark):
         assert r.clean_text == f"unique{i} text{i} here{i} now{i}"
 
 
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs carrying a benchmark n-gram are flagged; clean docs are not;
+    the benchmark side rides a broadcast join (no shuffle of the eval
+    set at corpus scale)."""
+    from ksoup_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france answer paris")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "intro what is the capital of france answer paris outro"),
+         (2, "completely unrelated training text with no overlap at all"),
+         (3, "what is the capital of france answer paris")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.decontaminate(docs, bench, n=8, threshold=0.05).collect()}
+    # doc 3 IS the benchmark row: every 8-gram hits -> contamination 1.0
+    assert out[3].flagged and out[3].contamination == 1.0
+    # doc 1 embeds it: 1 of its 3 distinct 8-grams is the benchmark gram
+    assert out[1].flagged and out[1].n_contaminated == 1
+    assert out[1].n_shingles == 3
+    assert not out[2].flagged and out[2].n_contaminated == 0
+
+
 def test_gopher_quality_flags(spark):
     from ksoup_spark.operators import textstats
 
