@@ -815,11 +815,34 @@ def q_curation_pipeline(spark, sf_dir):
     )
     dup_sz = fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).cast("int").alias("n_dups"))
+    # round 5: the PII-scrub stage rides the same row — every third doc
+    # gets a planted email + IPv4 + phone appended, so per-type counts and
+    # the scrubbed-text hash are exact in SQL (textstats.pii_scrub_sql
+    # carries the identical Java/RE2-compatible patterns)
+    pii_src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.org or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".9 call +1 (555) 010-99"),
+                (F.col("doc_id") % 90 + 10).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    pii = textstats.pii_scrub(pii_src).select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("clean_text").alias("pii_md5"))
     return (
         flags.select("doc_id", "n_words", "keep")
         .join(fp, "doc_id")
         .join(dup_sz, "fingerprint")
-        .select("doc_id", "n_words", "keep", "fingerprint", "n_dups")
+        .join(pii, "doc_id")
+        .select("doc_id", "n_words", "keep", "fingerprint", "n_dups",
+                "n_emails", "n_ips", "n_phones", "pii_md5")
     )
 
 
@@ -1291,8 +1314,19 @@ def oracle_sql() -> dict[str, str]:
               FROM fp GROUP BY fingerprint
             )
             SELECT flags.doc_id, flags.n_words, flags.keep,
-                   fp.fingerprint, dup.n_dups
+                   fp.fingerprint, dup.n_dups,
+                   pii.n_emails, pii.n_ips, pii.n_phones,
+                   md5(pii.clean_text) AS pii_md5
             FROM flags JOIN fp USING (doc_id) JOIN dup USING (fingerprint)
+            JOIN ({textstats.pii_scrub_sql(
+                table="(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+                      "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+                      "'@example.org or 10.0.' || "
+                      "CAST(doc_id % 256 AS VARCHAR) || "
+                      "'.9 call +1 (555) 010-99' || "
+                      "CAST(doc_id % 90 + 10 AS VARCHAR) "
+                      "ELSE text END AS text FROM documents)")}) pii
+            USING (doc_id)
         """,
         "gopher_quality": textstats.gopher_quality_sql(min_words=30),
         "repetition": textstats.repetition_sql(n=2),

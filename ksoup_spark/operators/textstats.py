@@ -406,3 +406,59 @@ SELECT w.doc_id,
 FROM words w LEFT JOIN vocab v USING (word), total t
 GROUP BY w.doc_id
 """
+
+
+# PII patterns chosen to be exactly equivalent under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded quantifiers, \b — no lookaround.
+# Scrub order matters and is part of the contract: emails first (they
+# contain dots + digits an IP/phone pattern would half-match), then IPs,
+# then phone-shaped digit runs over the already-scrubbed text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction (C4/Dolma-style curation stage): emails, IPv4
+    addresses, and phone-shaped digit runs replaced with typed tokens,
+    with per-type match counts.
+
+    Returns (doc_id, n_emails, n_ips, n_phones, clean_text). Counts are
+    taken on the progressively scrubbed text (an email's digits can never
+    double-count as a phone). Pure JVM regexp_replace/regexp_count per
+    row — no shuffle, no Python, scale-free; the patterns are the
+    standard over-trigger trade every production scrubber makes."""
+    out = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_t0"))
+    cols = []
+    cur = "_t0"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        nxt = f"_t{i + 1}"
+        out = out.withColumn(
+            f"n_{name}s", F.regexp_count(F.col(cur), F.lit(pat)).cast("int")
+        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
+        cols.append(f"n_{name}s")
+        cur = nxt
+    return out.select("doc_id", *cols, F.col(cur).alias("clean_text"))
+
+
+def pii_scrub_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB oracle twin of pii_scrub (same patterns, same scrub order;
+    RE2 and Java regex agree on this pattern subset)."""
+    em, ip, ph = (p for _, p, _ in PII_PATTERNS)
+    return f"""
+WITH t0 AS (SELECT doc_id, {text_expr} AS t FROM {table}),
+t1 AS (SELECT doc_id,
+              len(regexp_extract_all(t, '{em}')) AS n_emails,
+              regexp_replace(t, '{em}', '[EMAIL]', 'g') AS t FROM t0),
+t2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t, '{ip}')) AS n_ips,
+              regexp_replace(t, '{ip}', '[IP]', 'g') AS t FROM t1)
+SELECT doc_id, n_emails::INT AS n_emails, n_ips::INT AS n_ips,
+       len(regexp_extract_all(t, '{ph}'))::INT AS n_phones,
+       regexp_replace(t, '{ph}', '[PHONE]', 'g') AS clean_text
+FROM t2
+"""

@@ -673,6 +673,25 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[2].flagged and out[2].n_contaminated == 0
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    """Emails, IPv4s, and phone runs are replaced with typed tokens and
+    counted on progressively scrubbed text (an email's digits never
+    double-count as a phone); clean text passes through untouched."""
+    from ksoup_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "reach john.doe+x@mail.example.org at 192.168.0.1 "
+             "or +1 (555) 010-9900 today"),
+         (2, "no pii here just v1.2.3 and the number 42")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 1, 1)
+    assert out[1].clean_text == \
+        "reach [EMAIL] at [IP] or [PHONE] today"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
+    assert out[2].clean_text == "no pii here just v1.2.3 and the number 42"
+
+
 def test_gopher_quality_flags(spark):
     from ksoup_spark.operators import textstats
 
