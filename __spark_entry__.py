@@ -545,9 +545,12 @@ def q_nodequery_has(spark, sf_dir):
     )
     # five selectors fan out over ONE node table: persist it so the parse
     # kernel runs once (the cluster-scale pattern is a persisted/checkpointed
-    # node table shared by a selector batch)
+    # node table shared by a selector batch); materialize EAGERLY — six join
+    # stages hitting an unfilled cache interleave parse tasks with the join
+    # codegen, measured ~20% slower cold than parse-then-fan-out
     nodes = extract.node_table_df(
         d.select("doc_id", html.alias("html"))).cache()
+    nodes.count()
 
     def _cnt(css, name):
         m = nodequery.compile_selector(nodes, css)
