@@ -234,10 +234,17 @@ def main() -> None:
     # warm up JVM + Python workers
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
-    # best-of-2: multi-tenant box, single runs swing ±20%
+    # best-of-2: multi-tenant box, single runs swing ±20%. When the two
+    # runs disagree by MORE than that band a co-tenant burst landed on one
+    # of them (the 2026-08-21 episode in BENCH/BASELINE.md) — take a third
+    # so the reported minimum isn't a coin flip between clean and burst.
     headline_dt, n_docs, mb = _run_extraction(spark, MULT)
     dt2, _, _ = _run_extraction(spark, MULT)
-    headline_dt = min(headline_dt, dt2)
+    if abs(headline_dt - dt2) / min(headline_dt, dt2) > 0.2:
+        dt3, _, _ = _run_extraction(spark, MULT)
+        headline_dt = min(headline_dt, dt2, dt3)
+    else:
+        headline_dt = min(headline_dt, dt2)
 
     for name in BENCH_QUERIES:
         if name not in queries:
