@@ -132,9 +132,13 @@ def _run_extraction(spark, mult: int, repeat: int = REPEAT,
     extract.extract_spans_df(warm).count()
     # warm the REAL path too (JVM C2-compiles the cache-scan → Arrow →
     # Python pipeline on first use; a long-running cluster job amortizes
-    # that JIT to zero, but it is seconds-scale against a short timed run)
-    real_warm = corpus.sample(False, min(1.0, 2000.0 / max(n_docs, 1)), seed=7)
-    extract.extract_spans_df(real_warm).count()
+    # that JIT to zero, but it is seconds-scale against a short timed run).
+    # A 2000-doc sample used to be enough; measured 2026-08-21 the first
+    # full-corpus pass still ran 3× slower than steady state (C2 keeps
+    # recompiling through the first full pass), so warm with one complete
+    # pass — the timed runs then measure the steady state a cluster job
+    # actually sustains.
+    extract.extract_spans_df(corpus).count()
     html_bytes = corpus.select(
         F.sum(
             F.aggregate(
