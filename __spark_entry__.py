@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ksoup_spark.functions import html as H
-from ksoup_spark.operators import dedup, extract, similarity, textstats
+from ksoup_spark.operators import (dedup, extract, sampling, similarity,
+                                   textstats)
 from ksoup_spark.sources.corpus import build_docs_table
 
 
@@ -859,7 +860,12 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(_docs(spark, sf_dir))
+    """Stopword-overlap language ID; round 5, the row also carries the
+    deterministic train/val/test split assignment (sampling.corpus_split,
+    md5 family so DuckDB reproduces the identical bucket arithmetic —
+    the production path is the same expression over xxhash64)."""
+    lang = textstats.lang_id(_docs(spark, sf_dir))
+    return sampling.corpus_split(lang, hash="md5")
 
 
 def q_quality(spark, sf_dir):
@@ -1355,7 +1361,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        "lang_id": textstats.lang_id_sql(),
+        "lang_id": sampling.corpus_split_sql(
+            table=f"({textstats.lang_id_sql()})"),
         "quality": textstats.quality_score_sql(),
         "token_count_bpe": """
             SELECT doc_id,

@@ -673,6 +673,39 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[2].flagged and out[2].n_contaminated == 0
 
 
+def test_corpus_split_deterministic_and_proportional(spark):
+    """Split assignment is a pure function of the id: identical across
+    repartitionings and hash-family-stable; fractions land near the
+    requested weights; remainder falls to the last label."""
+    import pytest as _pytest
+
+    from ksoup_spark.operators import sampling
+
+    docs = spark.range(4000).select(F.col("id").alias("doc_id"),
+                                    F.lit("x").alias("text"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in
+         sampling.corpus_split(docs, w).collect()}
+    b = {r.doc_id: r.split for r in
+         sampling.corpus_split(docs.repartition(13), w).collect()}
+    assert a == b  # row order / partitioning never changes the deal
+    frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.77 <= frac <= 0.83
+    # md5 family is its own deal but equally deterministic
+    m1 = {r.doc_id: r.split for r in
+          sampling.corpus_split(docs, w, hash="md5").collect()}
+    m2 = {r.doc_id: r.split for r in
+          sampling.corpus_split(docs, w, hash="md5").collect()}
+    assert m1 == m2
+    # weights summing below 1: remainder goes to the last label
+    part = {r.doc_id: r.split for r in
+            sampling.corpus_split(docs, {"a": 0.1, "b": 0.1}).collect()}
+    fb = sum(1 for s in part.values() if s == "b") / len(part)
+    assert fb >= 0.85
+    with _pytest.raises(ValueError):
+        sampling.corpus_split(docs, {"a": 0.9, "b": 0.2})
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     """Emails, IPv4s, and phone runs are replaced with typed tokens and
     counted on progressively scrubbed text (an email's digits never
